@@ -1,0 +1,85 @@
+"""Chip: an AIR plus machine metadata (reference: crates/stark/src/chip.rs).
+
+Wraps a user-defined Air object and computes, via a symbolic evaluation pass:
+  * number of constraints (air + permutation), for alpha-power folding
+  * max constraint degree -> log_quotient_degree
+  * number of lookups -> permutation trace width
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .folder import SymbolicFolder
+from .permutation import (
+    eval_permutation_constraints,
+    perm_trace_width,
+)
+from .lookup import LookupScope
+
+BATCH_SIZE = 2
+
+
+class Air:
+    """Base class for user-defined AIRs.
+
+    Subclasses define: name, width; optionally preprocessed_width, local_only,
+    commit_scope; and implement eval(builder), generate_trace(record, output),
+    optionally generate_preprocessed(program), included(record).
+    """
+
+    name: str = "air"
+    width: int = 0
+    preprocessed_width: int = 0
+    local_only: bool = False
+    commit_scope = LookupScope.Local
+
+    def eval(self, b):
+        raise NotImplementedError
+
+    def generate_preprocessed(self, program):
+        return None
+
+    def generate_trace(self, record, output):
+        raise NotImplementedError
+
+    def generate_dependencies(self, record, output):
+        pass
+
+    def included(self, record) -> bool:
+        return True
+
+
+class Chip:
+    def __init__(self, air: Air, num_public_values: int = 0):
+        self.air = air
+        self.name = air.name
+        self.width = air.width
+        self.preprocessed_width = air.preprocessed_width
+        self.local_only = air.local_only
+        self.commit_scope = air.commit_scope
+        self.batch_size = BATCH_SIZE
+
+        fl = SymbolicFolder(air.preprocessed_width, air.width, num_public_values)
+        air.eval(fl)
+        self.num_lookups = len(fl.sends) + len(fl.receives)
+        self.perm_width = perm_trace_width(self.num_lookups, BATCH_SIZE)
+        if self.perm_width:
+            fl.perm_columns(self.perm_width)
+            eval_permutation_constraints(fl, fl.sends, fl.receives, BATCH_SIZE)
+        self.num_constraints = fl.num_constraints
+        self.max_constraint_degree = max(fl.max_degree, 2)
+        self.log_quotient_degree = max(self.max_constraint_degree - 1, 1).bit_length() - 1
+        if (1 << self.log_quotient_degree) < self.max_constraint_degree - 1:
+            self.log_quotient_degree += 1
+
+    @property
+    def quotient_degree(self) -> int:
+        return 1 << self.log_quotient_degree
+
+    def eval_with_perm(self, folder):
+        """Full constraint pass: air constraints then permutation constraints,
+        exactly in reference order (chip.rs:268)."""
+        self.air.eval(folder)
+        if self.perm_width:
+            eval_permutation_constraints(folder, folder.sends, folder.receives, BATCH_SIZE)

@@ -1,0 +1,366 @@
+"""Two-adic FRI polynomial commitment scheme (host path).
+
+Reproduces the structure of the reference's `TwoAdicFriPcs` + `FriConfig`
+(reference: crates/stark/src/kb31_poseidon2.rs:17-65 — log_blowup=1,
+84 queries, 16 PoW bits):
+
+  * commit: per matrix, coset-LDE onto GENERATOR * H_(n<<blowup), stored
+    bit-reversed, batch-committed in a Poseidon2 Merkle tree (core/merkle.py).
+  * open: sample alpha; per LDE log-height accumulate the reduced opening
+      ro_l(x) = sum alpha^k (y_{c,z} - m_c(x)) / (z - x)
+    with a per-height running alpha counter; run the FRI commit phase
+    (pair-commit, sample beta, fold by two, inject matching-height inputs),
+    then PoW grinding and per-query Merkle openings of both the input batches
+    and the fold layers.
+  * verify: replay the transcript, recompute ro_l at each queried index from
+    the opened rows and fold down to the final constant.
+
+Indices address the bit-reversed arrays: entry j of a height-2^k array is the
+evaluation at  shift * w_{2^k}^{rev_k(j)}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ziren_tpu.core import ext as E
+from ziren_tpu.core import field as F
+from ziren_tpu.core import merkle, ntt
+from .domain import Domain, natural_domain_for_degree
+
+
+@dataclass
+class FriConfig:
+    log_blowup: int = 1
+    num_queries: int = 84
+    proof_of_work_bits: int = 16
+
+
+@dataclass
+class ProverData:
+    domains: list  # Domain per matrix (the *trace* domain the evals live on)
+    mats: list  # original evals, natural order (n_i, w_i)
+    coeffs: list  # monomial coefficients (n_i, w_i)
+    ldes: list  # LDE evals over GENERATOR*H_(n<<blowup), natural order
+    tree: merkle.MerkleTree  # commitment over bit-reversed LDEs
+
+    @property
+    def commit(self) -> np.ndarray:
+        return self.tree.root
+
+
+@dataclass
+class CommitPhaseData:
+    commits: list
+    trees: list
+    final_poly: np.ndarray  # (4,)
+
+
+@dataclass
+class QueryProof:
+    input_openings: list  # per round: (rows, path)
+    commit_phase_openings: list  # per layer: (pair (2,4) uint32, path)
+
+
+@dataclass
+class FriProof:
+    commit_phase_commits: list  # roots
+    query_proofs: list
+    final_poly: np.ndarray
+    pow_witness: int
+
+
+def _bit_reverse_rows(m: np.ndarray) -> np.ndarray:
+    n = m.shape[0]
+    return m[F.bit_reverse_indices(n.bit_length() - 1)]
+
+
+class TwoAdicFriPcs:
+    def __init__(self, fri: FriConfig):
+        self.fri = fri
+
+    def natural_domain_for_degree(self, n: int) -> Domain:
+        return natural_domain_for_degree(n)
+
+    # -- commit ------------------------------------------------------------
+    def commit(self, domains_and_mats):
+        domains, mats, coeffs, ldes, brs = [], [], [], [], []
+        for dom, m in domains_and_mats:
+            m = np.asarray(m, dtype=np.uint32)
+            assert m.shape[0] == dom.size
+            # interpolate on the matrix's own domain, then evaluate over
+            # GENERATOR * H_(n << blowup): lde_shift = GENERATOR / dom.shift
+            c = ntt.intt(m)
+            if dom.shift != 1:
+                s_inv = pow(int(dom.shift), F.P_INT - 2, F.P_INT)
+                c = F.fmul(c, F.powers(s_inv, c.shape[0])[:, None])
+            # coefficients now in plain monomial basis; evaluate over g*H'
+            lde = ntt.coset_eval(c, self.fri.log_blowup, F.GENERATOR)
+            domains.append(dom)
+            mats.append(m)
+            coeffs.append(c)
+            ldes.append(lde)
+            brs.append(_bit_reverse_rows(lde))
+        tree = merkle.commit(brs)
+        data = ProverData(domains, mats, coeffs, ldes, tree)
+        return data.commit, data
+
+    def get_evaluations_on_domain(self, data: ProverData, i: int, domain: Domain):
+        """Committed LDE restricted to `domain` (must be a subset coset)."""
+        lde = data.ldes[i]
+        assert domain.shift == F.GENERATOR % F.P_INT
+        stride = lde.shape[0] // domain.size
+        assert stride >= 1 and lde.shape[0] % domain.size == 0
+        return lde[::stride]
+
+    # -- open --------------------------------------------------------------
+    def open(self, rounds, challenger):
+        """rounds: list of (ProverData, points_per_matrix) where
+        points_per_matrix[i] is a list of ext points (4,) arrays.
+        Returns (opened_values, FriProof)."""
+        alpha = challenger.sample_ext()
+        log_blowup = self.fri.log_blowup
+
+        # opened values at all points
+        opened_values = []
+        for data, points_per_mat in rounds:
+            round_vals = []
+            for i, pts in enumerate(points_per_mat):
+                mat_vals = [ntt.eval_at_ext_point(data.coeffs[i], z) for z in pts]
+                round_vals.append(mat_vals)  # list over points of (w, 4)
+            opened_values.append(round_vals)
+
+        # reduced openings per LDE log-height, natural order
+        ro: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for (data, points_per_mat), round_vals in zip(rounds, opened_values):
+            for i, (pts, mat_vals) in enumerate(zip(points_per_mat, round_vals)):
+                lde = data.ldes[i]
+                l = lde.shape[0].bit_length() - 1
+                if l not in ro:
+                    ro[l] = E.ezero((1 << l,))
+                    cnt[l] = 0
+                xs = F.fmul(
+                    np.uint32(F.GENERATOR),
+                    F.powers(F.two_adic_generator(l), 1 << l),
+                )
+                w = lde.shape[1]
+                for z, ys in zip(pts, mat_vals):
+                    # inv(z - x) vectorized over the domain
+                    zmx = E.esub(
+                        np.broadcast_to(z, (1 << l, 4)), E.from_base(xs)
+                    )
+                    inv_zmx = E.einv(zmx)
+                    alpha_pows = E.epowers(alpha, cnt[l] + w)[cnt[l] :]  # (w,4)
+                    # sum_c alpha^{cnt+c} (y_c - m_c(x))
+                    acc = E.ezero((1 << l,))
+                    for c in range(w):
+                        diff = E.esub(
+                            np.broadcast_to(ys[c], (1 << l, 4)),
+                            E.from_base(lde[:, c]),
+                        )
+                        acc = E.eadd(acc, E.emul(diff, np.broadcast_to(alpha_pows[c], (1 << l, 4))))
+                    ro[l] = E.eadd(ro[l], E.emul(acc, inv_zmx))
+                    cnt[l] += w
+        # FRI commit phase on bit-reversed reduced openings
+        inputs = sorted(ro.items(), reverse=True)
+        self._set_shifts(inputs[0][0])
+        cp = self._commit_phase([(l, _bit_reverse_rows(v)) for l, v in inputs], challenger)
+
+        # PoW grind
+        pow_witness = challenger.grind(self.fri.proof_of_work_bits)
+
+        # queries
+        log_max = inputs[0][0]
+        query_indices = [
+            challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
+        ]
+        query_proofs = []
+        for idx in query_indices:
+            input_openings = []
+            for data, _pts in rounds:
+                tree_log = data.tree.levels[0].shape[0].bit_length() - 1
+                rows, path = merkle.open_at(data.tree, idx >> (log_max - tree_log))
+                input_openings.append((rows, path))
+            cp_openings = []
+            i = idx
+            for tree in cp.trees:
+                row, path = merkle.open_at(tree, i >> 1)
+                pair = np.asarray(row[0], np.uint32).reshape(2, 4)
+                cp_openings.append((pair, path))
+                i >>= 1
+            query_proofs.append(QueryProof(input_openings, cp_openings))
+
+        proof = FriProof(cp.commits, query_proofs, cp.final_poly, pow_witness)
+        return opened_values, proof
+
+    def _commit_phase(self, inputs, challenger) -> CommitPhaseData:
+        """inputs: [(log_height, bit-reversed ext array (2^l, 4))] desc."""
+        log_blowup = self.fri.log_blowup
+        it = iter(inputs)
+        l, cur = next(it)
+        nxt = next(it, None)
+        commits, trees = [], []
+        while cur.shape[0] > (1 << log_blowup):
+            leaves = cur.reshape(-1, 8)  # (h/2, 2 ext) flattened to base
+            tree = merkle.commit([leaves])
+            commits.append(tree.root)
+            trees.append(tree)
+            challenger.observe_slice(tree.root)
+            beta = challenger.sample_ext()
+            cur = self._fold(cur, beta, l)
+            l -= 1
+            if nxt is not None and nxt[0] == l:
+                cur = E.eadd(cur, nxt[1])
+                nxt = next(it, None)
+        final = cur[0].copy()
+        assert np.all(cur == final), "final polynomial is not constant"
+        challenger.observe_slice(final)
+        return CommitPhaseData(commits, trees, final)
+
+    def _fold(self, e_br: np.ndarray, beta: np.ndarray, log_h: int) -> np.ndarray:
+        """One fold of a bit-reversed ext array of height 2^log_h, coset shift
+        GENERATOR^(2^k): entry pairs are (f(x), f(-x))."""
+        half = (F.P_INT + 1) // 2
+        lo = e_br[0::2]
+        hi = e_br[1::2]
+        m = 1 << (log_h - 1)
+        shift = self._layer_shift(log_h)
+        w_inv = pow(F.two_adic_generator(log_h), F.P_INT - 2, F.P_INT)
+        s_inv = pow(shift, F.P_INT - 2, F.P_INT)
+        xinv = F.fmul(np.uint32(s_inv), F.powers(w_inv, m))[
+            F.bit_reverse_indices(log_h - 1)
+        ]
+        even = E.emul_base(E.eadd(lo, hi), np.uint32(half))
+        odd = E.emul_base(E.emul_base(E.esub(lo, hi), np.uint32(half)), xinv)
+        return E.eadd(even, E.emul(odd, np.broadcast_to(beta, odd.shape)))
+
+    def _layer_shift(self, log_h: int) -> int:
+        """Coset shift of the fold layer whose arrays have height 2^log_h.
+
+        The max-height layer has shift GENERATOR; each fold squares it. Layer
+        height determines how many folds happened relative to the top, but
+        shift bookkeeping is done by the callers passing absolute heights;
+        here we derive it from the *top* height stored at first use."""
+        return self._shifts[log_h]
+
+    # -- verify ------------------------------------------------------------
+    def verify(self, rounds, proof: FriProof, challenger) -> bool:
+        """rounds: list of (commit, [(domain, [(z, ys (w,4))...])] per matrix)."""
+        alpha = challenger.sample_ext()
+        log_blowup = self.fri.log_blowup
+
+        # replay commit phase
+        betas = []
+        for c in proof.commit_phase_commits:
+            challenger.observe_slice(np.asarray(c, np.uint32))
+            betas.append(challenger.sample_ext())
+        challenger.observe_slice(np.asarray(proof.final_poly, np.uint32))
+        if not challenger.check_witness(self.fri.proof_of_work_bits, proof.pow_witness):
+            return False
+
+        # heights
+        heights = set()
+        for _commit, mats in rounds:
+            for dom, _pts in mats:
+                heights.add(dom.log_n + log_blowup)
+        log_max = max(heights)
+        if len(proof.commit_phase_commits) != log_max - log_blowup:
+            return False
+
+        query_indices = [
+            challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
+        ]
+        if len(proof.query_proofs) != len(query_indices):
+            return False
+
+        self._set_shifts(log_max)
+        self.commit_phase_commits_cache = proof.commit_phase_commits
+        for idx, qp in zip(query_indices, proof.query_proofs):
+            if not self._verify_query(rounds, idx, qp, alpha, betas, proof.final_poly, log_max):
+                return False
+        return True
+
+    def _set_shifts(self, log_max: int):
+        self._shifts = {}
+        s = F.GENERATOR % F.P_INT
+        for l in range(log_max, 0, -1):
+            self._shifts[l] = s
+            s = (s * s) % F.P_INT
+
+    def _verify_query(self, rounds, idx, qp, alpha, betas, final_poly, log_max) -> bool:
+        log_blowup = self.fri.log_blowup
+        # 1. verify input batch openings and compute reduced openings
+        ro: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        if len(qp.input_openings) != len(rounds):
+            return False
+        for (commit, mats), (rows, path) in zip(rounds, qp.input_openings):
+            dims = [(dom.size << log_blowup, len(pts[0][1])) for dom, pts in mats]
+            tree_log = max(h for h, _ in dims).bit_length() - 1
+            tree_idx = idx >> (log_max - tree_log)
+            if not merkle.verify_opening(commit, dims, tree_idx, rows, path):
+                return False
+            for (dom, pts), row in zip(mats, rows):
+                l = dom.log_n + log_blowup
+                if l not in ro:
+                    ro[l] = E.ezero()
+                    cnt[l] = 0
+                i_l = idx >> (log_max - l)
+                x = (
+                    F.GENERATOR
+                    * pow(F.two_adic_generator(l), F.reverse_bits_len(i_l, l), F.P_INT)
+                ) % F.P_INT
+                w = len(row)
+                for z, ys in pts:
+                    inv_zmx = E.einv(E.esub(z, E.from_base(np.uint32(x))))
+                    alpha_pows = E.epowers(alpha, cnt[l] + w)[cnt[l] :]
+                    acc = E.ezero()
+                    for c in range(w):
+                        diff = E.esub(ys[c], E.from_base(np.uint32(row[c])))
+                        acc = E.eadd(acc, E.emul(diff, alpha_pows[c]))
+                    ro[l] = E.eadd(ro[l], E.emul(acc, inv_zmx))
+                    cnt[l] += w
+        # 2. fold chain
+        heights = sorted(ro.keys(), reverse=True)
+        l = heights[0]
+        folded = ro[l]
+        i = idx
+        if len(qp.commit_phase_openings) != len(betas):
+            return False
+        for (pair, path), beta, commit in zip(
+            qp.commit_phase_openings, betas, self.commit_phase_commits_cache
+        ):
+            # check our current value matches the opened sibling pair
+            if not np.array_equal(pair[i & 1], folded):
+                return False
+            row_flat = pair.reshape(-1)
+            if not merkle.verify_opening(
+                commit, [(1 << (l - 1), 8)], i >> 1, [row_flat], path
+            ):
+                return False
+            e0, e1 = pair[0], pair[1]
+            half = (F.P_INT + 1) // 2
+            x = (
+                self._shifts[l]
+                * pow(
+                    F.two_adic_generator(l),
+                    F.reverse_bits_len((i >> 1) << 1, l),
+                    F.P_INT,
+                )
+            ) % F.P_INT
+            x_inv = pow(x, F.P_INT - 2, F.P_INT)
+            even = E.emul_base(E.eadd(e0, e1), np.uint32(half))
+            odd = E.emul_base(
+                E.emul_base(E.esub(e0, e1), np.uint32(half)), np.uint32(x_inv)
+            )
+            folded = E.eadd(even, E.emul(odd, beta))
+            i >>= 1
+            l -= 1
+            if l in ro:
+                folded = E.eadd(folded, ro[l])
+        if l != log_blowup:
+            return False
+        return bool(np.array_equal(folded, final_poly))
