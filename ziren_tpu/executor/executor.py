@@ -1,0 +1,506 @@
+"""MIPS32r2 executor with columnar event tracing.
+
+Semantics pinned to the reference executor
+(reference: crates/core/executor/src/executor.rs):
+  * branch-delay-slot pc model: (pc, next_pc, next_next_pc);
+  * clk advances 5 per cycle; memory access timestamps are clk + position
+    with positions Memory=0, C=1, B=2, A=3, HI=4 (events/memory.rs:29-40);
+  * registers live at addresses 0..35 (LO=32, HI=33, BRK=34, HEAP=35) of the
+    unified memory-checking address space;
+  * first access of an address records an init event (offline memory
+    checking start point); finalize events are emitted at the end.
+
+Modes: 'simple' (no events) and 'trace' (columnar events). The sequential
+hot loop is the C++ port target (SURVEY.md §2.1); this Python version is the
+semantic oracle.
+"""
+
+from __future__ import annotations
+
+from ..core import poseidon2 as p2
+from .opcode import (
+    ALU_OPCODES,
+    BRANCH_OPCODES,
+    JUMP_OPCODES,
+    LOAD_OPCODES,
+    MEM_OPCODES,
+    Opcode,
+    STORE_OPCODES,
+    SyscallCode,
+)
+from .program import NUM_REGISTERS, REG_A0, REG_A1, REG_V0, sign_extend
+from .record import ExecutionRecord
+
+M32 = 0xFFFFFFFF
+POS_MEMORY, POS_C, POS_B, POS_A, POS_HI = 0, 1, 2, 3, 4
+_POS_NAME = {POS_MEMORY: "mem", POS_C: "c", POS_B: "b", POS_A: "a", POS_HI: "hi"}
+
+
+def _s32(x):
+    x &= M32
+    return x - (1 << 32) if x & 0x80000000 else x
+
+
+class ExecutionError(Exception):
+    pass
+
+
+class Halted(Exception):
+    pass
+
+
+class Executor:
+    def __init__(self, program, stdin: list | None = None, max_cycles=None, mode="trace"):
+        self.program = program
+        self.mode = mode
+        self.max_cycles = max_cycles
+        # unified address space: addr -> [value, last_clk]
+        self.memory: dict[int, list] = {
+            addr: [v & M32, 0] for addr, v in program.image.items()
+        }
+        # hint-written values adopted as init values on first access
+        # (reference: syscalls/hint.rs writes state.uninitialized_memory)
+        self.uninitialized_memory: dict[int, int] = {}
+        self.pc = program.pc_start
+        self.next_pc = (program.pc_start + 4) & M32
+        self.clk = 0
+        self.global_clk = 0
+        self.exited = False
+        self.exit_code = 0
+        # hint input stream (io::read): list of byte buffers
+        self.input_stream: list[bytes] = list(stdin or [])
+        self.input_stream_ptr = 0
+        self.hint_lens: list[int] = []
+        # output
+        self.committed_values: list[int] = []  # words committed via COMMIT
+        self.stdout = bytearray()
+        self.record = ExecutionRecord(program)
+        self.touched: dict[int, int] = {}  # addr -> init value (first touch)
+        self.report = {"opcode_counts": {}, "syscall_counts": {}}
+        self._accesses = {}
+
+    # -- memory primitives -------------------------------------------------
+    def _touch(self, addr, rec):
+        if addr not in self.touched:
+            self.touched[addr] = rec[0]
+
+    def _read(self, addr: int, position: int) -> int:
+        rec = self.memory.get(addr)
+        if rec is None:
+            rec = [self.uninitialized_memory.get(addr, 0), 0]
+            self.memory[addr] = rec
+        self._touch(addr, rec)
+        ts = self.clk + position
+        prev_clk = rec[1]
+        value = rec[0]
+        rec[1] = ts
+        if self.mode == "trace":
+            self._accesses[_POS_NAME[position]] = (addr, value, prev_clk, value, False)
+        return value
+
+    def _write(self, addr: int, value: int, position: int) -> int:
+        value &= M32
+        rec = self.memory.get(addr)
+        if rec is None:
+            rec = [self.uninitialized_memory.get(addr, 0), 0]
+            self.memory[addr] = rec
+        self._touch(addr, rec)
+        ts = self.clk + position
+        prev_clk, prev_value = rec[1], rec[0]
+        rec[0] = value
+        rec[1] = ts
+        if self.mode == "trace":
+            self._accesses[_POS_NAME[position]] = (addr, prev_value, prev_clk, value, True)
+        return prev_value
+
+    def peek_register(self, reg: int) -> int:
+        rec = self.memory.get(reg)
+        return rec[0] if rec else 0
+
+    def peek_word(self, addr: int) -> int:
+        rec = self.memory.get(addr)
+        return rec[0] if rec else 0
+
+    # -- fetch/decode/execute ---------------------------------------------
+    def fetch(self):
+        instr = self.program.instruction_at(self.pc)
+        if instr is None:
+            raise ExecutionError(f"pc out of program range: {self.pc:#x}")
+        return instr
+
+    def _operands_bc(self, instr, pos_b=POS_B, pos_c=POS_C):
+        """Read b (register or imm) and c in reference operand order (C first)."""
+        if instr.imm_c:
+            c = instr.op_c & M32
+        else:
+            c = self._read(instr.op_c, pos_c)
+        if instr.imm_b:
+            b = instr.op_b & M32
+        else:
+            b = self._read(instr.op_b, pos_b)
+        return b, c
+
+    def execute_cycle(self) -> bool:
+        instr = self.fetch()
+        op = instr.opcode
+        self.report["opcode_counts"][op] = self.report["opcode_counts"].get(op, 0) + 1
+        self._accesses = {}
+        clk, pc, next_pc = self.clk, self.pc, self.next_pc
+        next_next_pc = (next_pc + 4) & M32
+        a = b = c = 0
+        prev_a = 0
+        syscall_code = 0
+        exit_code = 0
+
+        if op in ALU_OPCODES:
+            b, c = self._operands_bc(instr)
+            a, hi = self._alu(op, b, c)
+            if op in (Opcode.DIV, Opcode.DIVU, Opcode.MOD, Opcode.MODU) and c == 0:
+                raise ExecutionError("division by zero")
+            if op in (Opcode.MULT, Opcode.MULTU, Opcode.DIV, Opcode.DIVU):
+                self._write(33, hi, POS_HI)  # HI register
+            prev_a = self._write(instr.op_a, a, POS_A)
+        elif op in BRANCH_OPCODES:
+            b, c = self._operands_bc(instr)  # src2, offset
+            src1 = self._read(instr.op_a, POS_A)
+            a = src1
+            taken = {
+                Opcode.BEQ: src1 == b,
+                Opcode.BNE: src1 != b,
+                Opcode.BGEZ: _s32(src1) >= 0,
+                Opcode.BLEZ: _s32(src1) <= 0,
+                Opcode.BGTZ: _s32(src1) > 0,
+                Opcode.BLTZ: _s32(src1) < 0,
+            }[op]
+            if taken:
+                next_next_pc = (c + next_pc) & M32
+        elif op in JUMP_OPCODES:
+            return_pc = (self.next_pc + 4) & M32
+            if op == Opcode.Jump:
+                target = self._read(instr.op_b, POS_B)
+                b = target
+                next_next_pc = target
+            elif op == Opcode.Jumpi:
+                b = instr.op_b & M32
+                next_next_pc = b
+            else:  # JumpDirect
+                b = instr.op_b & M32
+                next_next_pc = (b + self.next_pc) & M32
+            a = return_pc
+            prev_a = self._write(instr.op_a, return_pc, POS_A)
+        elif op in MEM_OPCODES:
+            rs_raw = self._read(instr.op_b, POS_B)
+            offset = instr.op_c & M32
+            addr = (rs_raw + offset) & M32
+            aligned = addr & ~3
+            assert aligned >= 0x1000, f"guest memory access below 0x1000: {addr:#x}"
+            b, c = rs_raw, offset
+            if op in LOAD_OPCODES:
+                rt = self.peek_register(instr.op_a)
+                mem = self._read(aligned, POS_MEMORY)
+                a = self._load_value(op, addr, mem, rt)
+                prev_a = self._write(instr.op_a, a, POS_A)
+            else:
+                if op == Opcode.SC:
+                    rt = self.peek_register(instr.op_a)
+                else:
+                    rt = self._read(instr.op_a, POS_A)
+                mem = self.peek_word(aligned)
+                val = self._store_value(op, addr, mem, rt)
+                self._write(aligned, val, POS_MEMORY)
+                if op == Opcode.SC:
+                    prev_a = self._write(instr.op_a, 1, POS_A)
+                    a = 1
+                else:
+                    a = rt
+                    prev_a = rt
+        elif op == Opcode.SYSCALL:
+            syscall_id = self.peek_register(REG_V0)
+            c = self._read(REG_A1, POS_C)
+            b = self._read(REG_A0, POS_B)
+            prev_a = syscall_id
+            syscall_code = syscall_id
+            a, next_pc_override, extra_cycles, exit_code = self._syscall(
+                syscall_id, b, c
+            )
+            self._write(REG_V0, a, POS_A)
+            if next_pc_override is not None:
+                next_pc = next_pc_override
+                next_next_pc = (next_pc_override + 4) & M32
+            else:
+                next_pc = self.next_pc
+                next_next_pc = (next_pc + 4) & M32
+            self.clk += extra_cycles
+        elif op in (Opcode.MEQ, Opcode.MNE):
+            a_old = self.peek_register(instr.op_a)
+            c = self._read(instr.op_c, POS_C)
+            b = self._read(instr.op_b, POS_B)
+            mov = (c == 0) if op == Opcode.MEQ else (c != 0)
+            a = b if mov else a_old
+            prev_a = self._write(instr.op_a, a, POS_A)
+        elif op == Opcode.SEXT:
+            b, c = self._read(instr.op_b, POS_B), instr.op_c
+            a = sign_extend(b & 0xFFFF, 16) if c > 0 else sign_extend(b & 0xFF, 8)
+            prev_a = self._write(instr.op_a, a, POS_A)
+        elif op == Opcode.WSBH:
+            b = self._read(instr.op_b, POS_B)
+            a = (
+                (((b >> 16) & 0xFF) << 24)
+                | (((b >> 24) & 0xFF) << 16)
+                | ((b & 0xFF) << 8)
+                | ((b >> 8) & 0xFF)
+            )
+            prev_a = self._write(instr.op_a, a, POS_A)
+        elif op == Opcode.EXT:
+            b = self._read(instr.op_b, POS_B)
+            c = instr.op_c
+            msbd, lsb = c >> 5, c & 0x1F
+            mask = M32 if msbd + lsb + 1 == 32 else (1 << (msbd + lsb + 1)) - 1
+            a = (b & mask) >> lsb
+            prev_a = self._write(instr.op_a, a, POS_A)
+        elif op == Opcode.INS:
+            b = self._read(instr.op_b, POS_B)
+            c = instr.op_c
+            a_old = self.peek_register(instr.op_a)
+            msb, lsb = c >> 5, c & 0x1F
+            mask = M32 if msb - lsb + 1 == 32 else (1 << (msb - lsb + 1)) - 1
+            mf = (mask << lsb) & M32
+            a = (a_old & ~mf) | ((b << lsb) & mf)
+            prev_a = self._write(instr.op_a, a, POS_A)
+        elif op == Opcode.TEQ:
+            b = self._read(instr.op_b, POS_B)
+            a = self._read(instr.op_a, POS_A)
+            if a == b:
+                raise ExecutionError("TEQ trap")
+        elif op in (Opcode.MADDU, Opcode.MSUBU, Opcode.MADD, Opcode.MSUB):
+            c = self._read(instr.op_c, POS_C)
+            b = self._read(instr.op_b, POS_B)
+            lo_val = self.peek_register(32)
+            hi_val = self.peek_register(33)
+            acc = (hi_val << 32) | lo_val
+            if op in (Opcode.MADDU, Opcode.MSUBU):
+                m = b * c
+            else:
+                m = _s32(b) * _s32(c)
+            out = (acc + m) if op in (Opcode.MADDU, Opcode.MADD) else (acc - m)
+            out &= (1 << 64) - 1
+            a = out & M32
+            prev_a = self._write(instr.op_a, a, POS_A)
+            self._write(33, (out >> 32) & M32, POS_HI)
+            prev_a = lo_val
+        elif op == Opcode.UNIMPL:
+            raise ExecutionError(f"unimplemented instruction {instr.op_c:#x}")
+        else:
+            raise ExecutionError(f"unhandled opcode {op}")
+
+        if next_next_pc == 0:
+            raise ExecutionError("null pointer reference")
+
+        if self.mode == "trace":
+            self.record.append_cycle(
+                clk=clk,
+                pc=pc,
+                next_pc=next_pc,
+                next_next_pc=next_next_pc,
+                instr_idx=(pc - self.program.pc_base) // 4,
+                a=a,
+                b=b,
+                c=c,
+                prev_a=prev_a,
+                exit_code=exit_code,
+                syscall_code=syscall_code,
+                accesses=self._accesses,
+            )
+
+        self.pc = next_pc
+        self.next_pc = next_next_pc
+        self.clk += 5
+        self.global_clk += 1
+
+        if self.max_cycles and self.global_clk >= self.max_cycles:
+            raise ExecutionError("exceeded cycle limit")
+
+        done = (
+            self.pc == 0
+            or self.exited
+            or (self.pc - self.program.pc_base) >= len(self.program.instructions) * 4
+        )
+        return done
+
+    def run(self):
+        while not self.execute_cycle():
+            pass
+        self.postprocess()
+        return self.record
+
+    def postprocess(self):
+        # memory finalize events for all touched addresses
+        for addr, init_value in sorted(self.touched.items()):
+            rec = self.memory[addr]
+            self.record.mem_init.append((addr, init_value))
+            self.record.mem_final.append((addr, rec[1], rec[0]))
+        pv = self.record.public_values
+        pv.start_pc = self.program.pc_start
+        pv.next_pc = self.pc
+        pv.exit_code = self.exit_code
+        pv.shard = 1
+        pv.execution_shard = 1
+        digest = list(self.committed_values[:8]) + [0] * max(
+            0, 8 - len(self.committed_values)
+        )
+        pv.committed_value_digest = digest
+
+    # -- ALU semantics -----------------------------------------------------
+    @staticmethod
+    def _alu(op, b, c):
+        s = _s32
+        if op == Opcode.ADD:
+            return (b + c) & M32, 0
+        if op == Opcode.SUB:
+            return (b - c) & M32, 0
+        if op == Opcode.SLL:
+            return (b << (c & 0x1F)) & M32, 0
+        if op == Opcode.SRL:
+            return (b >> (c & 0x1F)) & M32, 0
+        if op == Opcode.SRA:
+            return (s(b) >> (c & 0x1F)) & M32, 0
+        if op == Opcode.ROR:
+            sh = c & 0x1F
+            return ((b >> sh) | (b << (32 - sh))) & M32 if sh else b, 0
+        if op == Opcode.MUL:
+            return (b * c) & M32, 0
+        if op == Opcode.SLT:
+            return int(s(b) < s(c)), 0
+        if op == Opcode.SLTU:
+            return int(b < c), 0
+        if op == Opcode.MULT:
+            out = (s(b) * s(c)) & ((1 << 64) - 1)
+            return out & M32, (out >> 32) & M32
+        if op == Opcode.MULTU:
+            out = b * c
+            return out & M32, (out >> 32) & M32
+        if op == Opcode.DIV:
+            q = abs(s(b)) // abs(s(c)) if c != 0 else 0
+            if (s(b) < 0) != (s(c) < 0):
+                q = -q
+            r = s(b) - q * s(c)
+            return q & M32, r & M32
+        if op == Opcode.DIVU:
+            return (b // c) & M32, (b % c) & M32
+        if op == Opcode.MOD:
+            q = abs(s(b)) // abs(s(c)) if c != 0 else 0
+            if (s(b) < 0) != (s(c) < 0):
+                q = -q
+            return (s(b) - q * s(c)) & M32, 0
+        if op == Opcode.MODU:
+            return (b % c) & M32, 0
+        if op == Opcode.AND:
+            return b & c, 0
+        if op == Opcode.OR:
+            return b | c, 0
+        if op == Opcode.XOR:
+            return b ^ c, 0
+        if op == Opcode.NOR:
+            return (~(b | c)) & M32, 0
+        if op == Opcode.CLZ:
+            return 32 - b.bit_length(), 0
+        if op == Opcode.CLO:
+            return 32 - ((~b) & M32).bit_length(), 0
+        raise ExecutionError(f"bad alu op {op}")
+
+    @staticmethod
+    def _load_value(op, addr, mem, rt):
+        i = addr & 3
+        if op == Opcode.LW or op == Opcode.LL:
+            assert addr & 3 == 0, "unaligned LW"
+            return mem
+        if op == Opcode.LB:
+            return sign_extend((mem >> (i * 8)) & 0xFF, 8)
+        if op == Opcode.LBU:
+            return (mem >> (i * 8)) & 0xFF
+        if op == Opcode.LH:
+            assert addr & 1 == 0, "unaligned LH"
+            return sign_extend((mem >> ((addr & 2) * 8)) & 0xFFFF, 16)
+        if op == Opcode.LHU:
+            return (mem >> ((addr & 2) * 8)) & 0xFFFF
+        if op == Opcode.LWL:
+            val = (mem << (24 - i * 8)) & M32
+            mask = (0xFFFFFFFF << (24 - i * 8)) & M32
+            return (rt & ~mask) | val
+        if op == Opcode.LWR:
+            val = mem >> (i * 8)
+            mask = 0xFFFFFFFF >> (i * 8)
+            return ((rt & ~mask) | val) & M32
+        raise ExecutionError(f"bad load {op}")
+
+    @staticmethod
+    def _store_value(op, addr, mem, rt):
+        i = addr & 3
+        if op in (Opcode.SW, Opcode.SC):
+            assert addr & 3 == 0, "unaligned SW"
+            return rt
+        if op == Opcode.SB:
+            mask = M32 ^ (0xFF << (i * 8))
+            return (mem & mask) | ((rt & 0xFF) << (i * 8))
+        if op == Opcode.SH:
+            assert addr & 1 == 0, "unaligned SH"
+            sh = (addr & 2) * 8
+            mask = M32 ^ (0xFFFF << sh)
+            return (mem & mask) | ((rt & 0xFFFF) << sh)
+        if op == Opcode.SWL:
+            val = rt >> (24 - i * 8)
+            mask = 0xFFFFFFFF >> (24 - i * 8)
+            return ((mem & ~mask) | val) & M32
+        if op == Opcode.SWR:
+            val = (rt << (i * 8)) & M32
+            mask = (0xFFFFFFFF << (i * 8)) & M32
+            return ((mem & ~mask) | val) & M32
+        raise ExecutionError(f"bad store {op}")
+
+    # -- syscalls ----------------------------------------------------------
+    def _syscall(self, syscall_id, b, c):
+        """Returns (a, next_pc_override, extra_cycles, exit_code)."""
+        self.report["syscall_counts"][syscall_id] = (
+            self.report["syscall_counts"].get(syscall_id, 0) + 1
+        )
+        if syscall_id == SyscallCode.HALT:
+            self.exited = True
+            self.exit_code = b
+            if b != 0:
+                raise ExecutionError(f"halt with nonzero exit code {b}")
+            return syscall_id, 0, 0, b
+        if syscall_id == SyscallCode.WRITE:
+            fd, write_buf, nbytes = b, c, self.peek_register(6)  # A2
+            data = bytearray()
+            for i in range(nbytes):
+                w = self.peek_word((write_buf + i) & ~3)
+                data.append((w >> (((write_buf + i) & 3) * 8)) & 0xFF)
+            if fd in (1, 2, 3):
+                self.stdout.extend(data)
+            return nbytes, None, 0, 0
+        if syscall_id == SyscallCode.COMMIT:
+            # word_idx = b, word = c
+            while len(self.committed_values) <= b:
+                self.committed_values.append(0)
+            self.committed_values[b] = c
+            return syscall_id, None, 0, 0
+        if syscall_id == SyscallCode.SYSHINTLEN:
+            if self.input_stream_ptr >= len(self.input_stream):
+                raise ExecutionError("no more hints")
+            return len(self.input_stream[self.input_stream_ptr]), None, 0, 0
+        if syscall_id == SyscallCode.SYSHINTREAD:
+            if self.input_stream_ptr >= len(self.input_stream):
+                raise ExecutionError("no more hints")
+            buf = self.input_stream[self.input_stream_ptr]
+            self.input_stream_ptr += 1
+            assert len(buf) == c, "hint length mismatch"
+            assert b % 4 == 0, "hint read pointer must be word-aligned"
+            # the hint becomes the init value at first constrained access
+            for i in range(0, len(buf), 4):
+                word = int.from_bytes(buf[i : i + 4].ljust(4, b"\x00"), "little")
+                addr = (b + i) & M32
+                if addr in self.uninitialized_memory or addr in self.memory:
+                    raise ExecutionError("hint read address already initialized")
+                self.uninitialized_memory[addr] = word
+            return c, None, 0, 0
+        raise ExecutionError(f"unsupported syscall {syscall_id:#x}")
