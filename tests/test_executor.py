@@ -118,7 +118,7 @@ def test_trace_events_columnar():
     assert np.all(np.diff(cols["clk"]) >= 5)
     # memory init/final events exist and are balanced per address
     init_addrs = {a for a, _ in rec.mem_init}
-    final_addrs = {a for a, _, _ in rec.mem_final}
+    final_addrs = {a for a, _, _, _ in rec.mem_final}
     assert init_addrs == final_addrs
     # write accesses to op_a recorded
     assert cols["a_act"].sum() > 0

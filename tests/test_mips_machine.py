@@ -1,0 +1,44 @@
+import numpy as np
+import pytest
+
+from ziren_tpu.executor.asm import fibonacci_program, simple_program
+from ziren_tpu.machine.debug import debug_constraints, debug_lookups
+from ziren_tpu.machine.mips import execute, mips_machine, prove_program
+
+
+def _setup(program, stdin=None):
+    machine = mips_machine()
+    pk, vk = machine.setup(program)
+    ex, record = execute(program, stdin)
+    return machine, pk, vk, ex, record
+
+
+def test_fibonacci_lookups_balanced():
+    machine, pk, vk, ex, record = _setup(fibonacci_program(5))
+    imbalance, origin = debug_lookups(machine, pk, record)
+    if imbalance:
+        bad = list(imbalance.items())[:8]
+        info = [(k, v, origin[k][:4]) for k, v in bad]
+        raise AssertionError(f"{len(imbalance)} unbalanced lookups, first: {info}")
+
+
+def test_fibonacci_constraints():
+    machine, pk, vk, ex, record = _setup(fibonacci_program(5))
+    assert debug_constraints(machine, pk, record)
+
+
+def test_fibonacci_prove_verify():
+    machine, pk, vk, ex, record = _setup(fibonacci_program(8))
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)
+    # fib(8) committed in the public values digest
+    digest_bytes = proof.shard_proofs[0].public_values[:32]
+    word0 = sum(int(digest_bytes[i]) << (8 * i) for i in range(4))
+    assert word0 == ex.committed_values[0]
+
+
+def test_simple_program_prove_verify():
+    machine, pk, vk, ex, record = _setup(simple_program())
+    # simple_program has no halt; it just falls off the end
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)

@@ -54,10 +54,11 @@ class Executor:
         self.program = program
         self.mode = mode
         self.max_cycles = max_cycles
-        # unified address space: addr -> [value, last_clk]
+        # unified address space: addr -> [value, last_clk, last_shard]
         self.memory: dict[int, list] = {
-            addr: [v & M32, 0] for addr, v in program.image.items()
+            addr: [v & M32, 0, 0] for addr, v in program.image.items()
         }
+        self.shard = 1
         # hint-written values adopted as init values on first access
         # (reference: syscalls/hint.rs writes state.uninitialized_memory)
         self.uninitialized_memory: dict[int, int] = {}
@@ -87,30 +88,38 @@ class Executor:
     def _read(self, addr: int, position: int) -> int:
         rec = self.memory.get(addr)
         if rec is None:
-            rec = [self.uninitialized_memory.get(addr, 0), 0]
+            rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
             self.memory[addr] = rec
         self._touch(addr, rec)
         ts = self.clk + position
-        prev_clk = rec[1]
+        prev_clk, prev_shard = rec[1], rec[2]
         value = rec[0]
         rec[1] = ts
+        rec[2] = self.shard
         if self.mode == "trace":
-            self._accesses[_POS_NAME[position]] = (addr, value, prev_clk, value, False)
+            self._accesses[_POS_NAME[position]] = (
+                addr, value, prev_clk, prev_shard, value, False
+            )
         return value
 
     def _write(self, addr: int, value: int, position: int) -> int:
         value &= M32
+        if addr == 0:
+            value = 0  # register $zero is hard-wired (reference: rw_cpu)
         rec = self.memory.get(addr)
         if rec is None:
-            rec = [self.uninitialized_memory.get(addr, 0), 0]
+            rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
             self.memory[addr] = rec
         self._touch(addr, rec)
         ts = self.clk + position
-        prev_clk, prev_value = rec[1], rec[0]
+        prev_clk, prev_value, prev_shard = rec[1], rec[0], rec[2]
         rec[0] = value
         rec[1] = ts
+        rec[2] = self.shard
         if self.mode == "trace":
-            self._accesses[_POS_NAME[position]] = (addr, prev_value, prev_clk, value, True)
+            self._accesses[_POS_NAME[position]] = (
+                addr, prev_value, prev_clk, prev_shard, value, True
+            )
         return prev_value
 
     def peek_register(self, reg: int) -> int:
@@ -159,7 +168,8 @@ class Executor:
                 raise ExecutionError("division by zero")
             if op in (Opcode.MULT, Opcode.MULTU, Opcode.DIV, Opcode.DIVU):
                 self._write(33, hi, POS_HI)  # HI register
-            prev_a = self._write(instr.op_a, a, POS_A)
+                prev_a = hi  # hi_or_prev_a carries HI for mult/div family
+            self._write(instr.op_a, a, POS_A)
         elif op in BRANCH_OPCODES:
             b, c = self._operands_bc(instr)  # src2, offset
             src1 = self._read(instr.op_a, POS_A)
@@ -187,7 +197,7 @@ class Executor:
                 b = instr.op_b & M32
                 next_next_pc = (b + self.next_pc) & M32
             a = return_pc
-            prev_a = self._write(instr.op_a, return_pc, POS_A)
+            self._write(instr.op_a, return_pc, POS_A)
         elif op in MEM_OPCODES:
             rs_raw = self._read(instr.op_b, POS_B)
             offset = instr.op_c & M32
@@ -241,7 +251,7 @@ class Executor:
         elif op == Opcode.SEXT:
             b, c = self._read(instr.op_b, POS_B), instr.op_c
             a = sign_extend(b & 0xFFFF, 16) if c > 0 else sign_extend(b & 0xFF, 8)
-            prev_a = self._write(instr.op_a, a, POS_A)
+            self._write(instr.op_a, a, POS_A)
         elif op == Opcode.WSBH:
             b = self._read(instr.op_b, POS_B)
             a = (
@@ -250,14 +260,14 @@ class Executor:
                 | ((b & 0xFF) << 8)
                 | ((b >> 8) & 0xFF)
             )
-            prev_a = self._write(instr.op_a, a, POS_A)
+            self._write(instr.op_a, a, POS_A)
         elif op == Opcode.EXT:
             b = self._read(instr.op_b, POS_B)
             c = instr.op_c
             msbd, lsb = c >> 5, c & 0x1F
             mask = M32 if msbd + lsb + 1 == 32 else (1 << (msbd + lsb + 1)) - 1
             a = (b & mask) >> lsb
-            prev_a = self._write(instr.op_a, a, POS_A)
+            self._write(instr.op_a, a, POS_A)
         elif op == Opcode.INS:
             b = self._read(instr.op_b, POS_B)
             c = instr.op_c
@@ -338,7 +348,7 @@ class Executor:
         for addr, init_value in sorted(self.touched.items()):
             rec = self.memory[addr]
             self.record.mem_init.append((addr, init_value))
-            self.record.mem_final.append((addr, rec[1], rec[0]))
+            self.record.mem_final.append((addr, rec[2], rec[1], rec[0]))
         pv = self.record.public_values
         pv.start_pc = self.program.pc_start
         pv.next_pc = self.pc

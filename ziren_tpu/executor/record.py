@@ -66,7 +66,7 @@ CPU_FIELDS = [
     "syscall_code",
 ]
 POSITIONS = ["mem", "c", "b", "a", "hi"]  # timestamp offsets 0..4
-POS_FIELDS = ["act", "addr", "prev_value", "prev_clk", "value", "is_write"]
+POS_FIELDS = ["act", "addr", "prev_value", "prev_clk", "prev_shard", "value", "is_write"]
 
 
 class ExecutionRecord:
@@ -92,11 +92,12 @@ class ExecutionRecord:
                 for f in POS_FIELDS:
                     self.columns[f"{p}_{f}"].append(0)
             else:
-                addr, prev_value, prev_clk, value, is_write = rec
+                addr, prev_value, prev_clk, prev_shard, value, is_write = rec
                 self.columns[f"{p}_act"].append(1)
                 self.columns[f"{p}_addr"].append(addr)
                 self.columns[f"{p}_prev_value"].append(prev_value)
                 self.columns[f"{p}_prev_clk"].append(prev_clk)
+                self.columns[f"{p}_prev_shard"].append(prev_shard)
                 self.columns[f"{p}_value"].append(value)
                 self.columns[f"{p}_is_write"].append(int(is_write))
 

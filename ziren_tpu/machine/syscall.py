@@ -1,0 +1,116 @@
+"""SyscallChip: SYSCALL instruction semantics for the zkVM syscalls
+(HALT / WRITE / COMMIT / HINT_LEN / HINT_READ)
+(reference: crates/core/machine/src/syscall/instructions).
+
+The syscall id is the V0 value read at operand A (prev_a). Hint values are
+deliberately unconstrained witness data; COMMIT binds the public-value
+digest word; HALT pins next_pc = 0 and exit code 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ziren_tpu.executor.opcode import Opcode, SyscallCode
+from ziren_tpu.stark.chip import Air
+from ziren_tpu.stark.lookup import LookupKind
+from .layout import Layout, pad_to_pow2, word_decompose_np
+from .messages import PV_DIGEST, PV_EXIT_CODE, instruction_message
+
+CODES = [
+    ("is_halt", int(SyscallCode.HALT)),
+    ("is_write", int(SyscallCode.WRITE)),
+    ("is_commit", int(SyscallCode.COMMIT)),
+    ("is_hintlen", int(SyscallCode.SYSHINTLEN)),
+    ("is_hintread", int(SyscallCode.SYSHINTREAD)),
+]
+
+COLS = Layout().add("pc").add("next_pc").add("next_next_pc")
+COLS.word("a").word("b").word("c").word("prev_a")
+for nm, _ in CODES:
+    COLS.add(nm)
+COLS.add("commit_word", 8)  # one-hot commit word index
+COLS.add("is_real")
+
+
+class SyscallChip(Air):
+    name = "SyscallInstrs"
+    width = COLS.width
+
+    def _rows(self, record):
+        cols = record.freeze()
+        instrs = record.program.instructions
+        ops = np.array([int(instrs[i].opcode) for i in cols["instr_idx"]], dtype=np.int64)
+        mask = ops == int(Opcode.SYSCALL)
+        return cols, mask
+
+    def generate_trace(self, record, output):
+        cols, mask = self._rows(record)
+        n = int(mask.sum())
+        w = COLS.writer(n)
+        for nm in ("pc", "next_pc", "next_next_pc"):
+            w.set(nm, cols[nm][mask])
+        for nm in ("a", "b", "c", "prev_a"):
+            w.set_word(nm, cols[nm][mask])
+        sid = cols["prev_a"][mask]
+        for nm, code in CODES:
+            w.set(nm, (sid == code).astype(np.uint32))
+        cw = np.zeros((n, 8), dtype=np.uint32)
+        commit_mask = sid == int(SyscallCode.COMMIT)
+        widx = cols["b"][mask]
+        for r in np.nonzero(commit_mask)[0]:
+            cw[r, int(widx[r])] = 1
+        w.set("commit_word", cw)
+        w.set("is_real", np.ones(n))
+        return pad_to_pow2(w.mat)
+
+    def eval(self, b):
+        L = COLS.view(b.main_local)
+        pv = b.public_values
+        is_real = L["is_real"]
+        b.assert_bool(is_real)
+        flags = [L[nm] for nm, _ in CODES]
+        acc = 0
+        for f in flags:
+            b.assert_bool(f)
+            acc = f + acc
+        b.assert_eq(acc, is_real)
+        # syscall id binding: prev_a = one-hot combination of known codes
+        prev_a = L.word("prev_a")
+        code_b0 = sum(f * (code & 0xFF) for f, (_, code) in zip(flags, CODES))
+        b.assert_eq(prev_a[0], code_b0)
+        for i in range(1, 4):
+            b.assert_zero(prev_a[i])
+
+        is_halt = L["is_halt"]
+        b.receive(
+            LookupKind.Instruction,
+            instruction_message(
+                0, 0, L["pc"], L["next_pc"], L["next_next_pc"], int(Opcode.SYSCALL),
+                L.word("a"), L.word("b"), L.word("c"), prev_a,
+                0, is_real, 0, is_halt, is_real,  # rw_a=1, sequential=1
+            ),
+            is_real,
+        )
+
+        # HALT: next_pc = 0, exit code (A0 = b) must be 0
+        b.when(is_halt).assert_zero(L["next_pc"])
+        for i in range(4):
+            b.when(is_halt).assert_zero(L.word("b")[i])
+        b.when(is_halt).assert_zero(pv[PV_EXIT_CODE])
+
+        # COMMIT: bind pv.committed_value_digest[word_idx] to c
+        cw = L["commit_word"]
+        acc_cw = 0
+        for i in range(8):
+            b.assert_bool(cw[i])
+            acc_cw = cw[i] + acc_cw
+        b.assert_eq(acc_cw, L["is_commit"])
+        widx = sum(cw[i] * i for i in range(1, 8))
+        bw = L.word("b")
+        b.when(L["is_commit"]).assert_eq(bw[0], widx)
+        for i in range(1, 4):
+            b.when(L["is_commit"]).assert_zero(bw[i])
+        for i in range(8):
+            for j in range(4):
+                b.assert_zero(cw[i] * (pv[PV_DIGEST + 4 * i + j] - L.word("c")[j]))

@@ -228,7 +228,9 @@ class SymbolicFolder(_Builder):
         self.public_values = [DV(self, 0) for _ in range(num_public_values)]
         self.is_first_row = one()
         self.is_last_row = one()
-        self.is_transition = one()
+        # is_transition is a degree-1 polynomial (x - g^{-1}), which is ~0 in
+        # units of trace-degree multiples (p3 SymbolicExpression semantics)
+        self.is_transition = DV(self, 0)
         self.num_constraints = 0
         self.max_degree = 0
 

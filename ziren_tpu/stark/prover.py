@@ -33,12 +33,22 @@ def prove_shard(machine, pk, record, challenger):
     pcs = config.pcs
 
     chips = [c for c in machine.chips if c.air.included(record)]
+    # dependencies pass: chips register byte-lookup multiplicities etc.
+    # (reference: machine.rs generate_dependencies) — exactly once per record
+    if not getattr(record, "_deps_done", False):
+        for c in chips:
+            c.air.generate_dependencies(record, record)
+        try:
+            record._deps_done = True
+        except AttributeError:
+            pass
     named_traces = [(c, c.air.generate_trace(record, record)) for c in chips]
     # sort by height desc, stable (reference: prover.rs commit: sort by height)
     named_traces.sort(key=lambda t: -t[1].shape[0])
     chips = [c for c, _ in named_traces]
     traces = [t for _, t in named_traces]
-    public_values = list(record.public_values)
+    pv = record.public_values
+    public_values = pv.to_list() if hasattr(pv, "to_list") else list(pv)
 
     trace_domains = [pcs.natural_domain_for_degree(t.shape[0]) for t in traces]
     main_commit, main_data = pcs.commit(list(zip(trace_domains, traces)))
