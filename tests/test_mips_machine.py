@@ -42,3 +42,27 @@ def test_simple_program_prove_verify():
     # simple_program has no halt; it just falls off the end
     proof = machine.prove(pk, [record])
     assert machine.verify(vk, proof)
+
+
+def test_alu_torture_prove_verify():
+    from ziren_tpu.executor.asm import alu_torture_program
+
+    machine, pk, vk, ex, record = _setup(alu_torture_program())
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)
+
+
+def test_alu_torture2_prove_verify():
+    from ziren_tpu.executor.asm import alu_torture2_program
+
+    machine, pk, vk, ex, record = _setup(alu_torture2_program())
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)
+
+
+def test_memory_program_prove_verify():
+    from ziren_tpu.executor.asm import memory_program
+
+    machine, pk, vk, ex, record = _setup(memory_program())
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)

@@ -91,3 +91,67 @@ def memory_program() -> Program:
             *halt_sequence(0),
         ]
     )
+
+
+def alu_torture_program() -> Program:
+    """Exercises MUL/MULT/MULTU/CLZ/CLO/SEXT/WSBH/MOVZ/MOVN/SLT and shifts."""
+    return Program.new(
+        [
+            imm(O.ADD, 8, 0, 0x1234),
+            imm(O.SLL, 8, 0x1234, 16),  # t0 = 0x12340000 (LUI)
+            ri(O.OR, 8, 8, 0x5678),  # t0 = 0x12345678 (ORI)
+            imm(O.ADD, 9, 0, 0xFFFF),
+            ri(O.SLL, 9, 9, 16),
+            ri(O.SRA, 10, 9, 4),  # sign-propagating shift
+            ri(O.ROR, 11, 8, 8),
+            rr(O.MUL, 12, 8, 9),  # low product
+            rr(O.MULT, 32, 8, 9),  # (hi, lo) signed
+            imm(O.ADD, 13, 0, 0),
+            rr(O.ADD, 13, 13, 33),  # t5 = HI (MFHI)
+            rr(O.MULTU, 32, 8, 9),  # (hi, lo) unsigned
+            rr(O.ADD, 14, 0, 33),  # MFHI
+            ri(O.CLZ, 15, 8, 0),
+            ri(O.CLO, 16, 9, 0),
+            ri(O.SEXT, 17, 8, 0),  # SEB
+            ri(O.SEXT, 18, 8, 1),  # SEH
+            ri(O.WSBH, 19, 8, 0),
+            rr(O.MEQ, 20, 8, 0),  # MOVZ: r20 = r8 if r0 == 0 (true)
+            rr(O.MNE, 21, 8, 9),  # MOVN: r21 = r8 if r9 != 0 (true)
+            rr(O.SLT, 22, 9, 8),  # signed: r9 < r8 (r9 negative)
+            rr(O.SLTU, 23, 9, 8),  # unsigned: r9 > r8 -> 0
+            *halt_sequence(0),
+        ]
+    )
+
+
+def alu_torture2_program() -> Program:
+    """DIV/DIVU/MOD/MODU/MADD/MSUB/MADDU/MSUBU/EXT/INS/TEQ."""
+    return Program.new(
+        [
+            imm(O.ADD, 8, 0, 1000),
+            imm(O.ADD, 9, 0, 7),
+            imm(O.SUB, 10, 0, 1000),  # -1000
+            rr(O.DIV, 32, 10, 9),  # lo = -142, hi = -6
+            rr(O.ADD, 11, 0, 32),  # MFLO
+            rr(O.ADD, 12, 0, 33),  # MFHI
+            rr(O.DIVU, 32, 8, 9),  # 142, 6
+            rr(O.ADD, 13, 0, 32),
+            rr(O.MOD, 14, 10, 9),  # -6
+            rr(O.MODU, 15, 8, 9),  # 6
+            # MADD/MSUB accumulate into (HI, LO)
+            rr(O.MULT, 32, 8, 9),  # acc = 7000
+            rr(O.MADD, 32, 8, 9),  # acc = 14000
+            rr(O.MSUB, 32, 9, 9),  # acc = 13951
+            rr(O.MADDU, 32, 8, 8),  # acc += 1000000
+            rr(O.ADD, 16, 0, 32),
+            # EXT/INS
+            imm(O.SLL, 17, 0x1234, 16),
+            ri(O.OR, 17, 17, 0x5678),  # r17 = 0x12345678
+            ri(O.EXT, 18, 17, (7 << 5) | 8),  # extract bits 8..15 -> 0x56
+            ri(O.ADD, 19, 17, 0),
+            ri(O.INS, 19, 9, (15 << 5) | 8),  # insert r9 low 8.. bits 8..15
+            # TEQ (not equal -> no trap)
+            ri(O.TEQ, 8, 9, 0),
+            *halt_sequence(0),
+        ]
+    )

@@ -111,6 +111,9 @@ class ByteOpcode(IntEnum):
     MSB = 7
     U16Range = 8
     NOR = 9
+    # extension beyond the reference's 10 ops: per-byte count-leading-zeros
+    # (used by CloClzChip; the reference uses bit decomposition instead)
+    CLZ8 = 10
 
 
 class SyscallCode(IntEnum):

@@ -80,6 +80,7 @@ class ExecutionRecord:
         self.mem_init: list = []  # (addr, value) at first touch
         self.mem_final: list = []  # (addr, clk, value) at shard end
         self.byte_counts: dict = {}  # (op, b, c) -> multiplicity
+        self.synthetic: dict = {}  # opcode -> [(a, b, c, hi)] sub-operations
         self._frozen = None
 
     def append_cycle(self, **fields):

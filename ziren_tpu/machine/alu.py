@@ -13,6 +13,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, send_byte
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .messages import instruction_message
+from .synthetic import merged_rows
 
 
 def _passthrough_layout() -> Layout:
@@ -28,23 +29,14 @@ def _passthrough_layout() -> Layout:
     )
 
 
-def _select_rows(record, opcodes):
-    cols = record.freeze()
-    instrs = record.program.instructions
-    ops = np.array([int(instrs[i].opcode) for i in cols["instr_idx"]], dtype=np.int64)
-    mask = np.isin(ops, [int(o) for o in opcodes])
-    return cols, mask, ops
-
-
-def _fill_passthrough(w, cols, mask):
-    sel = lambda name: cols[name][mask]
-    w.set("pc", sel("pc"))
-    w.set("next_pc", sel("next_pc"))
-    w.set("next_next_pc", sel("next_next_pc"))
-    w.set_word("a", sel("a"))
-    w.set_word("b", sel("b"))
-    w.set_word("c", sel("c"))
-    w.set("is_real", np.ones(int(mask.sum())))
+def _fill_passthrough(w, rows):
+    w.set("pc", rows["pc"])
+    w.set("next_pc", rows["next_pc"])
+    w.set("next_next_pc", rows["next_next_pc"])
+    w.set_word("a", rows["a"])
+    w.set_word("b", rows["b"])
+    w.set_word("c", rows["c"])
+    w.set("is_real", np.ones(len(rows["pc"])))
 
 
 def _recv_alu(b, L, opcode_expr):
@@ -66,21 +58,16 @@ class AddSubChip(Air):
     COLS = _passthrough_layout().add("is_add").add("is_sub").add("carry", 4)
     width = COLS.width
 
-    def generate_dependencies(self, record, output):
-        cols, mask, _ = _select_rows(record, (Opcode.ADD, Opcode.SUB))
-        # no byte lookups beyond CPU's a-value check: the adder output is
-        # `a` for ADD (checked by CPU) and `b` for SUB (from the multiset)
-
     def generate_trace(self, record, output):
-        cols, mask, ops = _select_rows(record, (Opcode.ADD, Opcode.SUB))
-        n = int(mask.sum())
+        rows, _ = merged_rows(record, (Opcode.ADD, Opcode.SUB))
+        n = len(rows["pc"])
         w = self.COLS.writer(n)
-        _fill_passthrough(w, cols, mask)
-        is_add = (ops[mask] == int(Opcode.ADD)).astype(np.uint32)
+        _fill_passthrough(w, rows)
+        is_add = (rows["opcode"] == int(Opcode.ADD)).astype(np.uint32)
         w.set("is_add", is_add)
         w.set("is_sub", 1 - is_add)
         # carries of (in1 + c) = out where in1 = add? b : a, out = add? a : b
-        a, bb, c = cols["a"][mask], cols["b"][mask], cols["c"][mask]
+        a, bb, c = rows["a"], rows["b"], rows["c"]
         in1 = np.where(is_add == 1, bb, a)
         out = np.where(is_add == 1, a, bb)
         in1b, cb, outb = (word_decompose_np(x) for x in (in1, c, out))
@@ -125,22 +112,21 @@ class BitwiseChip(Air):
     }
 
     def generate_dependencies(self, record, output):
-        cols, mask, ops = _select_rows(record, self.OPS)
-        a = word_decompose_np(cols["a"][mask])
-        bb = word_decompose_np(cols["b"][mask])
-        c = word_decompose_np(cols["c"][mask])
-        opm = ops[mask]
+        rows, _ = merged_rows(record, self.OPS)
+        bb = word_decompose_np(rows["b"])
+        c = word_decompose_np(rows["c"])
+        opm = rows["opcode"]
         for op in self.OPS:
             sub = opm == int(op)
             for i in range(4):
                 count(record, self._BYTE_OP[op], bb[sub, i], c[sub, i])
 
     def generate_trace(self, record, output):
-        cols, mask, ops = _select_rows(record, self.OPS)
-        n = int(mask.sum())
+        rows, _ = merged_rows(record, self.OPS)
+        n = len(rows["pc"])
         w = self.COLS.writer(n)
-        _fill_passthrough(w, cols, mask)
-        opm = ops[mask]
+        _fill_passthrough(w, rows)
+        opm = rows["opcode"]
         for op, nm in zip(self.OPS, ("is_and", "is_or", "is_xor", "is_nor")):
             w.set(nm, (opm == int(op)).astype(np.uint32))
         return pad_to_pow2(w.mat)
@@ -187,12 +173,11 @@ class LtChip(Air):
     width = COLS.width
 
     def generate_dependencies(self, record, output):
-        cols, mask, ops = _select_rows(record, self.OPS)
-        bb = word_decompose_np(cols["b"][mask])
-        cc = word_decompose_np(cols["c"][mask])
-        opm = ops[mask]
+        rows, _ = merged_rows(record, self.OPS)
+        bb = word_decompose_np(rows["b"])
+        cc = word_decompose_np(rows["c"])
+        opm = rows["opcode"]
         is_slt = (opm == int(Opcode.SLT)).astype(np.int64)
-        n = int(mask.sum())
         cmp_b, cmp_c, _, _, _ = self._cmp_bytes(bb, cc)
         count(record, B.LTU, cmp_b, cmp_c)
         count(record, B.MSB, bb[:, 3], 0, is_slt)
@@ -216,16 +201,16 @@ class LtChip(Air):
         return cmp_b, cmp_c, diff_flag, all_eq, None
 
     def generate_trace(self, record, output):
-        cols, mask, ops = _select_rows(record, self.OPS)
-        n = int(mask.sum())
+        rows, _ = merged_rows(record, self.OPS)
+        n = len(rows["pc"])
         w = self.COLS.writer(n)
-        _fill_passthrough(w, cols, mask)
-        opm = ops[mask]
+        _fill_passthrough(w, rows)
+        opm = rows["opcode"]
         is_slt = (opm == int(Opcode.SLT)).astype(np.uint32)
         w.set("is_slt", is_slt)
         w.set("is_sltu", 1 - is_slt)
-        bb = word_decompose_np(cols["b"][mask])
-        cc = word_decompose_np(cols["c"][mask])
+        bb = word_decompose_np(rows["b"])
+        cc = word_decompose_np(rows["c"])
         cmp_b, cmp_c, diff_flag, all_eq, _ = self._cmp_bytes(bb, cc)
         w.set("diff_flag", diff_flag)
         w.set("all_eq", all_eq)
@@ -265,10 +250,11 @@ class LtChip(Air):
         for i in range(4):
             b.when(flags[i]).assert_eq(L["cmp_b"], bw[i])
             b.when(flags[i]).assert_eq(L["cmp_c"], c[i])
-        # bytes above the differing byte must be equal
+        # bytes above the differing byte must be equal (byte i is equal when
+        # all bytes are equal or the most significant differing byte is below)
         for i in range(4):
             eq_needed = all_eq
-            for j in range(i + 1, 4):
+            for j in range(i):
                 eq_needed = eq_needed + flags[j]
             b.when(eq_needed).assert_eq(bw[i], c[i])
         b.when(all_eq).assert_eq(L["cmp_b"], L["cmp_c"])

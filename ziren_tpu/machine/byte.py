@@ -36,10 +36,11 @@ PREP = (
     .add("sll")
     .add("shr")
     .add("shr_carry")
+    .add("clz")
 )
 
 # main trace: one multiplicity column per op
-OPS = ["and", "or", "xor", "nor", "ltu", "msb", "u8pair", "u16", "sll", "shr_carry"]
+OPS = ["and", "or", "xor", "nor", "ltu", "msb", "u8pair", "u16", "sll", "shr_carry", "clz8"]
 MAIN = Layout()
 for _op in OPS:
     MAIN.add(f"mult_{_op}")
@@ -55,6 +56,7 @@ _OP_IDS = {
     "u16": B.U16Range,
     "sll": B.SLL,
     "shr_carry": B.ShrCarry,
+    "clz8": B.CLZ8,
 }
 
 
@@ -82,6 +84,7 @@ class ByteChip(Air):
         w.set("sll", (b << sh) & 0xFF)
         w.set("shr", b >> sh)
         w.set("shr_carry", (b & ((1 << sh) - 1)).astype(np.uint32))
+        w.set("clz", np.array([8 - int(x).bit_length() for x in b], dtype=np.uint32))
         return w.mat
 
     def generate_trace(self, record, output):
@@ -108,6 +111,7 @@ class ByteChip(Air):
         recv(B.U16Range, [prep["u16"], 0, 0], main["mult_u16"])
         recv(B.SLL, [x, y, prep["sll"]], main["mult_sll"])
         recv(B.ShrCarry, [x, y, prep["shr"] * 256 + prep["shr_carry"]], main["mult_shr_carry"])
+        recv(B.CLZ8, [x, 0, prep["clz"]], main["mult_clz8"])
 
 
 # ---------------------------------------------------------------------------

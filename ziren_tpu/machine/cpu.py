@@ -72,7 +72,7 @@ _RW_A_OPS = (
      Opcode.MEQ, Opcode.MNE}
     | MEM_OPCODES
 )
-_IMMUTABLE_OPS = BRANCH_OPCODES | STORE_OPCODES | {Opcode.TEQ}
+_IMMUTABLE_OPS = BRANCH_OPCODES | (STORE_OPCODES - {Opcode.SC}) | {Opcode.TEQ}
 
 
 class CpuChip(Air):
@@ -126,7 +126,12 @@ class CpuChip(Air):
         ops = [instrs[i].opcode for i in idx]
         w.set("op_a_immutable", np.array([int(o in _IMMUTABLE_OPS) for o in ops]))
         w.set("is_rw_a", np.array([int(o in _RW_A_OPS) for o in ops]))
-        w.set("is_check_memory", np.zeros(n))
+        _CHK = MEM_OPCODES | {
+            Opcode.MULT, Opcode.MULTU, Opcode.DIV, Opcode.DIVU,
+            Opcode.MADD, Opcode.MADDU, Opcode.MSUB, Opcode.MSUBU,
+        }
+        is_chk = np.array([int(o in _CHK) for o in ops])
+        w.set("is_check_memory", is_chk)
         is_halt = (np.asarray(cols["syscall_code"]) == 0) & (
             np.array([int(o == Opcode.SYSCALL) for o in ops]) == 1
         )
@@ -134,8 +139,8 @@ class CpuChip(Air):
         w.set("is_sequential", np.array(
             [int(o not in BRANCH_OPCODES and o not in JUMP_OPCODES) for o in ops]
         ))
-        w.set("shard_to_send", np.zeros(n))
-        w.set("clk_to_send", np.zeros(n))
+        w.set("shard_to_send", is_chk)  # shard == 1
+        w.set("clk_to_send", is_chk * cols["clk"])
         w.set_word("a", cols["a"])
         w.set_word("prev_a", cols["prev_a"])
         w.set_word("b", cols["b"])

@@ -17,6 +17,8 @@ def generate_all_traces(machine, pk, record):
     chips = [c for c in machine.chips if c.air.included(record)]
     if not getattr(record, "_deps_done", False):
         for c in chips:
+            c.air.emit_synthetic(record)
+        for c in chips:
             c.air.generate_dependencies(record, record)
         record._deps_done = True
     return [(c, c.air.generate_trace(record, record)) for c in chips]

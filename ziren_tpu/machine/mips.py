@@ -16,7 +16,14 @@ from .alu import AddSubChip, BitwiseChip, LtChip
 from .branch import BranchChip
 from .byte import ByteChip
 from .cpu import CpuChip
+from .jump import JumpChip
 from .memory_global import MemoryFinalChip, MemoryInitChip
+from .memory_instr import MemoryInstructionsChip
+from .divrem import DivRemChip
+from .maddsub import MaddSubChip
+from .misc import CloClzChip, MiscChip, MovCondChip
+from .mul import MulChip
+from .shift import ShiftLeftChip, ShiftRightChip
 from .program import ProgramChip
 from .syscall import SyscallChip
 
@@ -28,7 +35,17 @@ def mips_airs():
         AddSubChip(),
         BitwiseChip(),
         LtChip(),
+        MulChip(),
+        DivRemChip(),
+        MaddSubChip(),
+        CloClzChip(),
+        MiscChip(),
+        MovCondChip(),
+        ShiftLeftChip(),
+        ShiftRightChip(),
         BranchChip(),
+        JumpChip(),
+        MemoryInstructionsChip(),
         SyscallChip(),
         ByteChip(),
         MemoryInitChip(),

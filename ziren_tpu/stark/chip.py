@@ -46,6 +46,11 @@ class Air:
     def generate_dependencies(self, record, output):
         pass
 
+    def emit_synthetic(self, record):
+        """Emit synthetic ALU sub-operations into record.synthetic
+        (reference: send_alu with UNUSED_PC, stark/src/air/builder.rs:282)."""
+        pass
+
     def included(self, record) -> bool:
         return True
 

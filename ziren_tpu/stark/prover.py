@@ -37,6 +37,8 @@ def prove_shard(machine, pk, record, challenger):
     # (reference: machine.rs generate_dependencies) — exactly once per record
     if not getattr(record, "_deps_done", False):
         for c in chips:
+            c.air.emit_synthetic(record)
+        for c in chips:
             c.air.generate_dependencies(record, record)
         try:
             record._deps_done = True
