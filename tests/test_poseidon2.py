@@ -15,7 +15,7 @@ def _external_matrix():
     for col in range(16):
         e = np.zeros(16, dtype=np.uint32)
         e[col] = 1
-        m[:, col] = p2._external_linear_layer(e).astype(object)
+        m[:, col] = p2._external_linear_layer(e.astype(np.uint64)).astype(object)
     return m
 
 
@@ -25,7 +25,7 @@ def test_external_layer_is_linear_and_matches_m4_circulant():
     rng = np.random.default_rng(1)
     x = rng.integers(0, P, size=16, dtype=np.uint32)
     expect = (m @ x.astype(object)) % P
-    got = p2._external_linear_layer(x).astype(object)
+    got = p2._external_linear_layer(x.astype(np.uint64)).astype(object)
     assert np.all(expect == got)
     # Structure check: 4x4 blocks; diagonal blocks are 2*M4, off-diagonal M4
     # with M4 = [[2,3,1,1],[1,2,3,1],[1,1,2,3],[3,1,1,2]].

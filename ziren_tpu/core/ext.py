@@ -128,14 +128,29 @@ def esum(a, axis=0):
     return (t % np.uint64(F.P_INT)).astype(np.uint32)
 
 
+_POWERS_CACHE: dict = {}
+
+
 def epowers(base, n: int) -> np.ndarray:
-    """[1, base, ..., base^(n-1)], shape (n, 4)."""
-    out = np.empty((n, 4), dtype=np.uint32)
-    acc = eone()
-    for i in range(n):
-        out[i] = acc
-        acc = emul(acc, base)
-    return out
+    """[1, base, ..., base^(n-1)], shape (n, 4). Cached per base and grown
+    by doubling (hot in the prover: alpha powers per chip / per opening)."""
+    key = bytes(np.asarray(base, np.uint32).tobytes())
+    cached = _POWERS_CACHE.get(key)
+    if cached is None or cached.shape[0] < n:
+        m = max(16, 1 << (max(n, 1) - 1).bit_length())
+        out = np.empty((m, 4), dtype=np.uint32)
+        out[0] = eone()
+        k = 1  # length of the valid prefix
+        while k < m:
+            step = emul(out[k - 1], np.asarray(base, np.uint32))  # base^k
+            take = min(k, m - k)
+            out[k : k + take] = emul(out[:take], step[None, :])
+            k += take
+        if len(_POWERS_CACHE) > 64:
+            _POWERS_CACHE.clear()
+        _POWERS_CACHE[key] = out
+        cached = out
+    return cached[:n].copy()
 
 
 def as_base_slice(a) -> list:

@@ -64,65 +64,68 @@ INTERNAL_DIAG = np.array(
 RC = np.array(RC_16_30, dtype=np.uint32)  # (30, 16)
 
 
-def _external_linear_layer(state: np.ndarray) -> np.ndarray:
-    """Apply M_E: blockwise M4 then add block-position sums. state (..., 16)."""
-    x = state.astype(np.uint64)
-    out = np.empty_like(x)
-    for j in range(0, WIDTH, 4):
-        x0, x1, x2, x3 = x[..., j], x[..., j + 1], x[..., j + 2], x[..., j + 3]
-        t01 = x0 + x1
-        t23 = x2 + x3
-        t0123 = t01 + t23
-        t01123 = t0123 + x1
-        t01233 = t0123 + x3
-        out[..., j + 3] = (t01233 + 2 * x0) % P
-        out[..., j + 1] = (t01123 + 2 * x2) % P
-        out[..., j + 0] = (t01123 + t01) % P
-        out[..., j + 2] = (t01233 + t23) % P
-    # per-position-in-block sums: s[k] = sum over blocks of out[..., 4*b+k]
-    s = np.zeros(x.shape[:-1] + (4,), dtype=np.uint64)
-    for k in range(4):
-        s[..., k] = (out[..., k] + out[..., k + 4] + out[..., k + 8] + out[..., k + 12]) % P
-    for j in range(WIDTH):
-        out[..., j] = (out[..., j] + s[..., j % 4]) % P
-    return out.astype(np.uint32)
+def _build_external_matrix() -> np.ndarray:
+    """The 16x16 M_E matrix: diagonal blocks 2*M4, off-diagonal M4."""
+    m4 = np.array(
+        [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]], dtype=np.float64
+    )
+    m = np.zeros((16, 16), dtype=np.float64)
+    for bi in range(4):
+        for bj in range(4):
+            m[bi * 4 : bi * 4 + 4, bj * 4 : bj * 4 + 4] = (
+                2 * m4 if bi == bj else m4
+            )
+    return m.T  # row-vector convention: out = x @ M^T
+
+
+_M_EXT_T = _build_external_matrix()
+
+
+def _external_linear_layer(x: np.ndarray) -> np.ndarray:
+    """M_E as an exact float64 BLAS matmul: inputs < 2^31, matrix entries
+    <= 6, dot sums < 2^38 < 2^53 so float64 is exact; reduce mod p after."""
+    out = x.astype(np.float64) @ _M_EXT_T
+    out = out.astype(np.uint64)
+    out %= P
+    return out
+
+
+def _sbox64(x: np.ndarray) -> np.ndarray:
+    """x^3 mod p; input < 2^32 (unreduced sums are fine), output < p."""
+    x2 = (x * x) % P
+    x2 *= x
+    x2 %= P
+    return x2
 
 
 def _sbox(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64)
-    x2 = (x * x) % P
-    return ((x2 * x) % P).astype(np.uint32)
+    return _sbox64(x.astype(np.uint64)).astype(np.uint32)
+
+
+_RC64 = RC.astype(np.uint64)
+_DIAG64 = INTERNAL_DIAG.astype(np.uint64)
 
 
 def permute(state: np.ndarray) -> np.ndarray:
     """Poseidon2 permutation; state shape (..., 16) canonical uint32."""
     state = np.asarray(state, dtype=np.uint32)
     assert state.shape[-1] == WIDTH
-    state = _external_linear_layer(state)
+    x = _external_linear_layer(state.astype(np.uint64))
     # initial external rounds (RC rows 0..3)
     for r in range(NUM_EXTERNAL_ROUNDS // 2):
-        state = F.fadd(state, RC[r])
-        state = _sbox(state)
-        state = _external_linear_layer(state)
+        x = _external_linear_layer(_sbox64(x + _RC64[r]))
     # internal rounds (RC rows 4..16, element 0)
     for r in range(NUM_INTERNAL_ROUNDS):
-        s0 = F.fadd(state[..., 0], RC[4 + r][0])
-        s0 = _sbox(s0)
-        state = state.copy()
-        state[..., 0] = s0
+        x[..., 0] = _sbox64(x[..., 0] + _RC64[4 + r][0])
         # matmul_internal: state[i] = diag[i]*state[i] + sum(state)
-        total = np.sum(state.astype(np.uint64), axis=-1) % P
-        state = (
-            (state.astype(np.uint64) * INTERNAL_DIAG.astype(np.uint64)) % P
-            + total[..., None]
-        ) % P
-        state = state.astype(np.uint32)
+        total = np.sum(x, axis=-1)  # < 16 * 2^31 = 2^35
+        x = (x * _DIAG64) % P  # products < 2^62
+        x += total[..., None]
+        x %= P
     # terminal external rounds (RC rows 17..20)
     for r in range(NUM_EXTERNAL_ROUNDS // 2):
-        state = F.fadd(state, RC[17 + r])
-        state = _sbox(state)
-        state = _external_linear_layer(state)
-    return state
+        x = _external_linear_layer(_sbox64(x + _RC64[17 + r]))
+    return x.astype(np.uint32)
 
 
 def hash_iter(inputs) -> np.ndarray:

@@ -77,6 +77,27 @@ def _bit_reverse_rows(m: np.ndarray) -> np.ndarray:
     return m[F.bit_reverse_indices(n.bit_length() - 1)]
 
 
+def _mod_matmul_base_ext(mat: np.ndarray, ext_vec: np.ndarray) -> np.ndarray:
+    """(n, w) base @ (w, 4) ext -> (n, 4), via 16-bit limb split (exact in
+    uint64 for w <= 2^22)."""
+    a = mat.astype(np.uint64)
+    v = ext_vec.astype(np.uint64)
+    p = np.uint64(F.P_INT)
+    a_lo, a_hi = a & np.uint64(0xFFFF), a >> np.uint64(16)
+    v_lo, v_hi = v & np.uint64(0xFFFF), v >> np.uint64(16)
+    s00 = a_lo @ v_lo
+    s01 = a_lo @ v_hi
+    s10 = a_hi @ v_lo
+    s11 = a_hi @ v_hi
+    out = (
+        s00 % p
+        + (((s01 % p) << np.uint64(16)) % p)
+        + (((s10 % p) << np.uint64(16)) % p)
+        + (((s11 % p) << np.uint64(32)) % p)
+    ) % p
+    return out.astype(np.uint32)
+
+
 class TwoAdicFriPcs:
     def __init__(self, fri: FriConfig):
         self.fri = fri
@@ -154,14 +175,11 @@ class TwoAdicFriPcs:
                     )
                     inv_zmx = E.einv(zmx)
                     alpha_pows = E.epowers(alpha, cnt[l] + w)[cnt[l] :]  # (w,4)
-                    # sum_c alpha^{cnt+c} (y_c - m_c(x))
-                    acc = E.ezero((1 << l,))
-                    for c in range(w):
-                        diff = E.esub(
-                            np.broadcast_to(ys[c], (1 << l, 4)),
-                            E.from_base(lde[:, c]),
-                        )
-                        acc = E.eadd(acc, E.emul(diff, np.broadcast_to(alpha_pows[c], (1 << l, 4))))
+                    # sum_c alpha^{cnt+c} (y_c - m_c(x)) =
+                    #   (sum_c alpha^c y_c) - lde @ alpha_pows  (mod-matmul)
+                    y_term = E.esum(E.emul(alpha_pows, ys), axis=0)  # (4,)
+                    m_term = _mod_matmul_base_ext(lde, alpha_pows)  # (n, 4)
+                    acc = E.esub(np.broadcast_to(y_term, (1 << l, 4)), m_term)
                     ro[l] = E.eadd(ro[l], E.emul(acc, inv_zmx))
                     cnt[l] += w
         # FRI commit phase on bit-reversed reduced openings
