@@ -1,0 +1,489 @@
+// MIPS32r2 executor hot loop (native path).
+//
+// Mirrors ziren_tpu/executor/executor.py (the semantic oracle) exactly:
+// delay-slot pc model, clk += 5 per cycle, access positions Memory=0 C=1
+// B=2 A=3 HI=4, unified register/memory address space, first-touch init
+// tracking. Emits the same columnar event stream (SoA) consumed by chip
+// trace generation. (reference: crates/core/executor/src/executor.rs —
+// re-designed, not translated: columnar events, C ABI for ctypes.)
+//
+// Build: g++ -O2 -shared -fPIC -o libziren_executor.so executor.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+#include <string>
+
+namespace {
+
+constexpr uint32_t M32 = 0xFFFFFFFFu;
+
+enum Opcode : uint32_t {
+  ADD = 0, SUB = 1, MUL = 2, MULT = 3, MULTU = 4, DIV = 5, DIVU = 6,
+  MOD = 7, MODU = 8, SLL = 9, SRL = 10, SRA = 11, ROR = 12, SLT = 13,
+  SLTU = 14, AND_ = 15, OR_ = 16, XOR_ = 17, NOR_ = 18, CLZ = 19, CLO = 20,
+  BEQ = 21, BGEZ = 22, BGTZ = 23, BLEZ = 24, BLTZ = 25, BNE = 26,
+  Jump = 27, Jumpi = 28, JumpDirect = 29, SYSCALL = 30,
+  LB = 31, LBU = 32, LH = 33, LHU = 34, LW = 35, LWL = 36, LWR = 37,
+  LL = 38, SB = 39, SH = 40, SW = 41, SWL = 42, SWR = 43, SC = 44,
+  INS = 45, MADDU = 46, MSUBU = 47, MADD = 48, MSUB = 49, MEQ = 50,
+  MNE = 51, WSBH = 52, EXT = 53, TEQ = 54, SEXT = 55, UNIMPL = 0xFF,
+};
+
+struct Instr {
+  uint32_t opcode, op_a, op_b, op_c;
+  uint8_t imm_b, imm_c;
+};
+
+struct MemRec {
+  uint32_t value;
+  uint32_t clk;
+  uint32_t shard;
+};
+
+struct Access {
+  uint8_t act;
+  uint32_t addr, prev_value, prev_clk, prev_shard, value;
+  uint8_t is_write;
+};
+
+constexpr int POS_MEMORY = 0, POS_C = 1, POS_B = 2, POS_A = 3, POS_HI = 4;
+
+struct CycleEvent {
+  uint32_t clk, pc, next_pc, next_next_pc, instr_idx;
+  uint32_t a, b, c, prev_a, exit_code, syscall_code;
+  Access acc[5];  // mem, c, b, a, hi
+};
+
+struct Executor {
+  std::vector<Instr> instructions;
+  uint32_t pc_start = 0, pc_base = 0;
+  std::unordered_map<uint32_t, MemRec> memory;
+  std::unordered_map<uint32_t, uint32_t> uninit;
+  std::unordered_map<uint32_t, uint32_t> touched;  // addr -> init value
+  std::vector<uint32_t> touch_order;
+  std::vector<std::string> input_stream;
+  size_t input_ptr = 0;
+  std::vector<uint32_t> committed;
+  std::string stdout_buf;
+  std::vector<CycleEvent> events;
+  bool trace = true;
+  uint32_t pc = 0, next_pc = 0, clk = 0, shard = 1;
+  uint64_t global_clk = 0, max_cycles = 0;
+  bool exited = false;
+  uint32_t exit_code = 0;
+  std::string error;
+  Access cur_acc[5];
+
+  MemRec& lookup(uint32_t addr) {
+    auto it = memory.find(addr);
+    if (it == memory.end()) {
+      uint32_t init = 0;
+      auto u = uninit.find(addr);
+      if (u != uninit.end()) init = u->second;
+      it = memory.emplace(addr, MemRec{init, 0, 0}).first;
+    }
+    if (touched.find(addr) == touched.end()) {
+      touched.emplace(addr, it->second.value);
+      touch_order.push_back(addr);
+    }
+    return it->second;
+  }
+
+  uint32_t read(uint32_t addr, int pos) {
+    MemRec& r = lookup(addr);
+    uint32_t ts = clk + pos;
+    if (trace)
+      cur_acc[pos] = {1, addr, r.value, r.clk, r.shard, r.value, 0};
+    uint32_t v = r.value;
+    r.clk = ts;
+    r.shard = shard;
+    return v;
+  }
+
+  uint32_t write(uint32_t addr, uint32_t value, int pos) {
+    if (addr == 0) value = 0;  // hard-wired $zero
+    MemRec& r = lookup(addr);
+    uint32_t ts = clk + pos;
+    uint32_t prev = r.value;
+    if (trace)
+      cur_acc[pos] = {1, addr, prev, r.clk, r.shard, value, 1};
+    r.value = value;
+    r.clk = ts;
+    r.shard = shard;
+    return prev;
+  }
+
+  uint32_t peek(uint32_t addr) {
+    auto it = memory.find(addr);
+    return it == memory.end() ? 0u : it->second.value;
+  }
+
+  static int32_t s32(uint32_t x) { return (int32_t)x; }
+
+  bool alu(uint32_t op, uint32_t b, uint32_t c, uint32_t& a, uint32_t& hi) {
+    hi = 0;
+    switch (op) {
+      case ADD: a = b + c; break;
+      case SUB: a = b - c; break;
+      case SLL: a = b << (c & 31); break;
+      case SRL: a = b >> (c & 31); break;
+      case SRA: a = (uint32_t)(s32(b) >> (c & 31)); break;
+      case ROR: { uint32_t sh = c & 31; a = sh ? ((b >> sh) | (b << (32 - sh))) : b; break; }
+      case MUL: a = b * c; break;
+      case SLT: a = s32(b) < s32(c); break;
+      case SLTU: a = b < c; break;
+      case MULT: { int64_t o = (int64_t)s32(b) * s32(c); a = (uint32_t)o; hi = (uint32_t)((uint64_t)o >> 32); break; }
+      case MULTU: { uint64_t o = (uint64_t)b * c; a = (uint32_t)o; hi = (uint32_t)(o >> 32); break; }
+      case DIV: {
+        if (!c) return false;
+        if (b == 0x80000000u && c == M32) { a = 0x80000000u; hi = 0; break; }
+        a = (uint32_t)(s32(b) / s32(c)); hi = (uint32_t)(s32(b) % s32(c)); break;
+      }
+      case DIVU: { if (!c) return false; a = b / c; hi = b % c; break; }
+      case MOD: {
+        if (!c) return false;
+        if (b == 0x80000000u && c == M32) { a = 0; break; }
+        a = (uint32_t)(s32(b) % s32(c)); break;
+      }
+      case MODU: { if (!c) return false; a = b % c; break; }
+      case AND_: a = b & c; break;
+      case OR_: a = b | c; break;
+      case XOR_: a = b ^ c; break;
+      case NOR_: a = ~(b | c); break;
+      case CLZ: a = b ? __builtin_clz(b) : 32; break;
+      case CLO: a = (~b) ? __builtin_clz(~b) : 32; break;
+      default: return false;
+    }
+    return true;
+  }
+
+  // returns true when done
+  bool cycle() {
+    uint32_t idx = (pc - pc_base) / 4;
+    if (idx >= instructions.size()) { error = "pc out of range"; return true; }
+    const Instr& in = instructions[idx];
+    uint32_t op = in.opcode;
+    if (trace) memset(cur_acc, 0, sizeof(cur_acc));
+
+    uint32_t ev_clk = clk, ev_pc = pc, ev_next_pc = next_pc;
+    uint32_t next_next_pc = next_pc + 4;
+    uint32_t a = 0, b = 0, c = 0, prev_a = 0, syscall_code = 0, ecode = 0;
+
+    auto operands_bc = [&](uint32_t& bo, uint32_t& co) {
+      co = in.imm_c ? in.op_c : read(in.op_c, POS_C);
+      bo = in.imm_b ? in.op_b : read(in.op_b, POS_B);
+    };
+
+    if (op <= CLO) {  // ALU
+      operands_bc(b, c);
+      uint32_t hi;
+      if (!alu(op, b, c, a, hi)) { error = "alu trap"; return true; }
+      if (op == MULT || op == MULTU || op == DIV || op == DIVU) {
+        write(33, hi, POS_HI);
+        prev_a = hi;
+      }
+      write(in.op_a, a, POS_A);
+    } else if (op >= BEQ && op <= BNE) {  // branch
+      operands_bc(b, c);
+      uint32_t src1 = read(in.op_a, POS_A);
+      a = src1;
+      bool taken = false;
+      switch (op) {
+        case BEQ: taken = src1 == b; break;
+        case BNE: taken = src1 != b; break;
+        case BGEZ: taken = s32(src1) >= 0; break;
+        case BLEZ: taken = s32(src1) <= 0; break;
+        case BGTZ: taken = s32(src1) > 0; break;
+        case BLTZ: taken = s32(src1) < 0; break;
+      }
+      if (taken) next_next_pc = c + next_pc;
+    } else if (op >= Jump && op <= JumpDirect) {
+      uint32_t return_pc = next_pc + 4;
+      if (op == Jump) { b = read(in.op_b, POS_B); next_next_pc = b; }
+      else if (op == Jumpi) { b = in.op_b; next_next_pc = b; }
+      else { b = in.op_b; next_next_pc = b + next_pc; }
+      a = return_pc;
+      write(in.op_a, return_pc, POS_A);
+    } else if (op >= LB && op <= SC) {  // memory
+      uint32_t rs = read(in.op_b, POS_B);
+      uint32_t off = in.op_c;
+      uint32_t addr = rs + off;
+      uint32_t aligned = addr & ~3u;
+      if (aligned < 0x1000) { error = "guest access below 0x1000"; return true; }
+      b = rs; c = off;
+      uint32_t i = addr & 3;
+      if (op <= LL) {  // loads
+        uint32_t rt = peek(in.op_a);
+        uint32_t mem = read(aligned, POS_MEMORY);
+        switch (op) {
+          case LW: case LL: a = mem; break;
+          case LB: a = (uint32_t)(int32_t)(int8_t)(mem >> (i * 8)); break;
+          case LBU: a = (mem >> (i * 8)) & 0xFF; break;
+          case LH: a = (uint32_t)(int32_t)(int16_t)(mem >> ((addr & 2) * 8)); break;
+          case LHU: a = (mem >> ((addr & 2) * 8)) & 0xFFFF; break;
+          case LWL: { uint32_t v = mem << (24 - i * 8), m = 0xFFFFFFFFu << (24 - i * 8); a = (rt & ~m) | v; break; }
+          case LWR: { uint32_t v = mem >> (i * 8), m = 0xFFFFFFFFu >> (i * 8); a = (rt & ~m) | v; break; }
+        }
+        prev_a = write(in.op_a, a, POS_A);
+      } else {  // stores
+        uint32_t rt = (op == SC) ? peek(in.op_a) : read(in.op_a, POS_A);
+        uint32_t mem = peek(aligned);
+        uint32_t val = rt;
+        switch (op) {
+          case SB: { uint32_t m = 0xFFu << (i * 8); val = (mem & ~m) | ((rt & 0xFF) << (i * 8)); break; }
+          case SH: { uint32_t sh = (addr & 2) * 8, m = 0xFFFFu << sh; val = (mem & ~m) | ((rt & 0xFFFF) << sh); break; }
+          case SWL: { uint32_t v = rt >> (24 - i * 8), m = 0xFFFFFFFFu >> (24 - i * 8); val = (mem & ~m) | v; break; }
+          case SWR: { uint32_t v = rt << (i * 8), m = 0xFFFFFFFFu << (i * 8); val = (mem & ~m) | v; break; }
+          default: break;  // SW, SC
+        }
+        write(aligned, val, POS_MEMORY);
+        if (op == SC) { prev_a = write(in.op_a, 1, POS_A); a = 1; }
+        else { a = rt; prev_a = rt; }
+      }
+    } else if (op == SYSCALL) {
+      uint32_t id = peek(2);  // V0
+      c = read(5, POS_C);     // A1
+      b = read(4, POS_B);     // A0
+      prev_a = id;
+      syscall_code = id;
+      uint32_t ret = id;
+      bool halt = false;
+      switch (id) {
+        case 0x00:  // HALT
+          exited = true;
+          exit_code = b;
+          if (b != 0) { error = "halt with nonzero exit code"; return true; }
+          halt = true;
+          break;
+        case 0x02: {  // WRITE
+          uint32_t fd = b, buf = c, n = peek(6);
+          for (uint32_t k = 0; k < n; k++) {
+            uint32_t w = peek((buf + k) & ~3u);
+            char ch = (char)((w >> (((buf + k) & 3) * 8)) & 0xFF);
+            if (fd >= 1 && fd <= 3) stdout_buf.push_back(ch);
+          }
+          ret = n;
+          break;
+        }
+        case 0x10:  // COMMIT
+          if (committed.size() <= b) committed.resize(b + 1, 0);
+          committed[b] = c;
+          break;
+        case 0xF0:  // HINT_LEN
+          if (input_ptr >= input_stream.size()) { error = "no more hints"; return true; }
+          ret = (uint32_t)input_stream[input_ptr].size();
+          break;
+        case 0xF1: {  // HINT_READ
+          if (input_ptr >= input_stream.size()) { error = "no more hints"; return true; }
+          const std::string& buf = input_stream[input_ptr++];
+          if ((uint32_t)buf.size() != c || (b % 4) != 0) { error = "bad hint read"; return true; }
+          for (size_t k = 0; k < buf.size(); k += 4) {
+            uint32_t word = 0;
+            for (int j = 0; j < 4 && k + j < buf.size(); j++)
+              word |= ((uint32_t)(uint8_t)buf[k + j]) << (8 * j);
+            uint32_t addr = b + (uint32_t)k;
+            if (uninit.count(addr) || memory.count(addr)) { error = "hint addr initialized"; return true; }
+            uninit[addr] = word;
+          }
+          ret = c;
+          break;
+        }
+        default:
+          error = "unsupported syscall";
+          return true;
+      }
+      a = ret;
+      write(2, a, POS_A);
+      if (halt) { ev_next_pc = 0; next_next_pc = 4; }
+      else { ev_next_pc = next_pc; next_next_pc = next_pc + 4; }
+    } else if (op == MEQ || op == MNE) {
+      uint32_t a_old = peek(in.op_a);
+      c = read(in.op_c, POS_C);
+      b = read(in.op_b, POS_B);
+      bool mov = (op == MEQ) ? (c == 0) : (c != 0);
+      a = mov ? b : a_old;
+      prev_a = write(in.op_a, a, POS_A);
+    } else if (op == SEXT) {
+      b = read(in.op_b, POS_B);
+      c = in.op_c;
+      a = c > 0 ? (uint32_t)(int32_t)(int16_t)(b & 0xFFFF)
+                : (uint32_t)(int32_t)(int8_t)(b & 0xFF);
+      write(in.op_a, a, POS_A);
+    } else if (op == WSBH) {
+      b = read(in.op_b, POS_B);
+      a = (((b >> 16) & 0xFF) << 24) | (((b >> 24) & 0xFF) << 16) |
+          ((b & 0xFF) << 8) | ((b >> 8) & 0xFF);
+      write(in.op_a, a, POS_A);
+    } else if (op == EXT) {
+      b = read(in.op_b, POS_B);
+      c = in.op_c;
+      uint32_t msbd = c >> 5, lsb = c & 31;
+      uint32_t mask = (msbd + lsb + 1 == 32) ? M32 : ((1u << (msbd + lsb + 1)) - 1);
+      a = (b & mask) >> lsb;
+      write(in.op_a, a, POS_A);
+    } else if (op == INS) {
+      b = read(in.op_b, POS_B);
+      c = in.op_c;
+      uint32_t a_old = peek(in.op_a);
+      uint32_t msb = c >> 5, lsb = c & 31;
+      uint32_t mask = (msb - lsb + 1 == 32) ? M32 : ((1u << (msb - lsb + 1)) - 1);
+      uint32_t mf = mask << lsb;
+      a = (a_old & ~mf) | ((b << lsb) & mf);
+      prev_a = write(in.op_a, a, POS_A);
+    } else if (op == TEQ) {
+      b = read(in.op_b, POS_B);
+      a = read(in.op_a, POS_A);
+      if (a == b) { error = "TEQ trap"; return true; }
+    } else if (op == MADDU || op == MSUBU || op == MADD || op == MSUB) {
+      c = read(in.op_c, POS_C);
+      b = read(in.op_b, POS_B);
+      uint32_t lo = peek(32), hi = peek(33);
+      uint64_t acc = ((uint64_t)hi << 32) | lo;
+      uint64_t m = (op == MADDU || op == MSUBU)
+                       ? (uint64_t)b * c
+                       : (uint64_t)((int64_t)s32(b) * s32(c));
+      uint64_t out = (op == MADDU || op == MADD) ? acc + m : acc - m;
+      a = (uint32_t)out;
+      write(in.op_a, a, POS_A);
+      write(33, (uint32_t)(out >> 32), POS_HI);
+      prev_a = lo;
+    } else {
+      error = "unimplemented instruction";
+      return true;
+    }
+
+    if (next_next_pc == 0) { error = "null pointer reference"; return true; }
+
+    if (trace) {
+      CycleEvent ev;
+      ev.clk = ev_clk; ev.pc = ev_pc; ev.next_pc = ev_next_pc;
+      ev.next_next_pc = next_next_pc; ev.instr_idx = idx;
+      ev.a = a; ev.b = b; ev.c = c; ev.prev_a = prev_a;
+      ev.exit_code = ecode; ev.syscall_code = syscall_code;
+      memcpy(ev.acc, cur_acc, sizeof(cur_acc));
+      events.push_back(ev);
+    }
+
+    pc = (op == SYSCALL) ? ev_next_pc : next_pc;
+    next_pc = next_next_pc;
+    clk += 5;
+    global_clk++;
+    if (max_cycles && global_clk >= max_cycles) { error = "exceeded cycle limit"; return true; }
+    return pc == 0 || exited ||
+           (uint64_t)(pc - pc_base) >= instructions.size() * 4;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ziren_exec_new(const uint32_t* instrs, uint32_t n_instrs,
+                     uint32_t pc_start, uint32_t pc_base,
+                     const uint32_t* image_addrs, const uint32_t* image_vals,
+                     uint32_t n_image, int trace) {
+  auto* ex = new Executor();
+  ex->instructions.resize(n_instrs);
+  for (uint32_t i = 0; i < n_instrs; i++) {
+    const uint32_t* p = instrs + i * 6;
+    ex->instructions[i] = {p[0], p[1], p[2], p[3], (uint8_t)p[4], (uint8_t)p[5]};
+  }
+  ex->pc_start = pc_start;
+  ex->pc_base = pc_base;
+  ex->pc = pc_start;
+  ex->next_pc = pc_start + 4;
+  for (uint32_t i = 0; i < n_image; i++)
+    ex->memory.emplace(image_addrs[i], MemRec{image_vals[i], 0, 0});
+  ex->trace = trace != 0;
+  return ex;
+}
+
+void ziren_exec_add_hint(void* h, const uint8_t* data, uint32_t len) {
+  auto* ex = (Executor*)h;
+  ex->input_stream.emplace_back((const char*)data, len);
+}
+
+// returns 0 ok, 1 error
+int ziren_exec_run(void* h, uint64_t max_cycles) {
+  auto* ex = (Executor*)h;
+  ex->max_cycles = max_cycles;
+  while (true) {
+    bool done = ex->cycle();
+    if (!ex->error.empty()) return 1;
+    if (done) break;
+  }
+  return 0;
+}
+
+uint64_t ziren_exec_num_cycles(void* h) { return ((Executor*)h)->events.size(); }
+uint64_t ziren_exec_global_clk(void* h) { return ((Executor*)h)->global_clk; }
+uint32_t ziren_exec_exit_code(void* h) { return ((Executor*)h)->exit_code; }
+int ziren_exec_exited(void* h) { return ((Executor*)h)->exited ? 1 : 0; }
+uint32_t ziren_exec_pc(void* h) { return ((Executor*)h)->pc; }
+
+const char* ziren_exec_error(void* h) { return ((Executor*)h)->error.c_str(); }
+
+uint32_t ziren_exec_peek(void* h, uint32_t addr) { return ((Executor*)h)->peek(addr); }
+
+uint32_t ziren_exec_num_committed(void* h) {
+  return (uint32_t)((Executor*)h)->committed.size();
+}
+void ziren_exec_committed(void* h, uint32_t* out) {
+  auto& c = ((Executor*)h)->committed;
+  memcpy(out, c.data(), c.size() * 4);
+}
+
+uint32_t ziren_exec_stdout_len(void* h) {
+  return (uint32_t)((Executor*)h)->stdout_buf.size();
+}
+void ziren_exec_stdout(void* h, uint8_t* out) {
+  auto& s = ((Executor*)h)->stdout_buf;
+  memcpy(out, s.data(), s.size());
+}
+
+// Columnar export: 11 cpu fields + 5 positions * 7 access fields = 46 cols.
+// Caller provides a (num_cycles, 46) int64 buffer (C-contiguous).
+void ziren_exec_events(void* h, int64_t* out) {
+  auto* ex = (Executor*)h;
+  size_t n = ex->events.size();
+  for (size_t r = 0; r < n; r++) {
+    const CycleEvent& e = ex->events[r];
+    int64_t* row = out + r * 46;
+    row[0] = e.clk; row[1] = e.pc; row[2] = e.next_pc; row[3] = e.next_next_pc;
+    row[4] = e.instr_idx; row[5] = e.a; row[6] = e.b; row[7] = e.c;
+    row[8] = e.prev_a; row[9] = e.exit_code; row[10] = e.syscall_code;
+    for (int p = 0; p < 5; p++) {
+      const Access& ac = e.acc[p];
+      int64_t* f = row + 11 + p * 7;
+      f[0] = ac.act; f[1] = ac.addr; f[2] = ac.prev_value; f[3] = ac.prev_clk;
+      f[4] = ac.prev_shard; f[5] = ac.value; f[6] = ac.is_write;
+    }
+  }
+}
+
+// memory init/final events: touched addresses in first-touch order must be
+// re-sorted by the caller; export (addr, init_value, final_shard, final_clk,
+// final_value) rows.
+uint32_t ziren_exec_num_touched(void* h) {
+  return (uint32_t)((Executor*)h)->touch_order.size();
+}
+void ziren_exec_touched(void* h, uint32_t* out) {
+  auto* ex = (Executor*)h;
+  size_t n = ex->touch_order.size();
+  for (size_t i = 0; i < n; i++) {
+    uint32_t addr = ex->touch_order[i];
+    const MemRec& r = ex->memory[addr];
+    uint32_t* row = out + i * 5;
+    row[0] = addr;
+    row[1] = ex->touched[addr];
+    row[2] = r.shard;
+    row[3] = r.clk;
+    row[4] = r.value;
+  }
+}
+
+void ziren_exec_free(void* h) { delete (Executor*)h; }
+
+}  // extern "C"

@@ -1,0 +1,149 @@
+"""ctypes bindings for the native (C++) executor — the sequential hot loop
+(SURVEY.md §2.1: the emulator must stay on host; native for speed).
+
+`NativeExecutor.run()` produces the same `ExecutionRecord` as the Python
+`Executor` (differentially tested in tests/test_native_executor.py).
+Builds native/libziren_executor.so on first use if missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .record import CPU_FIELDS, POS_FIELDS, POSITIONS, ExecutionRecord
+
+_LIB = None
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.join(_NATIVE_DIR, "libziren_executor.so")
+    src = os.path.join(_NATIVE_DIR, "executor.cpp")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.check_call(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", so, src]
+        )
+    lib = ctypes.CDLL(so)
+    lib.ziren_exec_new.restype = ctypes.c_void_p
+    lib.ziren_exec_new.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int,
+    ]
+    lib.ziren_exec_add_hint.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
+    lib.ziren_exec_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.ziren_exec_error.restype = ctypes.c_char_p
+    lib.ziren_exec_error.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_num_cycles.restype = ctypes.c_uint64
+    lib.ziren_exec_global_clk.restype = ctypes.c_uint64
+    for f in ("num_cycles", "global_clk", "exit_code", "exited", "pc",
+              "num_committed", "stdout_len", "num_touched"):
+        getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.ziren_exec_peek.restype = ctypes.c_uint32
+    for f in ("committed", "stdout", "events", "touched"):
+        getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ziren_exec_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+class NativeExecutor:
+    def __init__(self, program, stdin=None, max_cycles=None, mode="trace"):
+        self.program = program
+        self.lib = _load()
+        instrs = np.zeros((len(program.instructions), 6), dtype=np.uint32)
+        for i, ins in enumerate(program.instructions):
+            instrs[i] = (
+                int(ins.opcode), ins.op_a, ins.op_b & 0xFFFFFFFF,
+                ins.op_c & 0xFFFFFFFF, int(ins.imm_b), int(ins.imm_c),
+            )
+        addrs = np.array(sorted(program.image), dtype=np.uint32)
+        vals = np.array([program.image[a] & 0xFFFFFFFF for a in addrs], dtype=np.uint32)
+        self.h = self.lib.ziren_exec_new(
+            instrs.ctypes.data_as(ctypes.c_void_p), len(instrs),
+            program.pc_start, program.pc_base,
+            addrs.ctypes.data_as(ctypes.c_void_p),
+            vals.ctypes.data_as(ctypes.c_void_p), len(addrs),
+            1 if mode == "trace" else 0,
+        )
+        self._keepalive = (instrs, addrs, vals)
+        for buf in stdin or []:
+            b = bytes(buf)
+            self.lib.ziren_exec_add_hint(self.h, b, len(b))
+        self.max_cycles = max_cycles or 0
+        self.record = None
+
+    def run(self) -> ExecutionRecord:
+        rc = self.lib.ziren_exec_run(self.h, self.max_cycles)
+        if rc != 0:
+            raise RuntimeError(
+                self.lib.ziren_exec_error(self.h).decode(errors="replace")
+            )
+        lib, h = self.lib, self.h
+        n = lib.ziren_exec_num_cycles(h)
+        events = np.zeros((n, 46), dtype=np.int64)
+        if n:
+            lib.ziren_exec_events(h, events.ctypes.data_as(ctypes.c_void_p))
+        record = ExecutionRecord(self.program)
+        frozen = {}
+        for j, f in enumerate(CPU_FIELDS):
+            frozen[f] = events[:, j].copy()
+        off = len(CPU_FIELDS)
+        for p_i, p in enumerate(POSITIONS):
+            for f_i, f in enumerate(POS_FIELDS):
+                frozen[f"{p}_{f}"] = events[:, off + p_i * 7 + f_i].copy()
+        record._frozen = frozen
+        # touched addresses -> init/final events, sorted by address
+        nt = lib.ziren_exec_num_touched(h)
+        touched = np.zeros((nt, 5), dtype=np.uint32)
+        if nt:
+            lib.ziren_exec_touched(h, touched.ctypes.data_as(ctypes.c_void_p))
+            touched = touched[np.argsort(touched[:, 0], kind="stable")]
+        record.mem_init = [(int(r[0]), int(r[1])) for r in touched]
+        record.mem_final = [
+            (int(r[0]), int(r[2]), int(r[3]), int(r[4])) for r in touched
+        ]
+        # public values
+        pv = record.public_values
+        pv.start_pc = self.program.pc_start
+        pv.next_pc = lib.ziren_exec_pc(h)
+        pv.exit_code = lib.ziren_exec_exit_code(h)
+        pv.shard = 1
+        pv.execution_shard = 1
+        nc = lib.ziren_exec_num_committed(h)
+        committed = np.zeros(nc, dtype=np.uint32)
+        if nc:
+            lib.ziren_exec_committed(h, committed.ctypes.data_as(ctypes.c_void_p))
+        self.committed_values = [int(x) for x in committed]
+        pv.committed_value_digest = (
+            self.committed_values[:8] + [0] * max(0, 8 - nc)
+        )
+        ns = lib.ziren_exec_stdout_len(h)
+        out = np.zeros(ns, dtype=np.uint8)
+        if ns:
+            lib.ziren_exec_stdout(h, out.ctypes.data_as(ctypes.c_void_p))
+        self.stdout = bytes(out.tobytes())
+        self.global_clk = lib.ziren_exec_global_clk(h)
+        self.exited = bool(lib.ziren_exec_exited(h))
+        self.exit_code = pv.exit_code
+        self.record = record
+        return record
+
+    def peek_register(self, reg: int) -> int:
+        return int(self.lib.ziren_exec_peek(self.h, reg))
+
+    def peek_word(self, addr: int) -> int:
+        return int(self.lib.ziren_exec_peek(self.h, addr))
+
+    def __del__(self):
+        try:
+            self.lib.ziren_exec_free(self.h)
+        except Exception:
+            pass

@@ -112,6 +112,8 @@ class ExecutionRecord:
 
     @property
     def num_cycles(self) -> int:
+        if self._frozen is not None:
+            return len(self._frozen["clk"])
         return len(self.columns["clk"])
 
     def add_byte_lookup(self, op: int, b: int, c: int, mult: int = 1):
