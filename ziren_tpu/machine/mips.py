@@ -8,6 +8,8 @@ reference's 50-chip machine milestone by milestone.
 
 from __future__ import annotations
 
+import subprocess
+
 from ziren_tpu.executor import Executor
 from ziren_tpu.executor.record import PROOF_MAX_NUM_PVS
 from ziren_tpu.stark.config import dev_config
@@ -59,7 +61,18 @@ def mips_machine(config=None) -> StarkMachine:
     )
 
 
-def execute(program, stdin=None):
+def execute(program, stdin=None, native=True):
+    """Execute with the C++ executor when available (50+ MHz), falling back
+    to the Python semantic oracle."""
+    if native:
+        try:
+            from ziren_tpu.executor.native import NativeExecutor
+
+            ex = NativeExecutor(program, stdin=stdin)
+            record = ex.run()
+            return ex, record
+        except (OSError, RuntimeError, subprocess.CalledProcessError):
+            pass
     ex = Executor(program, stdin=stdin)
     record = ex.run()
     return ex, record
