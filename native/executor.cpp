@@ -18,6 +18,58 @@
 namespace {
 
 constexpr uint32_t M32 = 0xFFFFFFFFu;
+constexpr uint64_t KB_P = 2130706433ull;  // 2^31 - 2^24 + 1
+#include "poseidon2_rc.inc"
+
+inline uint64_t kb_sbox(uint64_t x) {
+  x %= KB_P;
+  uint64_t x2 = (x * x) % KB_P;
+  return (x2 * x) % KB_P;
+}
+
+inline void kb_ext_layer(uint64_t s[16]) {
+  uint64_t out[16];
+  for (int j = 0; j < 16; j += 4) {
+    uint64_t x0 = s[j], x1 = s[j+1], x2 = s[j+2], x3 = s[j+3];
+    uint64_t t01 = x0 + x1, t23 = x2 + x3, t0123 = t01 + t23;
+    uint64_t t01123 = t0123 + x1, t01233 = t0123 + x3;
+    out[j+3] = t01233 + 2*x0;
+    out[j+1] = t01123 + 2*x2;
+    out[j]   = t01123 + t01;
+    out[j+2] = t01233 + t23;
+  }
+  uint64_t sums[4];
+  for (int k = 0; k < 4; k++)
+    sums[k] = out[k] + out[k+4] + out[k+8] + out[k+12];
+  for (int j = 0; j < 16; j++) s[j] = (out[j] + sums[j % 4]) % KB_P;
+}
+
+void kb_poseidon2(uint32_t state[16]) {
+  static const uint64_t DIAG[16] = {
+    KB_P - 2, 1, 2, (KB_P + 1) >> 1, 3, 4, (KB_P - 1) >> 1, KB_P - 3,
+    KB_P - 4, KB_P - ((KB_P - 1) >> 8), KB_P - ((KB_P - 1) >> 3), KB_P - 127,
+    (KB_P - 1) >> 8, (KB_P - 1) >> 3, (KB_P - 1) >> 4, 127,
+  };
+  uint64_t s[16];
+  for (int i = 0; i < 16; i++) s[i] = state[i];
+  kb_ext_layer(s);
+  for (int r = 0; r < 4; r++) {
+    for (int i = 0; i < 16; i++) s[i] = kb_sbox(s[i] + P2_RC[r][i]);
+    kb_ext_layer(s);
+  }
+  for (int r = 0; r < 13; r++) {
+    s[0] = kb_sbox(s[0] + P2_RC[4 + r][0]);
+    uint64_t total = 0;
+    for (int i = 0; i < 16; i++) total += s[i];
+    total %= KB_P;
+    for (int i = 0; i < 16; i++) s[i] = (s[i] * DIAG[i] + total) % KB_P;
+  }
+  for (int r = 0; r < 4; r++) {
+    for (int i = 0; i < 16; i++) s[i] = kb_sbox(s[i] + P2_RC[17 + r][i]);
+    kb_ext_layer(s);
+  }
+  for (int i = 0; i < 16; i++) state[i] = (uint32_t)s[i];
+}
 
 enum Opcode : uint32_t {
   ADD = 0, SUB = 1, MUL = 2, MULT = 3, MULTU = 4, DIV = 5, DIVU = 6,
@@ -56,8 +108,18 @@ struct CycleEvent {
   Access acc[5];  // mem, c, b, a, hi
 };
 
+struct PrecompileAccess {
+  uint32_t addr, prev_value, prev_clk, prev_shard, value;
+};
+
+struct PrecompileEvent {
+  uint32_t shard, clk, ptr;
+  PrecompileAccess reads[16], writes[16];
+};
+
 struct Executor {
   std::vector<Instr> instructions;
+  std::vector<PrecompileEvent> p2_events;
   uint32_t pc_start = 0, pc_base = 0;
   std::unordered_map<uint32_t, MemRec> memory;
   std::unordered_map<uint32_t, uint32_t> uninit;
@@ -250,6 +312,7 @@ struct Executor {
       syscall_code = id;
       uint32_t ret = id;
       bool halt = false;
+      uint32_t extra_cycles = 0;
       switch (id) {
         case 0x00:  // HALT
           exited = true;
@@ -290,12 +353,38 @@ struct Executor {
           ret = c;
           break;
         }
+        case 0x00010030: {  // POSEIDON2_PERMUTE
+          uint32_t ptr = b;
+          if (ptr % 4 != 0) { error = "poseidon2 unaligned"; return true; }
+          PrecompileEvent ev;
+          ev.shard = shard; ev.clk = clk; ev.ptr = ptr;
+          uint32_t st[16];
+          for (int k = 0; k < 16; k++) {
+            uint32_t addr = ptr + 4 * k;
+            MemRec& r = lookup(addr);
+            ev.reads[k] = {addr, r.value, r.clk, r.shard, r.value};
+            if (r.value >= (uint32_t)KB_P) { error = "poseidon2 input not canonical"; return true; }
+            st[k] = r.value;
+            r.clk = clk; r.shard = shard;
+          }
+          kb_poseidon2(st);
+          for (int k = 0; k < 16; k++) {
+            uint32_t addr = ptr + 4 * k;
+            MemRec& r = lookup(addr);
+            ev.writes[k] = {addr, r.value, r.clk, r.shard, st[k]};
+            r.value = st[k]; r.clk = clk + 1; r.shard = shard;
+          }
+          if (trace) p2_events.push_back(ev);
+          extra_cycles = 1;  // applied after the V0 write (reference order)
+          break;
+        }
         default:
           error = "unsupported syscall";
           return true;
       }
       a = ret;
       write(2, a, POS_A);
+      clk += extra_cycles;
       if (halt) { ev_next_pc = 0; next_next_pc = 4; }
       else { ev_next_pc = next_pc; next_next_pc = next_pc + 4; }
     } else if (op == MEQ || op == MNE) {
@@ -481,6 +570,29 @@ void ziren_exec_touched(void* h, uint32_t* out) {
     row[2] = r.shard;
     row[3] = r.clk;
     row[4] = r.value;
+  }
+}
+
+uint32_t ziren_exec_num_p2_events(void* h) {
+  return (uint32_t)((Executor*)h)->p2_events.size();
+}
+// rows of (shard, clk, ptr, 16 reads x5, 16 writes x5) = 163 u32 each
+void ziren_exec_p2_events(void* h, uint32_t* out) {
+  auto* ex = (Executor*)h;
+  for (size_t i = 0; i < ex->p2_events.size(); i++) {
+    const PrecompileEvent& e = ex->p2_events[i];
+    uint32_t* row = out + i * 163;
+    row[0] = e.shard; row[1] = e.clk; row[2] = e.ptr;
+    for (int k = 0; k < 16; k++) {
+      const PrecompileAccess& a = e.reads[k];
+      uint32_t* f = row + 3 + k * 5;
+      f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+    }
+    for (int k = 0; k < 16; k++) {
+      const PrecompileAccess& a = e.writes[k];
+      uint32_t* f = row + 83 + k * 5;
+      f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+    }
   }
 }
 

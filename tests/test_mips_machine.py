@@ -66,3 +66,19 @@ def test_memory_program_prove_verify():
     machine, pk, vk, ex, record = _setup(memory_program())
     proof = machine.prove(pk, [record])
     assert machine.verify(vk, proof)
+
+
+def test_poseidon2_precompile_prove_verify():
+    import numpy as np
+
+    from ziren_tpu.core import poseidon2 as hp2
+    from ziren_tpu.executor.asm import poseidon2_program
+
+    machine, pk, vk, ex, record = _setup(poseidon2_program())
+    state = np.zeros(16, dtype=np.uint32)
+    state[0] = 7
+    state[15] = 7
+    want = hp2.permute(state)
+    assert ex.peek_register(20) == int(want[0])
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)

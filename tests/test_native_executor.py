@@ -90,3 +90,18 @@ def test_native_speed():
     mhz = nat.global_clk / dt / 1e6
     print(f"native simple-mode: {mhz:.1f} MHz")
     assert mhz > 1.0  # conservative floor
+
+
+def test_native_poseidon2_matches_python():
+    from ziren_tpu.executor.asm import poseidon2_program
+
+    py = Executor(poseidon2_program())
+    py_rec = py.run()
+    nat = NativeExecutor(poseidon2_program())
+    nat_rec = nat.run()
+    pf, nf = py_rec.freeze(), nat_rec.freeze()
+    for k in pf:
+        assert np.array_equal(pf[k], nf[k]), k
+    assert py_rec.precompile_events == nat_rec.precompile_events
+    assert py_rec.mem_init == nat_rec.mem_init
+    assert py_rec.mem_final == nat_rec.mem_final

@@ -155,3 +155,23 @@ def alu_torture2_program() -> Program:
             *halt_sequence(0),
         ]
     )
+
+
+def poseidon2_program() -> Program:
+    """Calls the poseidon2 permute precompile on a state at 0x2000."""
+    return Program.new(
+        [
+            imm(O.ADD, 8, 0, 0x2000),
+            imm(O.ADD, 9, 0, 7),
+            ri(O.SW, 9, 8, 0),  # state[0] = 7
+            ri(O.SW, 9, 8, 60),  # state[15] = 7
+            imm(O.SLL, 2, 1, 16),  # v0 = 0x00010000
+            ri(O.OR, 2, 2, 0x30),  # v0 = POSEIDON2_PERMUTE
+            imm(O.ADD, 4, 0, 0x2000),  # a0 = ptr
+            Instruction(O.SYSCALL, 2, 4, 5, False, False),
+            imm(O.ADD, 8, 0, 0x2000),
+            ri(O.LW, 20, 8, 0),  # r20 = out[0]
+            ri(O.LW, 21, 8, 4),  # r21 = out[1]
+            *halt_sequence(0),
+        ]
+    )

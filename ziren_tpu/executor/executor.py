@@ -17,6 +17,8 @@ semantic oracle.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..core import poseidon2 as p2
 from .opcode import (
     ALU_OPCODES,
@@ -494,6 +496,39 @@ class Executor:
                 self.committed_values.append(0)
             self.committed_values[b] = c
             return syscall_id, None, 0, 0
+        if syscall_id == SyscallCode.POSEIDON2_PERMUTE:
+            # permute 16 KoalaBear words in place at ptr = b
+            # (reference: syscalls/precompiles/poseidon2) — reads at clk,
+            # writes at clk + 1, one extra cycle
+            ptr = b
+            assert ptr % 4 == 0, "poseidon2 state must be word-aligned"
+            ev = {"shard": self.shard, "clk": self.clk, "ptr": ptr,
+                  "reads": [], "writes": []}
+            state = []
+            for i in range(16):
+                addr = (ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                assert rec[0] < p2.P, "poseidon2 input must be canonical"
+                state.append(rec[0])
+                rec[1] = self.clk
+                rec[2] = self.shard
+            out = p2.permute(np.asarray(state, dtype=np.uint32))
+            for i in range(16):
+                addr = (ptr + 4 * i) & M32
+                rec = self.memory[addr]
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], int(out[i])))
+                rec[0] = int(out[i])
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(
+                int(SyscallCode.POSEIDON2_PERMUTE), []
+            ).append(ev)
+            return syscall_id, None, 1, 0
         if syscall_id == SyscallCode.SYSHINTLEN:
             if self.input_stream_ptr >= len(self.input_stream):
                 raise ExecutionError("no more hints")

@@ -47,8 +47,9 @@ def _load():
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p]
     lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.ziren_exec_peek.restype = ctypes.c_uint32
-    for f in ("committed", "stdout", "events", "touched"):
+    for f in ("committed", "stdout", "events", "touched", "p2_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ziren_exec_num_p2_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -106,6 +107,25 @@ class NativeExecutor:
         if nt:
             lib.ziren_exec_touched(h, touched.ctypes.data_as(ctypes.c_void_p))
             touched = touched[np.argsort(touched[:, 0], kind="stable")]
+        # poseidon2 precompile events
+        np2 = lib.ziren_exec_num_p2_events(h)
+        if np2:
+            rows = np.zeros((np2, 163), dtype=np.uint32)
+            lib.ziren_exec_p2_events(h, rows.ctypes.data_as(ctypes.c_void_p))
+            evs = []
+            for r in rows:
+                ev = {"shard": int(r[0]), "clk": int(r[1]), "ptr": int(r[2]),
+                      "reads": [], "writes": []}
+                for k in range(16):
+                    f = r[3 + k * 5 : 8 + k * 5]
+                    ev["reads"].append((int(f[0]), int(f[1]), int(f[2]), int(f[3])))
+                for k in range(16):
+                    f = r[83 + k * 5 : 88 + k * 5]
+                    ev["writes"].append(
+                        (int(f[0]), int(f[1]), int(f[2]), int(f[3]), int(f[4]))
+                    )
+                evs.append(ev)
+            record.precompile_events[0x00010030] = evs
         record.mem_init = [(int(r[0]), int(r[1])) for r in touched]
         record.mem_final = [
             (int(r[0]), int(r[2]), int(r[3]), int(r[4])) for r in touched

@@ -81,6 +81,8 @@ class ExecutionRecord:
         self.mem_final: list = []  # (addr, clk, value) at shard end
         self.byte_counts: dict = {}  # (op, b, c) -> multiplicity
         self.synthetic: dict = {}  # opcode -> [(a, b, c, hi)] sub-operations
+        # precompile events: syscall id -> list of event dicts (columnar-ready)
+        self.precompile_events: dict = {}
         self._frozen = None
 
     def append_cycle(self, **fields):

@@ -55,6 +55,7 @@ COLS = (
     .add("is_sequential")
     .add("shard_to_send")
     .add("clk_to_send")
+    .add("num_extra_cycles")
     # operand values
     .word("a")
     .word("prev_a")  # hi_or_prev_a
@@ -129,6 +130,7 @@ class CpuChip(Air):
         _CHK = MEM_OPCODES | {
             Opcode.MULT, Opcode.MULTU, Opcode.DIV, Opcode.DIVU,
             Opcode.MADD, Opcode.MADDU, Opcode.MSUB, Opcode.MSUBU,
+            Opcode.SYSCALL,
         }
         is_chk = np.array([int(o in _CHK) for o in ops])
         w.set("is_check_memory", is_chk)
@@ -141,6 +143,10 @@ class CpuChip(Air):
         ))
         w.set("shard_to_send", is_chk)  # shard == 1
         w.set("clk_to_send", is_chk * cols["clk"])
+        # extra cycles: poseidon2 permute syscall takes 1 extra cycle
+        is_syscall = np.array([int(o == Opcode.SYSCALL) for o in ops])
+        extra = (np.asarray(cols["syscall_code"]) == 0x00010030) * is_syscall
+        w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])
         w.set_word("prev_a", cols["prev_a"])
         w.set_word("b", cols["b"])
@@ -181,7 +187,9 @@ class CpuChip(Air):
         b.when_transition().when(N["is_real"]).assert_eq(L["shard"], N["shard"])
         send_byte(b, B.U16Range, L["shard"], 0, 0, is_real)
         b.when_first_row().assert_zero(clk)
-        b.when_transition().when(N["is_real"]).assert_eq(clk + 5, next_clk)
+        b.when_transition().when(N["is_real"]).assert_eq(
+            clk + 5 + L["num_extra_cycles"], next_clk
+        )
         send_byte(b, B.U16Range, L["clk16"], 0, 0, is_real)
         send_byte(b, B.U8Range, L["clk8"], 0, 0, is_real)
 
@@ -239,6 +247,7 @@ class CpuChip(Air):
                 L["next_next_pc"], L["opcode"], L.word("a"), L.word("b"),
                 L.word("c"), L.word("prev_a"), L["op_a_immutable"], L["is_rw_a"],
                 L["is_check_memory"], L["is_halt"], L["is_sequential"],
+                L["num_extra_cycles"],
             ),
             is_real,
         )

@@ -38,6 +38,7 @@ def instruction_message(
     is_check_memory,
     is_halt,
     is_sequential,
+    num_extra_cycles=0,
 ):
     return (
         [shard_to_send, clk_to_send, pc, next_pc, next_next_pc, opcode]
@@ -45,7 +46,8 @@ def instruction_message(
         + list(b_word)
         + list(c_word)
         + list(prev_a_word)
-        + [op_a_immutable, is_rw_a, is_check_memory, is_halt, is_sequential]
+        + [op_a_immutable, is_rw_a, is_check_memory, is_halt, is_sequential,
+           num_extra_cycles]
     )
 
 

@@ -26,6 +26,7 @@ from .maddsub import MaddSubChip
 from .misc import CloClzChip, MiscChip, MovCondChip
 from .mul import MulChip
 from .shift import ShiftLeftChip, ShiftRightChip
+from .poseidon2_chip import Poseidon2PermuteChip
 from .program import ProgramChip
 from .syscall import SyscallChip
 
@@ -49,6 +50,7 @@ def mips_airs():
         JumpChip(),
         MemoryInstructionsChip(),
         SyscallChip(),
+        Poseidon2PermuteChip(),
         ByteChip(),
         MemoryInitChip(),
         MemoryFinalChip(),

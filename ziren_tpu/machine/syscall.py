@@ -23,9 +23,11 @@ CODES = [
     ("is_commit", int(SyscallCode.COMMIT)),
     ("is_hintlen", int(SyscallCode.SYSHINTLEN)),
     ("is_hintread", int(SyscallCode.SYSHINTREAD)),
+    ("is_poseidon2", int(SyscallCode.POSEIDON2_PERMUTE)),
 ]
 
-COLS = Layout().add("pc").add("next_pc").add("next_next_pc")
+COLS = Layout().add("shard").add("clk")
+COLS.add("pc").add("next_pc").add("next_next_pc")
 COLS.word("a").word("b").word("c").word("prev_a")
 for nm, _ in CODES:
     COLS.add(nm)
@@ -48,6 +50,8 @@ class SyscallChip(Air):
         cols, mask = self._rows(record)
         n = int(mask.sum())
         w = COLS.writer(n)
+        w.set("shard", np.ones(n))
+        w.set("clk", cols["clk"][mask])
         for nm in ("pc", "next_pc", "next_next_pc"):
             w.set(nm, cols[nm][mask])
         for nm in ("a", "b", "c", "prev_a"):
@@ -77,20 +81,33 @@ class SyscallChip(Air):
         b.assert_eq(acc, is_real)
         # syscall id binding: prev_a = one-hot combination of known codes
         prev_a = L.word("prev_a")
-        code_b0 = sum(f * (code & 0xFF) for f, (_, code) in zip(flags, CODES))
-        b.assert_eq(prev_a[0], code_b0)
-        for i in range(1, 4):
-            b.assert_zero(prev_a[i])
+        for i in range(4):
+            byte_i = sum(
+                f * ((code >> (8 * i)) & 0xFF) for f, (_, code) in zip(flags, CODES)
+            )
+            b.assert_eq(prev_a[i], byte_i)
 
         is_halt = L["is_halt"]
+        is_p2 = L["is_poseidon2"]
         b.receive(
             LookupKind.Instruction,
             instruction_message(
-                0, 0, L["pc"], L["next_pc"], L["next_next_pc"], int(Opcode.SYSCALL),
+                L["shard"], L["clk"], L["pc"], L["next_pc"], L["next_next_pc"],
+                int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
-                0, is_real, 0, is_halt, is_real,  # rw_a=1, sequential=1
+                0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
+                is_p2,  # poseidon2 takes one extra cycle
             ),
             is_real,
+        )
+        # precompile dispatch: poseidon2 permute receives (shard, clk, ptr)
+        from .layout import pack_word
+
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.POSEIDON2_PERMUTE),
+             pack_word(L.word("b"))],
+            is_p2,
         )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
