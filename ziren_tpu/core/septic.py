@@ -76,10 +76,31 @@ def sneg(a):
     return F.fneg(a)
 
 
+def _smul_scalar(a, b):
+    """Python-int fast path for single elements (hot in sqrt/lift_x)."""
+    aa = [int(x) for x in a]
+    bb = [int(x) for x in b]
+    raw = [0] * 13
+    for i in range(7):
+        ai = aa[i]
+        if ai:
+            for j in range(7):
+                raw[i + j] += ai * bb[j]
+    p = F.P_INT
+    for k in range(12, 6, -1):
+        c = raw[k]
+        if c:
+            raw[k - 7] += 8 * c
+            raw[k - 6] -= 2 * c
+    return np.array([raw[i] % p for i in range(7)], dtype=np.uint32)
+
+
 def smul(a, b):
     """Schoolbook multiply then reduce by z^7 = -2z + 8."""
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
+    if a.ndim == 1 and b.ndim == 1:
+        return _smul_scalar(a, b)
     # raw product coefficients (degree up to 12); reduce pairwise mod p as we
     # accumulate (7 terms * (2^31)^2 < 2^65 would overflow, so reduce partials)
     shape = np.broadcast_shapes(a.shape[:-1], b.shape[:-1])
@@ -280,3 +301,112 @@ def digest_sum(points) -> tuple:
 def digest_is_zero(p) -> bool:
     z = digest_zero()
     return bool(np.array_equal(p[0], z[0]) and np.array_equal(p[1], z[1]))
+
+
+# ---------------------------------------------------------------------------
+# Square roots (Cipolla) and hash-to-curve (reference: septic_extension.rs
+# sqrt/is_square, septic_curve.rs lift_x)
+# ---------------------------------------------------------------------------
+
+_Q = F.P_INT**7
+_HALF_EXP = (_Q - 1) // 2
+_CIPOLLA_EXP = (_Q + 1) // 2
+
+
+def is_square(a) -> bool:
+    r = spow(a, _HALF_EXP)
+    return bool(np.array_equal(r, sone()))
+
+
+def ssqrt(a):
+    """Square root in F_{p^7} via Cipolla's algorithm; None if non-square."""
+    a = np.asarray(a, dtype=np.uint32)
+    if np.all(a == 0):
+        return szero()
+    if not is_square(a):
+        return None
+    # find t with t^2 - a a non-square
+    t = szero()
+    for cand in range(1, 1000):
+        t = szero()
+        t[0] = cand % F.P_INT
+        t[1] = cand // F.P_INT  # walk t = c0 + c1 z if needed
+        d = ssub(smul(t, t), a)
+        if not is_square(d):
+            break
+    d = ssub(smul(t, t), a)
+    # compute (t + w)^((q+1)/2) in F_q[w]/(w^2 - d)
+    xr, xi = t.copy(), sone()
+    rr, ri = sone(), szero()
+    e = _CIPOLLA_EXP
+    while e > 0:
+        if e & 1:
+            rr, ri = (
+                sadd(smul(rr, xr), smul(smul(ri, xi), d)),
+                sadd(smul(rr, xi), smul(ri, xr)),
+            )
+        xr, xi = (
+            sadd(smul(xr, xr), smul(smul(xi, xi), d)),
+            smul_base(smul(xr, xi), np.uint32(2)),
+        )
+        e >>= 1
+    assert np.all(ri == 0), "cipolla: imaginary part nonzero"
+    return rr
+
+
+def curve_formula(x):
+    a, b = _curve_consts()
+    return sadd(sadd(smul(smul(x, x), x), smul(a, x)), b)
+
+
+def y_is_receive(y) -> bool:
+    y6 = int(y[6])
+    return 1 <= y6 <= (F.P_INT - 1) // 2
+
+
+def y_is_exception(y) -> bool:
+    return int(y[6]) == 0
+
+
+def lift_x(m7):
+    """Message (7,) -> (point (x, y_receive), offset byte)
+    (reference: septic_curve.rs:130 — x6 = m6 * 256 + offset; y returned in
+    the receive range; sends use -y)."""
+    m7 = np.asarray(m7, dtype=np.uint32)
+    for offset in range(256):
+        x = m7.copy()
+        x[6] = (int(m7[6]) * 256 + offset) % F.P_INT
+        y = ssqrt(curve_formula(x))
+        if y is None or y_is_exception(y):
+            continue
+        if not y_is_receive(y):
+            y = sneg(y)
+        return (x, y), offset
+    raise ValueError("curve point not found after 256 offsets")
+
+
+def complete_add(p1, p2):
+    """Curve addition with infinity (None) and doubling handled."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    if np.array_equal(p1[0], p2[0]):
+        if np.array_equal(p1[1], sneg(p2[1])):
+            return None
+        return curve_double(p1)
+    return curve_add(p1, p2)
+
+
+def digests_balance(digests) -> bool:
+    """True iff sum_i (D_i - start) is the point at infinity
+    (reference: machine.rs:659-674 global cumulative sum check)."""
+    start = digest_zero()
+    neg_start = curve_neg(start)
+    total = None
+    for d in digests:
+        d = (np.asarray(d[0], np.uint32), np.asarray(d[1], np.uint32))
+        if np.array_equal(d[0], start[0]) and np.array_equal(d[1], start[1]):
+            continue  # D == start contributes zero
+        total = complete_add(total, complete_add(d, neg_start))
+    return total is None

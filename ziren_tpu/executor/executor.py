@@ -52,10 +52,21 @@ class Halted(Exception):
 
 
 class Executor:
-    def __init__(self, program, stdin: list | None = None, max_cycles=None, mode="trace"):
+    def __init__(self, program, stdin: list | None = None, max_cycles=None,
+                 mode="trace", shard_size=None):
         self.program = program
         self.mode = mode
         self.max_cycles = max_cycles
+        # continuation: split execution into shards of <= shard_size cycles
+        # (reference: executor.rs shard splitting; branch + delay slot are
+        # kept in the same shard)
+        self.shard_size = shard_size
+        self.records: list[ExecutionRecord] = []
+        self.shard_cycles = 0
+        self.next_is_delayslot = False
+        # per-shard first/last access tracking for the MemoryLocal chip:
+        # addr -> (prev_shard, prev_clk, prev_value) at first in-shard access
+        self.shard_initial: dict[int, tuple] = {}
         # unified address space: addr -> [value, last_clk, last_shard]
         self.memory: dict[int, list] = {
             addr: [v & M32, 0, 0] for addr, v in program.image.items()
@@ -86,6 +97,8 @@ class Executor:
     def _touch(self, addr, rec):
         if addr not in self.touched:
             self.touched[addr] = rec[0]
+        if addr not in self.shard_initial:
+            self.shard_initial[addr] = (rec[2], rec[1], rec[0])
 
     def _read(self, addr: int, position: int) -> int:
         rec = self.memory.get(addr)
@@ -328,6 +341,8 @@ class Executor:
         self.next_pc = next_next_pc
         self.clk += 5
         self.global_clk += 1
+        self.shard_cycles += 1
+        self.next_is_delayslot = op in BRANCH_OPCODES or op in JUMP_OPCODES
 
         if self.max_cycles and self.global_clk >= self.max_cycles:
             raise ExecutionError("exceeded cycle limit")
@@ -337,15 +352,72 @@ class Executor:
             or self.exited
             or (self.pc - self.program.pc_base) >= len(self.program.instructions) * 4
         )
+        if (
+            not done
+            and self.shard_size
+            and self.shard_cycles >= self.shard_size
+            and not self.next_is_delayslot
+        ):
+            self._bump_shard()
         return done
 
+    def _bump_shard(self):
+        """Close the current shard record and start the next one."""
+        rec = self.record
+        pv = rec.public_values
+        pv.start_pc = self.shard_start_pc
+        pv.next_pc = self.pc
+        pv.shard = self.shard
+        pv.execution_shard = self.shard
+        rec.shard_initial = dict(self.shard_initial)
+        rec.shard_final = {
+            addr: (self.memory[addr][2], self.memory[addr][1], self.memory[addr][0])
+            for addr in self.shard_initial
+        }
+        self.records.append(rec)
+        self.record = ExecutionRecord(self.program)
+        self.shard_initial = {}
+        self.shard += 1
+        self.clk = 0
+        self.shard_cycles = 0
+        self.shard_start_pc = self.pc
+
     def run(self):
+        self.shard_start_pc = self.pc
         while not self.execute_cycle():
             pass
         self.postprocess()
         return self.record
 
+    def run_sharded(self) -> list:
+        """Execute and return the list of shard records."""
+        assert self.shard_size, "run_sharded requires shard_size"
+        self.shard_start_pc = self.pc
+        while not self.execute_cycle():
+            pass
+        self._bump_shard()  # close the final shard
+        records = self.records
+        # memory init/finalize events live in the last record
+        last = records[-1]
+        for addr, init_value in sorted(self.touched.items()):
+            rec = self.memory[addr]
+            last.mem_init.append((addr, init_value))
+            last.mem_final.append((addr, rec[2], rec[1], rec[0]))
+        # every shard shares the final committed digest
+        digest = list(self.committed_values[:8]) + [0] * max(
+            0, 8 - len(self.committed_values)
+        )
+        for rec in records:
+            rec.public_values.committed_value_digest = list(digest)
+            rec.public_values.exit_code = self.exit_code
+        return records
+
     def postprocess(self):
+        self.record.shard_initial = dict(self.shard_initial)
+        self.record.shard_final = {
+            addr: (self.memory[addr][2], self.memory[addr][1], self.memory[addr][0])
+            for addr in self.shard_initial
+        }
         # memory finalize events for all touched addresses
         for addr, init_value in sorted(self.touched.items()):
             rec = self.memory[addr]

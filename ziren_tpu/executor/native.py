@@ -130,6 +130,12 @@ class NativeExecutor:
         record.mem_final = [
             (int(r[0]), int(r[2]), int(r[3]), int(r[4])) for r in touched
         ]
+        # single-shard endpoint maps (MemoryLocal chip): first access sees
+        # the pre-execution state, the final state comes from the touch export
+        record.shard_initial = {int(r[0]): (0, 0, int(r[1])) for r in touched}
+        record.shard_final = {
+            int(r[0]): (int(r[2]), int(r[3]), int(r[4])) for r in touched
+        }
         # public values
         pv = record.public_values
         pv.start_pc = self.program.pc_start

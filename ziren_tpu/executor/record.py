@@ -83,6 +83,10 @@ class ExecutionRecord:
         self.synthetic: dict = {}  # opcode -> [(a, b, c, hi)] sub-operations
         # precompile events: syscall id -> list of event dicts (columnar-ready)
         self.precompile_events: dict = {}
+        # per-shard memory endpoints (MemoryLocal chip):
+        # addr -> (shard, clk, value) at shard entry / exit
+        self.shard_initial: dict = {}
+        self.shard_final: dict = {}
         self._frozen = None
 
     def append_cycle(self, **fields):

@@ -83,20 +83,24 @@ class CpuChip(Air):
     def generate_dependencies(self, record, output):
         cols = record.freeze()
         n = record.num_cycles
+        shard = record.public_values.shard
         ones = np.ones(n, dtype=np.int64)
         # clk limbs
         clk = cols["clk"]
         count(record, B.U16Range, clk & 0xFFFF, 0, ones)
         count(record, B.U8Range, clk >> 16, 0, ones)
-        count(record, B.U16Range, np.ones(n, dtype=np.int64), 0, ones)  # shard
+        count(record, B.U16Range, np.full(n, shard, dtype=np.int64), 0, ones)
         # access diff limbs
         for pos_name, position in (("a", POS_A), ("b", POS_B), ("c", POS_C)):
             act = cols[f"{pos_name}_act"]
             prev_clk = cols[f"{pos_name}_prev_clk"]
             prev_shard = cols[f"{pos_name}_prev_shard"]
             ts = clk + position
-            compare = (prev_shard == 1).astype(np.int64) * act
-            diff = np.where(compare == 1, ts - prev_clk - 1, 1 - prev_shard - 1) * act
+            compare = (prev_shard == shard).astype(np.int64) * act
+            diff = (
+                np.where(compare == 1, ts - prev_clk - 1, shard - prev_shard - 1)
+                * act
+            )
             count(record, B.U16Range, diff & 0xFFFF, 0, act)
             count(record, B.U8Range, diff >> 16, 0, act)
         # op_a value range check (the access value, i.e. 0 for r0 writes)
@@ -111,7 +115,7 @@ class CpuChip(Air):
         instrs = prog.instructions
         idx = cols["instr_idx"]
         opcode = np.array([int(instrs[i].opcode) for i in idx], dtype=np.int64)
-        w.set("shard", np.ones(n))
+        w.set("shard", np.full(n, record.public_values.shard))
         w.set("clk16", cols["clk"] & 0xFFFF)
         w.set("clk8", cols["clk"] >> 16)
         w.set("pc", cols["pc"])
@@ -141,7 +145,7 @@ class CpuChip(Air):
         w.set("is_sequential", np.array(
             [int(o not in BRANCH_OPCODES and o not in JUMP_OPCODES) for o in ops]
         ))
-        w.set("shard_to_send", is_chk)  # shard == 1
+        w.set("shard_to_send", is_chk * record.public_values.shard)
         w.set("clk_to_send", is_chk * cols["clk"])
         # extra cycles: poseidon2 permute syscall takes 1 extra cycle
         is_syscall = np.array([int(o == Opcode.SYSCALL) for o in ops])
@@ -157,7 +161,10 @@ class CpuChip(Air):
             ("b", "b_acc", POS_B, False),
             ("c", "c_acc", POS_C, False),
         ):
-            fill_access(w, cols, pos_name, prefix, position, write)
+            fill_access(
+                w, cols, pos_name, prefix, position, write,
+                shard=record.public_values.shard,
+            )
         mat = pad_to_pow2(w.mat)
         # padding rows: imm_b = imm_c = 1 so operand accesses are disabled
         if mat.shape[0] > n:

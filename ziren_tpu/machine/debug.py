@@ -42,6 +42,11 @@ def debug_constraints(machine, pk, record, challenges=None):
             fl.sends, fl.receives, trace.shape[0], challenges, chip.batch_size
         )
         perm_flat = perm.reshape(trace.shape[0], -1, 4).reshape(trace.shape[0], -1)
+        gsum = (
+            trace[-1, -14:]
+            if chip.commit_scope.name == "Global"
+            else np.zeros(14, dtype=np.uint32)
+        )
         dbg = DebugFolder(
             chip.name,
             prep,
@@ -50,6 +55,7 @@ def debug_constraints(machine, pk, record, challenges=None):
             challenges,
             cumsum,
             perm=None,
+            global_cumulative_sum=gsum,
         )
         if chip.perm_width:
             n = trace.shape[0]

@@ -126,8 +126,12 @@ class DivRemChip(Air):
         ts = cols["clk"][mask] + POS_HI
         prev_clk = cols["hi_prev_clk"][mask]
         prev_shard = cols["hi_prev_shard"][mask]
-        compare = (prev_shard == 1).astype(np.int64) * hi_real
-        diff = np.where(compare == 1, ts - prev_clk - 1, 1 - prev_shard - 1) * hi_real
+        shard = record.public_values.shard
+        compare = (prev_shard == shard).astype(np.int64) * hi_real
+        diff = (
+            np.where(compare == 1, ts - prev_clk - 1, shard - prev_shard - 1)
+            * hi_real
+        )
         count(record, B.U16Range, diff & 0xFFFF, 0, hi_real)
         count(record, B.U8Range, diff >> 16, 0, hi_real)
         hi_val = word_decompose_np(cols["hi_value"][mask])
@@ -145,7 +149,7 @@ class DivRemChip(Air):
         hi_real[n_real:] = 0
         clk_full = np.zeros(n, dtype=np.int64)
         clk_full[:n_real] = cols["clk"][mask]
-        w.set("shard", hi_real)
+        w.set("shard", hi_real * record.public_values.shard)
         w.set("clk", clk_full * hi_real)
         for nm in ("pc", "next_pc", "next_next_pc"):
             w.set(nm, rows[nm])
@@ -234,7 +238,8 @@ class DivRemChip(Air):
             full[:n_real] = cols[k][mask]
             masked[k] = full * hi_real
         masked["clk"] = clk_full * hi_real
-        fill_access(w, masked, "hi", "hi_acc", POS_HI, write=True)
+        fill_access(w, masked, "hi", "hi_acc", POS_HI, write=True,
+                    shard=record.public_values.shard)
         w.set("is_real", np.ones(n))
         mat = pad_to_pow2(w.mat)
         mat[n:, COLS.slc("r_e")] = 1

@@ -83,8 +83,9 @@ class MaddSubChip(Air):
         prev_clk = cols["hi_prev_clk"][mask]
         prev_shard = cols["hi_prev_shard"][mask]
         ones = np.ones(n_real, dtype=np.int64)
-        compare = (prev_shard == 1).astype(np.int64)
-        diff = np.where(compare == 1, ts - prev_clk - 1, 1 - prev_shard - 1)
+        shard = record.public_values.shard
+        compare = (prev_shard == shard).astype(np.int64)
+        diff = np.where(compare == 1, ts - prev_clk - 1, shard - prev_shard - 1)
         count(record, B.U16Range, diff & 0xFFFF, 0, ones)
         count(record, B.U8Range, diff >> 16, 0, ones)
         count_u8_word(record, word_decompose_np(cols["hi_value"][mask]))
@@ -94,7 +95,7 @@ class MaddSubChip(Air):
         n = len(rows["pc"])
         assert n == n_real, "maddsub has no synthetic rows"
         w = COLS.writer(n)
-        w.set("shard", np.ones(n))
+        w.set("shard", np.full(n, record.public_values.shard))
         w.set("clk", cols["clk"][mask])
         for nm in ("pc", "next_pc", "next_next_pc"):
             w.set(nm, rows[nm])
@@ -138,7 +139,8 @@ class MaddSubChip(Air):
         w.set("acc_carry", carries)
         masked = {k: cols[k][mask] for k in
                   ("hi_act", "hi_prev_value", "hi_prev_clk", "hi_prev_shard", "hi_value", "clk")}
-        fill_access(w, masked, "hi", "hi_acc", POS_HI, write=True)
+        fill_access(w, masked, "hi", "hi_acc", POS_HI, write=True,
+                    shard=record.public_values.shard)
         w.set("is_real", np.ones(n))
         return pad_to_pow2(w.mat)
 

@@ -58,7 +58,8 @@ def eval_access(b, view, prefix, shard, clk, addr, do_check, write: bool):
     b.receive(LookupKind.Memory, [shard, clk, addr] + list(value), do_check)
 
 
-def fill_access(w, rec_cols, pos_name, prefix, position, write: bool, record=None):
+def fill_access(w, rec_cols, pos_name, prefix, position, write: bool, record=None,
+                shard: int = 1):
     """Trace-side fill from frozen record columns; also counts byte lookups.
 
     rec_cols: frozen record dict; pos_name: record position name ('a','b',...).
@@ -69,7 +70,6 @@ def fill_access(w, rec_cols, pos_name, prefix, position, write: bool, record=Non
     prev_value = rec_cols[f"{pos_name}_prev_value"]
     value = rec_cols[f"{pos_name}_value"]
     clk = rec_cols["clk"].astype(np.int64) + position
-    shard = 1
     compare = (prev_shard == shard).astype(np.int64) * act
     diff = np.where(compare == 1, clk - prev_clk - 1, shard - prev_shard - 1) * act
     d16 = diff & 0xFFFF

@@ -47,7 +47,8 @@ def _fill_common(w, addrs, values, n):
     w.set("addr_diff", diffs)
     w.set("is_real", np.ones(n))
     has_next = np.ones(n, dtype=np.uint32)
-    has_next[n - 1] = 0
+    if n:
+        has_next[n - 1] = 0
     w.set("has_next", has_next)
 
 
@@ -106,9 +107,12 @@ class MemoryInitChip(Air):
         N = self.COLS.view(b.main_next)
         _eval_ordering(b, L, N)
         send_u8_word(b, L.word("value"), L["is_real"])
-        b.receive(
-            LookupKind.Memory,
-            [0, 0, L["addr"]] + list(L.word("value")),
+        # overall init endpoint: a global *send* (cancels the first shard's
+        # initial-tuple receive in the septic digest)
+        b.send(
+            LookupKind.Global,
+            [0, 0, L["addr"]] + list(L.word("value"))
+            + [L["is_real"], 0, int(LookupKind.Memory)],
             L["is_real"],
         )
 
@@ -138,8 +142,10 @@ class MemoryFinalChip(Air):
         L = self.COLS.view(b.main_local)
         N = self.COLS.view(b.main_next)
         _eval_ordering(b, L, N)
+        # overall finalize endpoint: a global *receive*
         b.send(
-            LookupKind.Memory,
-            [L["shard"], L["clk"], L["addr"]] + list(L.word("value")),
+            LookupKind.Global,
+            [L["shard"], L["clk"], L["addr"]] + list(L.word("value"))
+            + [0, L["is_real"], int(LookupKind.Memory)],
             L["is_real"],
         )

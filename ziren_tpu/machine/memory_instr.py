@@ -71,8 +71,9 @@ class MemoryInstructionsChip(Air):
         ts = cols["clk"][mask]
         prev_clk = cols["mem_prev_clk"][mask]
         prev_shard = cols["mem_prev_shard"][mask]
-        compare = (prev_shard == 1).astype(np.int64)
-        diff = np.where(compare == 1, ts - prev_clk - 1, 1 - prev_shard - 1)
+        shard = record.public_values.shard
+        compare = (prev_shard == shard).astype(np.int64)
+        diff = np.where(compare == 1, ts - prev_clk - 1, shard - prev_shard - 1)
         count(record, B.U16Range, diff & 0xFFFF, 0, np.ones(n, dtype=np.int64))
         count(record, B.U8Range, diff >> 16, 0, np.ones(n, dtype=np.int64))
         # sign-extension MSB lookups
@@ -89,7 +90,7 @@ class MemoryInstructionsChip(Air):
         cols, mask, ops = self._rows(record)
         n = int(mask.sum())
         w = COLS.writer(n)
-        w.set("shard", np.ones(n))
+        w.set("shard", np.full(n, record.public_values.shard))
         w.set("clk", cols["clk"][mask])
         for nm in ("pc", "next_pc", "next_next_pc"):
             w.set(nm, cols[nm][mask])
@@ -138,7 +139,8 @@ class MemoryInstructionsChip(Air):
         msb[lb] = (mem[np.arange(n), i0][lb] >> 7) & 1
         msb[lh] = (half_hi[lh] >> 7) & 1
         w.set("msb_sel", msb)
-        fill_access(w, cols_masked(cols, mask), "mem", "mem", 0, write=True)
+        fill_access(w, cols_masked(cols, mask), "mem", "mem", 0, write=True,
+                    shard=record.public_values.shard)
         w.set("is_real", np.ones(n))
         mat = pad_to_pow2(w.mat)
         mat[n:, COLS.slc("ls").start] = 1

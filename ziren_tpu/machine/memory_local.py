@@ -1,0 +1,71 @@
+"""MemoryLocalChip: per-shard memory access endpoints
+(reference: crates/core/machine/src/memory/local.rs).
+
+For every address touched in the shard it receives the first access's
+previous tuple and sends the last tuple — balancing the shard's Local memory
+multiset — and routes both tuples into the Global multiset (received by the
+GlobalChip, accumulated onto the septic curve): the initial tuple as a
+global *receive*, the final tuple as a global *send*, so consecutive shards
+telescope and the MemoryInit/Final chips provide the overall endpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ziren_tpu.stark.chip import Air
+from ziren_tpu.stark.lookup import LookupKind
+from .layout import Layout, pad_to_pow2, word_decompose_np
+
+COLS = Layout().add("addr")
+COLS.add("init_shard").add("init_clk").word("init_value")
+COLS.add("final_shard").add("final_clk").word("final_value")
+COLS.add("is_real")
+
+
+def global_memory_message(shard, clk, addr, value_word):
+    return [shard, clk, addr] + list(value_word)
+
+
+class MemoryLocalChip(Air):
+    name = "MemoryLocal"
+    width = COLS.width
+
+    def generate_trace(self, record, output):
+        addrs = sorted(record.shard_initial)
+        n = len(addrs)
+        w = COLS.writer(n)
+        w.set("addr", addrs)
+        w.set("init_shard", [record.shard_initial[a][0] for a in addrs])
+        w.set("init_clk", [record.shard_initial[a][1] for a in addrs])
+        w.set_word("init_value", np.array(
+            [record.shard_initial[a][2] for a in addrs], dtype=np.int64))
+        w.set("final_shard", [record.shard_final[a][0] for a in addrs])
+        w.set("final_clk", [record.shard_final[a][1] for a in addrs])
+        w.set_word("final_value", np.array(
+            [record.shard_final[a][2] for a in addrs], dtype=np.int64))
+        w.set("is_real", np.ones(n))
+        return pad_to_pow2(w.mat)
+
+    def eval(self, b):
+        L = COLS.view(b.main_local)
+        is_real = L["is_real"]
+        b.assert_bool(is_real)
+        init = [L["init_shard"], L["init_clk"], L["addr"]] + list(L.word("init_value"))
+        final = [L["final_shard"], L["final_clk"], L["addr"]] + list(
+            L.word("final_value")
+        )
+        # balance the shard-local memory multiset
+        b.receive(LookupKind.Memory, init, is_real)
+        b.send(LookupKind.Memory, final, is_real)
+        # route the endpoints into the global multiset (GlobalChip)
+        b.send(
+            LookupKind.Global,
+            init + [0, is_real, int(LookupKind.Memory)],  # is_send=0, is_receive=1
+            is_real,
+        )
+        b.send(
+            LookupKind.Global,
+            final + [is_real, 0, int(LookupKind.Memory)],  # is_send=1
+            is_real,
+        )

@@ -19,7 +19,9 @@ from .branch import BranchChip
 from .byte import ByteChip
 from .cpu import CpuChip
 from .jump import JumpChip
+from .global_chip import GlobalChip
 from .memory_global import MemoryFinalChip, MemoryInitChip
+from .memory_local import MemoryLocalChip
 from .memory_instr import MemoryInstructionsChip
 from .divrem import DivRemChip
 from .maddsub import MaddSubChip
@@ -52,8 +54,10 @@ def mips_airs():
         SyscallChip(),
         Poseidon2PermuteChip(),
         ByteChip(),
+        MemoryLocalChip(),
         MemoryInitChip(),
         MemoryFinalChip(),
+        GlobalChip(),
     ]
 
 
@@ -61,6 +65,40 @@ def mips_machine(config=None) -> StarkMachine:
     return StarkMachine(
         config or dev_config(), mips_airs(), num_public_values=PROOF_MAX_NUM_PVS
     )
+
+
+def verify_mips_proof(machine, vk, proof, pc_start=None):
+    """machine.verify + the cross-shard public-value chaining rules
+    (reference: crates/prover/src/verify.rs:120-298)."""
+    from ziren_tpu.stark.verifier import VerificationError
+    from .messages import (
+        PV_EXECUTION_SHARD,
+        PV_EXIT_CODE,
+        PV_NEXT_PC,
+        PV_SHARD,
+        PV_START_PC,
+    )
+
+    machine.verify(vk, proof)
+    shards = proof.shard_proofs
+    digest0 = shards[0].public_values[:40]
+    for i, sp in enumerate(shards):
+        pv = sp.public_values
+        if pv[PV_SHARD] != i + 1 or pv[PV_EXECUTION_SHARD] != i + 1:
+            raise VerificationError(f"shard {i}: bad shard numbering")
+        if pv[:40] != digest0:
+            raise VerificationError(f"shard {i}: committed digest mismatch")
+        if i > 0 and pv[PV_START_PC] != shards[i - 1].public_values[PV_NEXT_PC]:
+            raise VerificationError(f"shard {i}: pc chain broken")
+        if i > 0 and pv[PV_START_PC] == 0:
+            raise VerificationError(f"shard {i}: started after halt")
+    if pc_start is not None and shards[0].public_values[PV_START_PC] != pc_start:
+        raise VerificationError("first shard start_pc != program entry")
+    if shards[-1].public_values[PV_NEXT_PC] != 0:
+        raise VerificationError("last shard did not halt")
+    if shards[-1].public_values[PV_EXIT_CODE] != 0:
+        raise VerificationError("nonzero exit code")
+    return True
 
 
 def execute(program, stdin=None, native=True):
@@ -80,10 +118,15 @@ def execute(program, stdin=None, native=True):
     return ex, record
 
 
-def prove_program(program, stdin=None, config=None):
+def prove_program(program, stdin=None, config=None, shard_size=None):
     """Execute + prove; returns (machine, pk, vk, proof, executor)."""
     machine = mips_machine(config)
-    pk, vk = machine.setup(program)
-    ex, record = execute(program, stdin)
-    proof = machine.prove(pk, [record])
+    pk, vk = machine.setup(program, extra_observations=[program.pc_start])
+    if shard_size:
+        ex = Executor(program, stdin=stdin, shard_size=shard_size)
+        records = ex.run_sharded()
+    else:
+        ex, record = execute(program, stdin)
+        records = [record]
+    proof = machine.prove(pk, records)
     return machine, pk, vk, proof, ex

@@ -95,9 +95,11 @@ class MulChip(Air):
         ts = cols["clk"][mask] + POS_HI
         prev_clk = cols["hi_prev_clk"][mask]
         prev_shard = cols["hi_prev_shard"][mask]
-        compare = (prev_shard == 1).astype(np.int64) * writes_hi
+        shard = record.public_values.shard
+        compare = (prev_shard == shard).astype(np.int64) * writes_hi
         diff = (
-            np.where(compare == 1, ts - prev_clk - 1, 1 - prev_shard - 1) * writes_hi
+            np.where(compare == 1, ts - prev_clk - 1, shard - prev_shard - 1)
+            * writes_hi
         )
         count(record, B.U16Range, diff & 0xFFFF, 0, writes_hi)
         count(record, B.U8Range, diff >> 16, 0, writes_hi)
@@ -117,7 +119,7 @@ class MulChip(Air):
         )
         clk_full = np.zeros(n, dtype=np.int64)
         clk_full[:n_real] = cols["clk"][mask]
-        w.set("shard", hi_real)  # shard/clk sent only when hi is written
+        w.set("shard", hi_real * record.public_values.shard)
         w.set("clk", clk_full * hi_real)
         for nm in ("pc", "next_pc", "next_next_pc"):
             w.set(nm, rows[nm])
@@ -140,7 +142,8 @@ class MulChip(Air):
             full = np.zeros(n, dtype=np.int64)
             full[:n_real] = cols[k][mask] if k != "clk" else cols["clk"][mask]
             masked[k] = full * hi_real
-        fill_access(w, masked, "hi", "hi_acc", POS_HI, write=True)
+        fill_access(w, masked, "hi", "hi_acc", POS_HI, write=True,
+                    shard=record.public_values.shard)
         w.set("is_real", np.ones(n))
         return pad_to_pow2(w.mat)
 

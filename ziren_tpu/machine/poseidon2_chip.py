@@ -78,7 +78,7 @@ class Poseidon2PermuteChip(Air):
         if not events:
             return
         for ev in events:
-            clk, shard = ev["clk"], ev["shard"]
+            clk, shard = ev["clk"], ev["shard"]  # shard == record's shard
             for ts, accesses in ((clk, ev["reads"]), (clk + 1, ev["writes"])):
                 for acc in accesses:
                     prev_clk, prev_shard = acc[2], acc[3]
@@ -141,7 +141,8 @@ class Poseidon2PermuteChip(Air):
                             [ev["clk"] + ts_off for ev in events], dtype=np.int64
                         ),
                     }
-                    fill_access(w, rec_cols, "m", prefix, 0, write=write)
+                    fill_access(w, rec_cols, "m", prefix, 0, write=write,
+                                shard=record.public_values.shard)
             w.set("is_real", np.ones(n))
         mat = pad_to_pow2(w.mat)
         # padding rows must satisfy the (ungated) round constraints: fill

@@ -50,7 +50,7 @@ class SyscallChip(Air):
         cols, mask = self._rows(record)
         n = int(mask.sum())
         w = COLS.writer(n)
-        w.set("shard", np.ones(n))
+        w.set("shard", np.full(n, record.public_values.shard))
         w.set("clk", cols["clk"][mask])
         for nm in ("pc", "next_pc", "next_next_pc"):
             w.set(nm, cols[nm][mask])

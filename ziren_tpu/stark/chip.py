@@ -71,7 +71,10 @@ class Chip:
         self.perm_width = perm_trace_width(self.num_lookups, BATCH_SIZE)
         if self.perm_width:
             fl.perm_columns(self.perm_width)
-            eval_permutation_constraints(fl, fl.sends, fl.receives, BATCH_SIZE)
+            eval_permutation_constraints(
+                fl, fl.sends, fl.receives, BATCH_SIZE,
+                commit_scope=air.commit_scope, main_width=air.width,
+            )
         self.num_constraints = fl.num_constraints
         self.max_constraint_degree = max(fl.max_degree, 2)
         self.log_quotient_degree = max(self.max_constraint_degree - 1, 1).bit_length() - 1
@@ -87,4 +90,7 @@ class Chip:
         exactly in reference order (chip.rs:268)."""
         self.air.eval(folder)
         if self.perm_width:
-            eval_permutation_constraints(folder, folder.sends, folder.receives, BATCH_SIZE)
+            eval_permutation_constraints(
+                folder, folder.sends, folder.receives, BATCH_SIZE,
+                commit_scope=self.commit_scope, main_width=self.width,
+            )

@@ -257,6 +257,10 @@ class SymbolicFolder(_Builder):
     def local_cumulative_sum(self):
         return DV(self, 0)
 
+    @property
+    def global_cumulative_sum(self):
+        return [DV(self, 0)] * 14
+
 
 # ---------------------------------------------------------------------------
 # Quotient folder (prover, vectorized over the quotient domain)
@@ -275,8 +279,16 @@ class QuotientFolder(_NumericFolderBase, _Builder):
         powers_of_alpha_rev,
         perm_challenges,
         local_cumulative_sum,
+        global_cumulative_sum=None,
     ):
         _Builder.__init__(self)
+        import numpy as _np
+
+        if global_cumulative_sum is None:
+            global_cumulative_sum = _np.zeros(14, dtype=_np.uint32)
+        self.global_cumulative_sum = [
+            FV(self, _np.uint32(v), False) for v in global_cumulative_sum
+        ]
         mk = lambda cols: [FV(self, c, False) for c in cols]
         self.prep_local = mk(prep_local)
         self.prep_next = mk(prep_next)
@@ -334,8 +346,16 @@ class VerifierFolder(_NumericFolderBase, _Builder):
         local_cumulative_sum,
         perm_local=None,
         perm_next=None,
+        global_cumulative_sum=None,
     ):
         _Builder.__init__(self)
+        import numpy as _np
+
+        if global_cumulative_sum is None:
+            global_cumulative_sum = _np.zeros(14, dtype=_np.uint32)
+        self.global_cumulative_sum = [
+            FV(self, _np.uint32(v), False) for v in global_cumulative_sum
+        ]
         mk = lambda vals: [self.lift_ext(v) for v in vals]
         self.prep_local = mk(prep_local)
         self.prep_next = mk(prep_next)
@@ -406,8 +426,16 @@ class DebugFolder(_NumericFolderBase, _Builder):
         perm_challenges,
         local_cumulative_sum,
         perm=None,
+        global_cumulative_sum=None,
     ):
         _Builder.__init__(self)
+        import numpy as _np
+
+        if global_cumulative_sum is None:
+            global_cumulative_sum = _np.zeros(14, dtype=_np.uint32)
+        self.global_cumulative_sum = [
+            FV(self, _np.uint32(v), False) for v in global_cumulative_sum
+        ]
         n = main.shape[0]
         nxt = lambda m: np.roll(m, -1, axis=0)
         mk = lambda m: [FV(self, m[:, i], False) for i in range(m.shape[1])]

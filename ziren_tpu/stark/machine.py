@@ -97,4 +97,16 @@ class StarkMachine:
         for sp in proof.shard_proofs:
             ch = base.clone()
             verify_shard(self, vk, sp, ch)
+        # global septic digest balance across shards
+        # (reference: machine.rs:659-674)
+        from ziren_tpu.core import septic as S
+
+        digests = []
+        for sp in proof.shard_proofs:
+            for name, vals in zip(sp.chip_names, sp.opened_values):
+                if self.chip_by_name[name].commit_scope.name == "Global":
+                    g = vals.global_cumulative_sum
+                    digests.append((g[:7], g[7:14]))
+        if digests and not S.digests_balance(digests):
+            raise VerificationError("global cumulative sum does not balance")
         return True

@@ -71,9 +71,19 @@ def generate_permutation_trace(sends, receives, height, challenges, batch_size=2
     return trace, phi[-1].copy()
 
 
-def eval_permutation_constraints(folder, sends, receives, batch_size=2):
+def eval_permutation_constraints(folder, sends, receives, batch_size=2,
+                                 commit_scope=LookupScope.Local,
+                                 main_width=None):
     """Folder-generic constraint pass; `folder.sends/receives` already filled
     by air.eval with folder-domain values."""
+    # Global-scope chips: bind the last row's trailing 14 main columns to the
+    # claimed global cumulative sum (reference: permutation.rs:336-349)
+    if commit_scope == LookupScope.Global:
+        g = folder.global_cumulative_sum
+        for i in range(14):
+            folder.when_last_row().assert_eq(
+                folder.main_local[main_width - 14 + i], g[i]
+            )
     sends, receives = _local(sends), _local(receives)
     n_lookups = len(sends) + len(receives)
     width = perm_trace_width(n_lookups, batch_size)

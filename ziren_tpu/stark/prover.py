@@ -121,6 +121,7 @@ def prove_shard(machine, pk, record, challenger):
             powers_of_alpha_rev=alphas_rev,
             perm_challenges=perm_challenges,
             local_cumulative_sum=cumsums[i],
+            global_cumulative_sum=global_sums[i],
         )
         if chip.perm_width:
             perm_next_q = roll(perm_q)

@@ -46,8 +46,12 @@ def verify_shard(machine, vk, proof, challenger):
     for chip, vals in zip(chips, proof.opened_values):
         ch.observe_slice(np.asarray(vals.local_cumulative_sum, np.uint32))
         ch.observe_slice(np.asarray(vals.global_cumulative_sum, np.uint32))
-        if chip.commit_scope.name == "Local" and np.any(vals.global_cumulative_sum[:7] != _septic_zero_x()):
-            pass  # septic zero-check wired in once the Global chip lands
+        if chip.commit_scope.name == "Local" and np.any(
+            np.asarray(vals.global_cumulative_sum) != 0
+        ):
+            raise VerificationError(
+                f"chip {chip.name}: nonzero global cumulative sum on Local chip"
+            )
         if chip.num_lookups == 0 and np.any(vals.local_cumulative_sum != 0):
             raise VerificationError(
                 f"chip {chip.name}: nonzero local cumsum with no lookups"
@@ -137,6 +141,7 @@ def verify_shard(machine, vk, proof, challenger):
             local_cumulative_sum=vals.local_cumulative_sum,
             perm_local=_unflatten(vals.permutation.local),
             perm_next=_unflatten(vals.permutation.next),
+            global_cumulative_sum=vals.global_cumulative_sum,
         )
         chip.eval_with_perm(folder)
         folded = E.emul(folder.acc, sels["inv_zeroifier"])
