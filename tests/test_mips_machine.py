@@ -82,3 +82,18 @@ def test_poseidon2_precompile_prove_verify():
     assert ex.peek_register(20) == int(want[0])
     proof = machine.prove(pk, [record])
     assert machine.verify(vk, proof)
+
+
+def test_sha_extend_precompile_prove_verify():
+    from ziren_tpu.executor.asm import sha_extend_program
+
+    machine, pk, vk, ex, record = _setup(sha_extend_program())
+    ror = lambda x, r: ((x >> r) | (x << (32 - r))) & 0xFFFFFFFF
+    w = [i * 0x1111 + 1 for i in range(16)] + [0] * 48
+    for i in range(16, 64):
+        s0 = ror(w[i - 15], 7) ^ ror(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = ror(w[i - 2], 17) ^ ror(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w[i] = (w[i - 16] + s0 + w[i - 7] + s1) & 0xFFFFFFFF
+    assert ex.peek_register(20) == w[63]
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)

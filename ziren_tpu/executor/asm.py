@@ -175,3 +175,20 @@ def poseidon2_program() -> Program:
             *halt_sequence(0),
         ]
     )
+
+
+def sha_extend_program() -> Program:
+    """Fills w[0..16] at 0x2000 and runs the sha_extend precompile."""
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    for i in range(16):
+        insns += [imm(O.ADD, 9, 0, i * 0x1111 + 1), ri(O.SW, 9, 8, 4 * i)]
+    insns += [
+        imm(O.SLL, 2, 0x3001, 16),  # v0 = 0x30010000
+        ri(O.OR, 2, 2, 0x05),  # v0 = SHA_EXTEND
+        imm(O.ADD, 4, 0, 0x2000),  # a0 = ptr
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 8, 4 * 63),  # r20 = w[63]
+        ri(O.LW, 21, 8, 4 * 16),  # r21 = w[16]
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -601,6 +601,52 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.SHA_EXTEND:
+            # w[i] = w[i-16] + s0(w[i-15]) + w[i-7] + s1(w[i-2]), i = 16..63
+            # one event per iteration at clk + (i - 16); 48 extra cycles
+            ptr = b
+            assert ptr % 4 == 0, "sha_extend state must be word-aligned"
+            evs = self.record.precompile_events.setdefault(
+                int(SyscallCode.SHA_EXTEND), []
+            )
+            ror = lambda x, r: ((x >> r) | (x << (32 - r))) & M32
+            for i in range(16, 64):
+                clk_i = self.clk + (i - 16)
+                ev = {"shard": self.shard, "clk": clk_i, "ptr": ptr, "i": i,
+                      "reads": [], "write": None}
+
+                def rd(idx):
+                    addr = (ptr + 4 * idx) & M32
+                    rec = self.memory.get(addr)
+                    if rec is None:
+                        rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                        self.memory[addr] = rec
+                    self._touch(addr, rec)
+                    ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                    v = rec[0]
+                    rec[1] = clk_i
+                    rec[2] = self.shard
+                    return v
+
+                w16 = rd(i - 16)
+                w15 = rd(i - 15)
+                w7 = rd(i - 7)
+                w2 = rd(i - 2)
+                s0 = ror(w15, 7) ^ ror(w15, 18) ^ (w15 >> 3)
+                s1 = ror(w2, 17) ^ ror(w2, 19) ^ (w2 >> 10)
+                out = (w16 + s0 + w7 + s1) & M32
+                addr = (ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["write"] = (addr, rec[0], rec[1], rec[2], out)
+                rec[0] = out
+                rec[1] = clk_i
+                rec[2] = self.shard
+                evs.append(ev)
+            return syscall_id, None, 48, 0
         if syscall_id == SyscallCode.SYSHINTLEN:
             if self.input_stream_ptr >= len(self.input_stream):
                 raise ExecutionError("no more hints")

@@ -147,9 +147,12 @@ class CpuChip(Air):
         ))
         w.set("shard_to_send", is_chk * record.public_values.shard)
         w.set("clk_to_send", is_chk * cols["clk"])
-        # extra cycles: poseidon2 permute syscall takes 1 extra cycle
+        # extra cycles: poseidon2 = 1, sha_extend = 48
         is_syscall = np.array([int(o == Opcode.SYSCALL) for o in ops])
-        extra = (np.asarray(cols["syscall_code"]) == 0x00010030) * is_syscall
+        sid = np.asarray(cols["syscall_code"])
+        extra = (
+            (sid == 0x00010030) * 1 + (sid == 0x30010005) * 48
+        ) * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])
         w.set_word("prev_a", cols["prev_a"])

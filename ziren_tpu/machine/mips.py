@@ -27,6 +27,7 @@ from .divrem import DivRemChip
 from .maddsub import MaddSubChip
 from .misc import CloClzChip, MiscChip, MovCondChip
 from .mul import MulChip
+from .sha_extend import ShaExtendChip
 from .shift import ShiftLeftChip, ShiftRightChip
 from .poseidon2_chip import Poseidon2PermuteChip
 from .program import ProgramChip
@@ -53,6 +54,7 @@ def mips_airs():
         MemoryInstructionsChip(),
         SyscallChip(),
         Poseidon2PermuteChip(),
+        ShaExtendChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -24,6 +24,7 @@ CODES = [
     ("is_hintlen", int(SyscallCode.SYSHINTLEN)),
     ("is_hintread", int(SyscallCode.SYSHINTREAD)),
     ("is_poseidon2", int(SyscallCode.POSEIDON2_PERMUTE)),
+    ("is_sha_extend", int(SyscallCode.SHA_EXTEND)),
 ]
 
 COLS = Layout().add("shard").add("clk")
@@ -89,6 +90,7 @@ class SyscallChip(Air):
 
         is_halt = L["is_halt"]
         is_p2 = L["is_poseidon2"]
+        is_sha = L["is_sha_extend"]
         b.receive(
             LookupKind.Instruction,
             instruction_message(
@@ -96,7 +98,7 @@ class SyscallChip(Air):
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
                 0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
-                is_p2,  # poseidon2 takes one extra cycle
+                is_p2 + is_sha * 48,  # precompile extra cycles
             ),
             is_real,
         )
@@ -108,6 +110,12 @@ class SyscallChip(Air):
             [L["shard"], L["clk"], int(SyscallCode.POSEIDON2_PERMUTE),
              pack_word(L.word("b"))],
             is_p2,
+        )
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.SHA_EXTEND),
+             pack_word(L.word("b"))],
+            is_sha,
         )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
