@@ -117,9 +117,16 @@ struct PrecompileEvent {
   PrecompileAccess reads[16], writes[16];
 };
 
+struct ShaExtendEvent {
+  uint32_t shard, clk, ptr, i;
+  PrecompileAccess reads[4];
+  PrecompileAccess write;
+};
+
 struct Executor {
   std::vector<Instr> instructions;
   std::vector<PrecompileEvent> p2_events;
+  std::vector<ShaExtendEvent> sha_ext_events;
   uint32_t pc_start = 0, pc_base = 0;
   std::unordered_map<uint32_t, MemRec> memory;
   std::unordered_map<uint32_t, uint32_t> uninit;
@@ -351,6 +358,35 @@ struct Executor {
             uninit[addr] = word;
           }
           ret = c;
+          break;
+        }
+        case 0x30010005: {  // SHA_EXTEND
+          uint32_t ptr = b;
+          if (ptr % 4 != 0) { error = "sha_extend unaligned"; return true; }
+          auto rotr = [](uint32_t x, int r) { return (x >> r) | (x << (32 - r)); };
+          for (uint32_t i = 16; i < 64; i++) {
+            uint32_t clk_i = clk + (i - 16);
+            ShaExtendEvent ev;
+            ev.shard = shard; ev.clk = clk_i; ev.ptr = ptr; ev.i = i;
+            uint32_t vals[4];
+            int offs[4] = {-16, -15, -7, -2};
+            for (int k = 0; k < 4; k++) {
+              uint32_t addr = ptr + 4 * (i + offs[k]);
+              MemRec& r = lookup(addr);
+              ev.reads[k] = {addr, r.value, r.clk, r.shard, r.value};
+              vals[k] = r.value;
+              r.clk = clk_i; r.shard = shard;
+            }
+            uint32_t s0 = rotr(vals[1], 7) ^ rotr(vals[1], 18) ^ (vals[1] >> 3);
+            uint32_t s1 = rotr(vals[3], 17) ^ rotr(vals[3], 19) ^ (vals[3] >> 10);
+            uint32_t out = vals[0] + s0 + vals[2] + s1;
+            uint32_t waddr = ptr + 4 * i;
+            MemRec& r = lookup(waddr);
+            ev.write = {waddr, r.value, r.clk, r.shard, out};
+            r.value = out; r.clk = clk_i; r.shard = shard;
+            if (trace) sha_ext_events.push_back(ev);
+          }
+          extra_cycles = 48;
           break;
         }
         case 0x00010030: {  // POSEIDON2_PERMUTE
@@ -593,6 +629,26 @@ void ziren_exec_p2_events(void* h, uint32_t* out) {
       uint32_t* f = row + 83 + k * 5;
       f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
     }
+  }
+}
+
+uint32_t ziren_exec_num_sha_ext_events(void* h) {
+  return (uint32_t)((Executor*)h)->sha_ext_events.size();
+}
+void ziren_exec_sha_ext_events(void* h, uint32_t* out) {
+  auto* ex = (Executor*)h;
+  for (size_t i = 0; i < ex->sha_ext_events.size(); i++) {
+    const ShaExtendEvent& e = ex->sha_ext_events[i];
+    uint32_t* row = out + i * 29;
+    row[0] = e.shard; row[1] = e.clk; row[2] = e.ptr; row[3] = e.i;
+    for (int k = 0; k < 4; k++) {
+      const PrecompileAccess& a = e.reads[k];
+      uint32_t* f = row + 4 + k * 5;
+      f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+    }
+    const PrecompileAccess& a = e.write;
+    uint32_t* f = row + 24;
+    f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
   }
 }
 

@@ -47,9 +47,11 @@ def _load():
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p]
     lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.ziren_exec_peek.restype = ctypes.c_uint32
-    for f in ("committed", "stdout", "events", "touched", "p2_events"):
+    for f in ("committed", "stdout", "events", "touched", "p2_events",
+              "sha_ext_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.ziren_exec_num_p2_events.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_num_sha_ext_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -126,6 +128,21 @@ class NativeExecutor:
                     )
                 evs.append(ev)
             record.precompile_events[0x00010030] = evs
+        nsha = lib.ziren_exec_num_sha_ext_events(h)
+        if nsha:
+            rows = np.zeros((nsha, 29), dtype=np.uint32)
+            lib.ziren_exec_sha_ext_events(h, rows.ctypes.data_as(ctypes.c_void_p))
+            evs = []
+            for r in rows:
+                ev = {"shard": int(r[0]), "clk": int(r[1]), "ptr": int(r[2]),
+                      "i": int(r[3]), "reads": [], "write": None}
+                for k in range(4):
+                    f = r[4 + k * 5 : 9 + k * 5]
+                    ev["reads"].append((int(f[0]), int(f[1]), int(f[2]), int(f[3])))
+                f = r[24:29]
+                ev["write"] = (int(f[0]), int(f[1]), int(f[2]), int(f[3]), int(f[4]))
+                evs.append(ev)
+            record.precompile_events[0x30010005] = evs
         record.mem_init = [(int(r[0]), int(r[1])) for r in touched]
         record.mem_final = [
             (int(r[0]), int(r[2]), int(r[3]), int(r[4])) for r in touched
