@@ -83,6 +83,49 @@ def open_at(tree: MerkleTree, index: int):
     return rows, path
 
 
+def verify_openings_batch(root, matrix_dims, indices, rows_list, paths_list) -> bool:
+    """Batched verification of many openings against one commitment:
+    leaf hashes and per-level compressions run vectorized across queries."""
+    nq = len(indices)
+    if nq == 0:
+        return True
+    heights = sorted({h for h, _ in matrix_dims}, reverse=True)
+    max_h = heights[0]
+    log_max = max_h.bit_length() - 1
+    for path in paths_list:
+        if len(path) != log_max:
+            return False
+
+    def rows_at(rows, h):
+        return [
+            np.asarray(r, np.uint32)
+            for (hh, _), r in zip(matrix_dims, rows)
+            if hh == h
+        ]
+
+    leaf = np.stack(
+        [np.concatenate(rows_at(rows, max_h)) for rows in rows_list]
+    )
+    digests = p2.hash_rows(leaf)  # (nq, 8)
+    idxs = np.asarray(indices, dtype=np.int64)
+    h = max_h
+    for lvl in range(log_max):
+        siblings = np.stack([np.asarray(paths_list[q][lvl], np.uint32) for q in range(nq)])
+        bits = (idxs & 1).astype(bool)
+        left = np.where(bits[:, None], siblings, digests)
+        right = np.where(bits[:, None], digests, siblings)
+        digests = p2.compress(left, right)
+        idxs >>= 1
+        h //= 2
+        if any(hh == h for hh, _ in matrix_dims):
+            inj = np.stack(
+                [np.concatenate(rows_at(rows, h)) for rows in rows_list]
+            )
+            digests = p2.compress(digests, p2.hash_rows(inj))
+    want = np.asarray(root, np.uint32)
+    return bool(np.all(digests == want[None, :]))
+
+
 def verify_opening(root, matrix_dims, index: int, rows, path) -> bool:
     """matrix_dims: list of (height, width) in batch order."""
     heights = sorted({h for h, _ in matrix_dims}, reverse=True)

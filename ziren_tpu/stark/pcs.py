@@ -296,6 +296,36 @@ class TwoAdicFriPcs:
 
         self._set_shifts(log_max)
         self.commit_phase_commits_cache = proof.commit_phase_commits
+
+        # batched Merkle verification across all queries
+        for r_i, (commit, mats) in enumerate(rounds):
+            dims = [(dom.size << log_blowup, len(pts[0][1])) for dom, pts in mats]
+            tree_log = max(h for h, _ in dims).bit_length() - 1
+            idxs, rows_l, paths_l = [], [], []
+            for idx, qp in zip(query_indices, proof.query_proofs):
+                if len(qp.input_openings) != len(rounds):
+                    return False
+                rows, path = qp.input_openings[r_i]
+                idxs.append(idx >> (log_max - tree_log))
+                rows_l.append(rows)
+                paths_l.append(path)
+            if not merkle.verify_openings_batch(commit, dims, idxs, rows_l, paths_l):
+                return False
+        for l_i, commit in enumerate(proof.commit_phase_commits):
+            layer_log = log_max - l_i
+            idxs, rows_l, paths_l = [], [], []
+            for idx, qp in zip(query_indices, proof.query_proofs):
+                if len(qp.commit_phase_openings) != len(betas):
+                    return False
+                pair, path = qp.commit_phase_openings[l_i]
+                idxs.append((idx >> l_i) >> 1)
+                rows_l.append([np.asarray(pair, np.uint32).reshape(-1)])
+                paths_l.append(path)
+            if not merkle.verify_openings_batch(
+                commit, [(1 << (layer_log - 1), 8)], idxs, rows_l, paths_l
+            ):
+                return False
+
         for idx, qp in zip(query_indices, proof.query_proofs):
             if not self._verify_query(rounds, idx, qp, alpha, betas, proof.final_poly, log_max):
                 return False
@@ -316,11 +346,6 @@ class TwoAdicFriPcs:
         if len(qp.input_openings) != len(rounds):
             return False
         for (commit, mats), (rows, path) in zip(rounds, qp.input_openings):
-            dims = [(dom.size << log_blowup, len(pts[0][1])) for dom, pts in mats]
-            tree_log = max(h for h, _ in dims).bit_length() - 1
-            tree_idx = idx >> (log_max - tree_log)
-            if not merkle.verify_opening(commit, dims, tree_idx, rows, path):
-                return False
             for (dom, pts), row in zip(mats, rows):
                 l = dom.log_n + log_blowup
                 if l not in ro:
@@ -352,12 +377,8 @@ class TwoAdicFriPcs:
             qp.commit_phase_openings, betas, self.commit_phase_commits_cache
         ):
             # check our current value matches the opened sibling pair
+            # (the Merkle paths were batch-verified above)
             if not np.array_equal(pair[i & 1], folded):
-                return False
-            row_flat = pair.reshape(-1)
-            if not merkle.verify_opening(
-                commit, [(1 << (l - 1), 8)], i >> 1, [row_flat], path
-            ):
                 return False
             e0, e1 = pair[0], pair[1]
             half = (F.P_INT + 1) // 2

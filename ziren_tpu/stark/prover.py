@@ -109,13 +109,14 @@ def prove_shard(machine, pk, record, challenger):
         perm_q = pcs.get_evaluations_on_domain(perm_data, i, qdom)
         sels = tdom.selectors_on_coset(qdom)
 
-        roll = lambda m: np.roll(m, -next_step, axis=0)
+        prep_next_q = np.roll(prep_q, -next_step, axis=0)
+        main_next_q = np.roll(main_q, -next_step, axis=0)
         alphas_rev = E.epowers(alpha, chip.num_constraints)[::-1].copy()
         folder = QuotientFolder(
             prep_local=[prep_q[:, c] for c in range(prep_q.shape[1])],
-            prep_next=[roll(prep_q)[:, c] for c in range(prep_q.shape[1])],
+            prep_next=[prep_next_q[:, c] for c in range(prep_q.shape[1])],
             main_local=[main_q[:, c] for c in range(main_q.shape[1])],
-            main_next=[roll(main_q)[:, c] for c in range(main_q.shape[1])],
+            main_next=[main_next_q[:, c] for c in range(main_q.shape[1])],
             sels=sels,
             public_values=public_values,
             powers_of_alpha_rev=alphas_rev,
@@ -124,7 +125,7 @@ def prove_shard(machine, pk, record, challenger):
             global_cumulative_sum=global_sums[i],
         )
         if chip.perm_width:
-            perm_next_q = roll(perm_q)
+            perm_next_q = np.roll(perm_q, -next_step, axis=0)
             folder.set_perm(
                 _unflatten_ext_cols(perm_q), _unflatten_ext_cols(perm_next_q)
             )
