@@ -281,6 +281,7 @@ struct Executor {
       uint32_t addr = rs + off;
       uint32_t aligned = addr & ~3u;
       if (aligned < 0x1000) { error = "guest access below 0x1000"; return true; }
+      if (aligned >= 0x7F000000u) { error = "guest access above MAX_MEMORY"; return true; }
       b = rs; c = off;
       uint32_t i = addr & 3;
       if (op <= LL) {  // loads

@@ -97,3 +97,18 @@ def test_sha_extend_precompile_prove_verify():
     assert ex.peek_register(20) == w[63]
     proof = machine.prove(pk, [record])
     assert machine.verify(vk, proof)
+
+
+def test_sha256_full_prove_verify():
+    """SHA-256 of the empty message via the extend + compress precompiles."""
+    import hashlib
+
+    from ziren_tpu.executor.asm import sha256_program
+
+    machine, pk, vk, ex, record = _setup(sha256_program())
+    digest = b"".join(
+        ex.peek_word(0x3000 + 4 * j).to_bytes(4, "big") for j in range(8)
+    )
+    assert digest == hashlib.sha256(b"").digest()
+    proof = machine.prove(pk, [record])
+    assert machine.verify(vk, proof)

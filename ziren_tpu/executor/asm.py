@@ -192,3 +192,25 @@ def sha_extend_program() -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def sha256_program() -> Program:
+    """Full SHA-256 of the empty message via extend + compress precompiles."""
+    IV = [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+          0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19]
+    insns = [imm(O.ADD, 8, 0, 0x2000), imm(O.ADD, 10, 0, 0x3000)]
+    for j, v in enumerate(IV):
+        insns += [imm(O.SLL, 9, v >> 16, 16), ri(O.OR, 9, 9, v & 0xFFFF),
+                  ri(O.SW, 9, 10, 4 * j)]
+    insns += [imm(O.SLL, 9, 0x8000, 16), ri(O.SW, 9, 8, 0)]  # padded block
+    insns += [
+        imm(O.SLL, 2, 0x3001, 16), ri(O.OR, 2, 2, 0x05),  # SHA_EXTEND
+        imm(O.ADD, 4, 0, 0x2000),
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        imm(O.SLL, 2, 0x0101, 16), ri(O.OR, 2, 2, 0x06),  # SHA_COMPRESS
+        imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, 0x3000),
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 10, 0),
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

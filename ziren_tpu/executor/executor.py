@@ -34,6 +34,19 @@ from .program import NUM_REGISTERS, REG_A0, REG_A1, REG_V0, sign_extend
 from .record import ExecutionRecord
 
 M32 = 0xFFFFFFFF
+_SHA256_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
 POS_MEMORY, POS_C, POS_B, POS_A, POS_HI = 0, 1, 2, 3, 4
 _POS_NAME = {POS_MEMORY: "mem", POS_C: "c", POS_B: "b", POS_A: "a", POS_HI: "hi"}
 
@@ -219,6 +232,7 @@ class Executor:
             addr = (rs_raw + offset) & M32
             aligned = addr & ~3
             assert aligned >= 0x1000, f"guest memory access below 0x1000: {addr:#x}"
+            assert aligned < 0x7F000000, f"guest memory access above MAX_MEMORY: {addr:#x}"
             b, c = rs_raw, offset
             if op in LOAD_OPCODES:
                 rt = self.peek_register(instr.op_a)
@@ -647,6 +661,55 @@ class Executor:
                 rec[2] = self.shard
                 evs.append(ev)
             return syscall_id, None, 48, 0
+        if syscall_id == SyscallCode.SHA_COMPRESS:
+            # full SHA-256 compression: b = w_ptr (64 words), c = h_ptr (8)
+            # h reads + w reads at clk, h writes at clk + 1; 1 extra cycle
+            w_ptr, h_ptr = b, c
+            assert w_ptr % 4 == 0 and h_ptr % 4 == 0
+            ev = {"shard": self.shard, "clk": self.clk, "w_ptr": w_ptr,
+                  "h_ptr": h_ptr, "h_reads": [], "w_reads": [], "h_writes": []}
+
+            def _raw_read(addr, ts, out_list):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                out_list.append((addr, rec[0], rec[1], rec[2]))
+                v = rec[0]
+                rec[1] = ts
+                rec[2] = self.shard
+                return v
+
+            hs = [_raw_read((h_ptr + 4 * j) & M32, self.clk, ev["h_reads"])
+                  for j in range(8)]
+            ws = [_raw_read((w_ptr + 4 * i) & M32, self.clk, ev["w_reads"])
+                  for i in range(64)]
+            K = _SHA256_K
+            a_, b_, c_, d_, e_, f_, g_, h_ = hs
+            ror = lambda x, r: ((x >> r) | (x << (32 - r))) & M32
+            for i in range(64):
+                S1 = ror(e_, 6) ^ ror(e_, 11) ^ ror(e_, 25)
+                ch = (e_ & f_) ^ ((~e_ & M32) & g_)
+                t1 = (h_ + S1 + ch + K[i] + ws[i]) & M32
+                S0 = ror(a_, 2) ^ ror(a_, 13) ^ ror(a_, 22)
+                maj = (a_ & b_) ^ (a_ & c_) ^ (b_ & c_)
+                t2 = (S0 + maj) & M32
+                h_, g_, f_, e_, d_, c_, b_, a_ = (
+                    g_, f_, e_, (d_ + t1) & M32, c_, b_, a_, (t1 + t2) & M32
+                )
+            outs = [(x + y) & M32 for x, y in zip(hs, (a_, b_, c_, d_, e_, f_, g_, h_))]
+            for j in range(8):
+                addr = (h_ptr + 4 * j) & M32
+                rec = self.memory[addr]
+                ev["h_writes"].append((addr, rec[0], rec[1], rec[2], outs[j]))
+                rec[0] = outs[j]
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(
+                int(SyscallCode.SHA_COMPRESS), []
+            ).append(ev)
+            return syscall_id, None, 1, 0
         if syscall_id == SyscallCode.SYSHINTLEN:
             if self.input_stream_ptr >= len(self.input_stream):
                 raise ExecutionError("no more hints")

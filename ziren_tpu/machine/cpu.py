@@ -152,6 +152,7 @@ class CpuChip(Air):
         sid = np.asarray(cols["syscall_code"])
         extra = (
             (sid == 0x00010030) * 1 + (sid == 0x30010005) * 48
+            + (sid == 0x01010006) * 1
         ) * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])

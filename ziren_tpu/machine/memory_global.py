@@ -27,7 +27,9 @@ def _layout(with_ts: bool) -> Layout:
         Layout()
         .add("addr")
         .word("value")
-        .add("addr_diff", 4)
+        .word("addr_b")  # byte decomposition of addr (addr < 2^31, unique)
+        .add("df", 4)  # one-hot: most significant byte where next > local
+        .add("sel_lo").add("sel_hi")  # the compared byte pair
         .add("is_real")
         .add("has_next")  # is_real AND next row is real (lookup mults cannot
         # reference the next row, and the last row wraps around)
@@ -40,11 +42,24 @@ def _layout(with_ts: bool) -> Layout:
 def _fill_common(w, addrs, values, n):
     w.set("addr", addrs)
     w.set_word("value", values)
-    diffs = np.zeros((n, 4), dtype=np.uint32)
-    if n > 1:
-        d = (addrs[1:] - addrs[:-1] - 1).astype(np.uint64)
-        diffs[: n - 1] = word_decompose_np(d)
-    w.set("addr_diff", diffs)
+    ab = word_decompose_np(np.asarray(addrs, dtype=np.int64))
+    w.set_word("addr_b", np.asarray(addrs, dtype=np.int64))
+    df = np.zeros((n, 4), dtype=np.uint32)
+    sel_lo = np.zeros(n, dtype=np.uint32)
+    sel_hi = np.zeros(n, dtype=np.uint32)
+    for r in range(n - 1):
+        for k in (3, 2, 1, 0):
+            if ab[r + 1, k] != ab[r, k]:
+                assert ab[r + 1, k] > ab[r, k], "addresses not increasing"
+                df[r, k] = 1
+                sel_lo[r] = ab[r, k]
+                sel_hi[r] = ab[r + 1, k]
+                break
+        else:
+            raise AssertionError("duplicate address in memory endpoints")
+    w.set("df", df)
+    w.set("sel_lo", sel_lo)
+    w.set("sel_hi", sel_hi)
     w.set("is_real", np.ones(n))
     has_next = np.ones(n, dtype=np.uint32)
     if n:
@@ -53,7 +68,9 @@ def _fill_common(w, addrs, values, n):
 
 
 def _eval_ordering(b, L, N):
-    """Strictly increasing addresses among real rows."""
+    """Strictly increasing addresses among real rows, compared
+    lexicographically on the byte decomposition (exact: addr < 2^31, so the
+    decomposition is unique — no mod-p aliasing)."""
     b.assert_bool(L["is_real"])
     b.assert_bool(L["has_next"])
     # once padding starts it never stops
@@ -61,22 +78,45 @@ def _eval_ordering(b, L, N):
     # has_next == is_real * next.is_real (and 0 on the physically last row)
     b.when_transition().assert_eq(L["has_next"], L["is_real"] * N["is_real"])
     b.when_last_row().assert_zero(L["has_next"])
-    d = L["addr_diff"]
-    b.when_transition().assert_zero(
-        L["has_next"] * (N["addr"] - L["addr"] - 1 - pack_word(d))
+    ab = L.word("addr_b")
+    b.when(L["is_real"]).assert_eq(L["addr"], pack_word(ab))
+    send_byte(b, B.U8Range, ab[0], ab[1], 0, L["is_real"])
+    send_byte(b, B.U8Range, ab[2], ab[3], 0, L["is_real"])
+    send_byte(b, B.MSB, ab[3], 0, 0, L["is_real"])
+    df = L["df"]
+    acc = 0
+    for k in range(4):
+        b.assert_bool(df[k])
+        acc = df[k] + acc
+    b.assert_eq(acc, L["has_next"])  # strict: a differing byte must exist
+    nb = N.word("addr_b")
+    # bytes above the flagged byte are equal
+    for k in range(4):
+        for j in range(k + 1, 4):
+            b.when_transition().assert_zero(df[k] * (nb[j] - ab[j]))
+    # the flagged byte pair goes through an LTU lookup with result 1
+    b.when_transition().assert_eq(
+        L["sel_lo"], df[0] * ab[0] + df[1] * ab[1] + df[2] * ab[2] + df[3] * ab[3]
     )
-    # diff bytes valid and < 2^31
-    send_byte(b, B.U8Range, d[0], d[1], 0, L["has_next"])
-    send_byte(b, B.U8Range, d[2], d[3], 0, L["has_next"])
-    send_byte(b, B.MSB, d[3], 0, 0, L["has_next"])
+    b.when_transition().assert_eq(
+        L["sel_hi"], df[0] * nb[0] + df[1] * nb[1] + df[2] * nb[2] + df[3] * nb[3]
+    )
+    b.when_last_row().assert_zero(L["sel_lo"])
+    b.when_last_row().assert_zero(L["sel_hi"])
+    send_byte(b, B.LTU, L["sel_lo"], L["sel_hi"], 1, L["has_next"])
 
 
 def _count_ordering(record, addrs, n):
-    if n > 1:
-        d = (addrs[1:] - addrs[:-1] - 1).astype(np.uint64)
-        db = word_decompose_np(d)
-        count_u8_word(record, db)
-        count(record, B.MSB, db[:, 3], 0)
+    if n == 0:
+        return
+    ab = word_decompose_np(np.asarray(addrs, dtype=np.int64))
+    count_u8_word(record, ab)
+    count(record, B.MSB, ab[:, 3], 0)
+    for r in range(n - 1):
+        for k in (3, 2, 1, 0):
+            if ab[r + 1, k] != ab[r, k]:
+                count(record, B.LTU, ab[r : r + 1, k], ab[r + 1, k])
+                break
 
 
 class MemoryInitChip(Air):

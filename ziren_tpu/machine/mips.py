@@ -27,6 +27,7 @@ from .divrem import DivRemChip
 from .maddsub import MaddSubChip
 from .misc import CloClzChip, MiscChip, MovCondChip
 from .mul import MulChip
+from .sha_compress import ShaCompressChip
 from .sha_extend import ShaExtendChip
 from .shift import ShiftLeftChip, ShiftRightChip
 from .poseidon2_chip import Poseidon2PermuteChip
@@ -55,6 +56,7 @@ def mips_airs():
         SyscallChip(),
         Poseidon2PermuteChip(),
         ShaExtendChip(),
+        ShaCompressChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -27,7 +27,7 @@ COLS = Layout().add("shard").add("clk").add("ptr").add("i")
 COLS.add("is_first").add("is_last").add("i63_inv")
 COLS.add("b15", 32)  # bits of w[i-15]
 COLS.add("b2", 32)  # bits of w[i-2]
-COLS.add("carry0").add("carry1")  # sum carry (0..3)
+COLS.add("sum_carry", 12)  # per-byte carries of the 4-term adder (3 bits each)
 for nm in ("r16", "r15", "r7", "r2"):
     add_access_cols(COLS, nm, write=False)
 add_access_cols(COLS, "wr", write=True)
@@ -116,10 +116,18 @@ class ShaExtendChip(Air):
             )
             w16 = np.array([ev["reads"][0][1] for ev in events], dtype=np.int64)
             w7 = np.array([ev["reads"][2][1] for ev in events], dtype=np.int64)
-            total = w16 + s0 + w7 + s1
-            carry = total >> 32
-            w.set("carry0", (carry & 1).astype(np.uint32))
-            w.set("carry1", ((carry >> 1) & 1).astype(np.uint32))
+            # per-byte carries of w16 + s0 + w7 + s1
+            carries = np.zeros((n, 12), dtype=np.uint32)
+            cur = np.zeros(n, dtype=np.int64)
+            for k in range(4):
+                bs = (
+                    ((w16 >> (8 * k)) & 0xFF) + ((s0 >> (8 * k)) & 0xFF)
+                    + ((w7 >> (8 * k)) & 0xFF) + ((s1 >> (8 * k)) & 0xFF) + cur
+                )
+                cur = bs >> 8
+                for t in range(3):
+                    carries[:, 3 * k + t] = ((cur >> t) & 1).astype(np.uint32)
+            w.set("sum_carry", carries)
             shard = record.public_values.shard
             for nm, ridx in (("r16", 0), ("r15", 1), ("r7", 2), ("r2", 3)):
                 rows = [ev["reads"][ridx] for ev in events]
@@ -192,29 +200,36 @@ class ShaExtendChip(Air):
             is_real, write=True,
         )
 
-        # bit decompositions of w[i-15] and w[i-2]
+        # bit decompositions of w[i-15] and w[i-2]; bits are bound to the
+        # memory-word BYTES per byte (exact integer equations < 2^8, immune
+        # to mod-p aliasing)
         b15, b2 = L["b15"], L["b2"]
         for j in range(32):
             b.assert_bool(b15[j])
             b.assert_bool(b2[j])
-        pack_bits = lambda bits: sum(bits[j] * (1 << j) for j in range(32))
-        b.assert_eq(pack_bits(b15), pack_word(L.word("r15_value")))
-        b.assert_eq(pack_bits(b2), pack_word(L.word("r2_value")))
+        byte_of = lambda bits, k: sum(bits[8 * k + t] * (1 << t) for t in range(8))
+        for k in range(4):
+            b.assert_eq(byte_of(b15, k), L.word("r15_value")[k])
+            b.assert_eq(byte_of(b2, k), L.word("r2_value")[k])
 
-        # w[i] = w[i-16] + s0 + w[i-7] + s1 (mod 2^32)
+        # w[i] = w[i-16] + s0 + w[i-7] + s1 (mod 2^32): byte-level adder
+        # (each equation sums values < 2^11, exact over the integers)
         s0 = _sigma_bits(b15, 7, 18, 3)
         s1 = _sigma_bits(b2, 17, 19, 10)
-        c0, c1 = L["carry0"], L["carry1"]
-        b.assert_bool(c0)
-        b.assert_bool(c1)
-        total = (
-            pack_word(L.word("r16_value"))
-            + pack_bits(s0)
-            + pack_word(L.word("r7_value"))
-            + pack_bits(s1)
-        )
-        # ungated (degree 3; padding rows are all-zero and satisfy it)
-        b.assert_zero(
-            total - pack_word(L.word("wr_value")) - (c0 + 2 * c1) * (1 << 32)
-        )
+        sc = L["sum_carry"]
+        for j in range(12):
+            b.assert_bool(sc[j])
+        prev = 0
+        for k in range(4):
+            carry_k = sc[3 * k] + 2 * sc[3 * k + 1] + 4 * sc[3 * k + 2]
+            b.assert_zero(
+                L.word("r16_value")[k]
+                + byte_of(s0, k)
+                + L.word("r7_value")[k]
+                + byte_of(s1, k)
+                + prev
+                - L.word("wr_value")[k]
+                - carry_k * 256
+            )
+            prev = carry_k
         send_u8_word(b, L.word("wr_value"), is_real)

@@ -25,6 +25,7 @@ CODES = [
     ("is_hintread", int(SyscallCode.SYSHINTREAD)),
     ("is_poseidon2", int(SyscallCode.POSEIDON2_PERMUTE)),
     ("is_sha_extend", int(SyscallCode.SHA_EXTEND)),
+    ("is_sha_compress", int(SyscallCode.SHA_COMPRESS)),
 ]
 
 COLS = Layout().add("shard").add("clk")
@@ -91,6 +92,7 @@ class SyscallChip(Air):
         is_halt = L["is_halt"]
         is_p2 = L["is_poseidon2"]
         is_sha = L["is_sha_extend"]
+        is_shac = L["is_sha_compress"]
         b.receive(
             LookupKind.Instruction,
             instruction_message(
@@ -98,7 +100,7 @@ class SyscallChip(Air):
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
                 0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
-                is_p2 + is_sha * 48,  # precompile extra cycles
+                is_p2 + is_sha * 48 + is_shac,  # precompile extra cycles
             ),
             is_real,
         )
@@ -116,6 +118,12 @@ class SyscallChip(Air):
             [L["shard"], L["clk"], int(SyscallCode.SHA_EXTEND),
              pack_word(L.word("b"))],
             is_sha,
+        )
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.SHA_COMPRESS),
+             pack_word(L.word("b")), pack_word(L.word("c"))],
+            is_shac,
         )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
