@@ -117,6 +117,13 @@ struct PrecompileEvent {
   PrecompileAccess reads[16], writes[16];
 };
 
+struct ShaCompressEvent {
+  uint32_t shard, clk, w_ptr, h_ptr;
+  PrecompileAccess h_reads[8];
+  PrecompileAccess w_reads[64];
+  PrecompileAccess h_writes[8];
+};
+
 struct ShaExtendEvent {
   uint32_t shard, clk, ptr, i;
   PrecompileAccess reads[4];
@@ -127,6 +134,7 @@ struct Executor {
   std::vector<Instr> instructions;
   std::vector<PrecompileEvent> p2_events;
   std::vector<ShaExtendEvent> sha_ext_events;
+  std::vector<ShaCompressEvent> sha_cmp_events;
   uint32_t pc_start = 0, pc_base = 0;
   std::unordered_map<uint32_t, MemRec> memory;
   std::unordered_map<uint32_t, uint32_t> uninit;
@@ -359,6 +367,59 @@ struct Executor {
             uninit[addr] = word;
           }
           ret = c;
+          break;
+        }
+        case 0x01010006: {  // SHA_COMPRESS
+          uint32_t w_ptr = b, h_ptr = c;
+          if (w_ptr % 4 || h_ptr % 4) { error = "sha_compress unaligned"; return true; }
+          static const uint32_t K[64] = {
+            0x428A2F98,0x71374491,0xB5C0FBCF,0xE9B5DBA5,0x3956C25B,0x59F111F1,
+            0x923F82A4,0xAB1C5ED5,0xD807AA98,0x12835B01,0x243185BE,0x550C7DC3,
+            0x72BE5D74,0x80DEB1FE,0x9BDC06A7,0xC19BF174,0xE49B69C1,0xEFBE4786,
+            0x0FC19DC6,0x240CA1CC,0x2DE92C6F,0x4A7484AA,0x5CB0A9DC,0x76F988DA,
+            0x983E5152,0xA831C66D,0xB00327C8,0xBF597FC7,0xC6E00BF3,0xD5A79147,
+            0x06CA6351,0x14292967,0x27B70A85,0x2E1B2138,0x4D2C6DFC,0x53380D13,
+            0x650A7354,0x766A0ABB,0x81C2C92E,0x92722C85,0xA2BFE8A1,0xA81A664B,
+            0xC24B8B70,0xC76C51A3,0xD192E819,0xD6990624,0xF40E3585,0x106AA070,
+            0x19A4C116,0x1E376C08,0x2748774C,0x34B0BCB5,0x391C0CB3,0x4ED8AA4A,
+            0x5B9CCA4F,0x682E6FF3,0x748F82EE,0x78A5636F,0x84C87814,0x8CC70208,
+            0x90BEFFFA,0xA4506CEB,0xBEF9A3F7,0xC67178F2};
+          auto rotr = [](uint32_t x, int r) { return (x >> r) | (x << (32 - r)); };
+          ShaCompressEvent ev;
+          ev.shard = shard; ev.clk = clk; ev.w_ptr = w_ptr; ev.h_ptr = h_ptr;
+          uint32_t hs[8], ws[64];
+          for (int j = 0; j < 8; j++) {
+            uint32_t addr = h_ptr + 4 * j;
+            MemRec& r = lookup(addr);
+            ev.h_reads[j] = {addr, r.value, r.clk, r.shard, r.value};
+            hs[j] = r.value; r.clk = clk; r.shard = shard;
+          }
+          for (int i = 0; i < 64; i++) {
+            uint32_t addr = w_ptr + 4 * i;
+            MemRec& r = lookup(addr);
+            ev.w_reads[i] = {addr, r.value, r.clk, r.shard, r.value};
+            ws[i] = r.value; r.clk = clk; r.shard = shard;
+          }
+          uint32_t av=hs[0],bv=hs[1],cv=hs[2],dv=hs[3],e2=hs[4],fv=hs[5],gv=hs[6],hv=hs[7];
+          for (int i = 0; i < 64; i++) {
+            uint32_t S1 = rotr(e2,6)^rotr(e2,11)^rotr(e2,25);
+            uint32_t chv = (e2 & fv) ^ ((~e2) & gv);
+            uint32_t t1 = hv + S1 + chv + K[i] + ws[i];
+            uint32_t S0 = rotr(av,2)^rotr(av,13)^rotr(av,22);
+            uint32_t mj = (av & bv) ^ (av & cv) ^ (bv & cv);
+            uint32_t t2 = S0 + mj;
+            hv=gv; gv=fv; fv=e2; e2=dv+t1; dv=cv; cv=bv; bv=av; av=t1+t2;
+          }
+          uint32_t outs[8] = {hs[0]+av, hs[1]+bv, hs[2]+cv, hs[3]+dv,
+                              hs[4]+e2, hs[5]+fv, hs[6]+gv, hs[7]+hv};
+          for (int j = 0; j < 8; j++) {
+            uint32_t addr = h_ptr + 4 * j;
+            MemRec& r = lookup(addr);
+            ev.h_writes[j] = {addr, r.value, r.clk, r.shard, outs[j]};
+            r.value = outs[j]; r.clk = clk + 1; r.shard = shard;
+          }
+          if (trace) sha_cmp_events.push_back(ev);
+          extra_cycles = 1;
           break;
         }
         case 0x30010005: {  // SHA_EXTEND
@@ -650,6 +711,28 @@ void ziren_exec_sha_ext_events(void* h, uint32_t* out) {
     const PrecompileAccess& a = e.write;
     uint32_t* f = row + 24;
     f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+  }
+}
+
+uint32_t ziren_exec_num_sha_cmp_events(void* h) {
+  return (uint32_t)((Executor*)h)->sha_cmp_events.size();
+}
+// rows of (shard, clk, w_ptr, h_ptr, 8 h_reads x5, 64 w_reads x5, 8 h_writes x5)
+// = 4 + 40 + 320 + 40 = 404 u32 each
+void ziren_exec_sha_cmp_events(void* h, uint32_t* out) {
+  auto* ex = (Executor*)h;
+  for (size_t i = 0; i < ex->sha_cmp_events.size(); i++) {
+    const ShaCompressEvent& e = ex->sha_cmp_events[i];
+    uint32_t* row = out + i * 404;
+    row[0] = e.shard; row[1] = e.clk; row[2] = e.w_ptr; row[3] = e.h_ptr;
+    uint32_t* f = row + 4;
+    auto put = [&](const PrecompileAccess& a) {
+      f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk;
+      f[3] = a.prev_shard; f[4] = a.value; f += 5;
+    };
+    for (int k = 0; k < 8; k++) put(e.h_reads[k]);
+    for (int k = 0; k < 64; k++) put(e.w_reads[k]);
+    for (int k = 0; k < 8; k++) put(e.h_writes[k]);
   }
 }
 

@@ -119,3 +119,17 @@ def test_native_sha_extend_matches_python():
         assert np.array_equal(pf[k], nf[k]), k
     assert py_rec.precompile_events == nat_rec.precompile_events
     assert py_rec.mem_final == nat_rec.mem_final
+
+
+def test_native_sha256_matches_python():
+    from ziren_tpu.executor.asm import sha256_program
+
+    py = Executor(sha256_program())
+    py_rec = py.run()
+    nat = NativeExecutor(sha256_program())
+    nat_rec = nat.run()
+    pf, nf = py_rec.freeze(), nat_rec.freeze()
+    for k in pf:
+        assert np.array_equal(pf[k], nf[k]), k
+    assert py_rec.precompile_events == nat_rec.precompile_events
+    assert py_rec.mem_final == nat_rec.mem_final

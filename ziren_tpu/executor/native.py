@@ -48,10 +48,11 @@ def _load():
     lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.ziren_exec_peek.restype = ctypes.c_uint32
     for f in ("committed", "stdout", "events", "touched", "p2_events",
-              "sha_ext_events"):
+              "sha_ext_events", "sha_cmp_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.ziren_exec_num_p2_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_ext_events.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_num_sha_cmp_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -143,6 +144,32 @@ class NativeExecutor:
                 ev["write"] = (int(f[0]), int(f[1]), int(f[2]), int(f[3]), int(f[4]))
                 evs.append(ev)
             record.precompile_events[0x30010005] = evs
+        ncmp = lib.ziren_exec_num_sha_cmp_events(h)
+        if ncmp:
+            rows = np.zeros((ncmp, 404), dtype=np.uint32)
+            lib.ziren_exec_sha_cmp_events(h, rows.ctypes.data_as(ctypes.c_void_p))
+            evs = []
+            for r in rows:
+                ev = {"shard": int(r[0]), "clk": int(r[1]), "w_ptr": int(r[2]),
+                      "h_ptr": int(r[3]), "h_reads": [], "w_reads": [],
+                      "h_writes": []}
+                off = 4
+                for k in range(8):
+                    f = r[off : off + 5]
+                    ev["h_reads"].append((int(f[0]), int(f[1]), int(f[2]), int(f[3])))
+                    off += 5
+                for k in range(64):
+                    f = r[off : off + 5]
+                    ev["w_reads"].append((int(f[0]), int(f[1]), int(f[2]), int(f[3])))
+                    off += 5
+                for k in range(8):
+                    f = r[off : off + 5]
+                    ev["h_writes"].append(
+                        (int(f[0]), int(f[1]), int(f[2]), int(f[3]), int(f[4]))
+                    )
+                    off += 5
+                evs.append(ev)
+            record.precompile_events[0x01010006] = evs
         record.mem_init = [(int(r[0]), int(r[1])) for r in touched]
         record.mem_final = [
             (int(r[0]), int(r[2]), int(r[3]), int(r[4])) for r in touched
