@@ -143,6 +143,7 @@ struct Executor {
   std::vector<std::string> input_stream;
   size_t input_ptr = 0;
   std::vector<uint32_t> committed;
+  std::vector<uint32_t> deferred;
   std::string stdout_buf;
   std::vector<CycleEvent> events;
   bool trace = true;
@@ -349,6 +350,10 @@ struct Executor {
         case 0x10:  // COMMIT
           if (committed.size() <= b) committed.resize(b + 1, 0);
           committed[b] = c;
+          break;
+        case 0x1A:  // COMMIT_DEFERRED_PROOFS
+          if (deferred.size() <= b) deferred.resize(b + 1, 0);
+          deferred[b] = c;
           break;
         case 0xF0:  // HINT_LEN
           if (input_ptr >= input_stream.size()) { error = "no more hints"; return true; }

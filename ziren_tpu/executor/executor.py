@@ -100,6 +100,7 @@ class Executor:
         self.hint_lens: list[int] = []
         # output
         self.committed_values: list[int] = []  # words committed via COMMIT
+        self.deferred_digest: list[int] = []  # COMMIT_DEFERRED_PROOFS words
         self.stdout = bytearray()
         self.record = ExecutionRecord(program)
         self.touched: dict[int, int] = {}  # addr -> init value (first touch)
@@ -447,6 +448,9 @@ class Executor:
             0, 8 - len(self.committed_values)
         )
         pv.committed_value_digest = digest
+        pv.deferred_proofs_digest = list(self.deferred_digest[:8]) + [0] * max(
+            0, 8 - len(self.deferred_digest)
+        )
 
     # -- ALU semantics -----------------------------------------------------
     @staticmethod
@@ -581,6 +585,12 @@ class Executor:
             while len(self.committed_values) <= b:
                 self.committed_values.append(0)
             self.committed_values[b] = c
+            return syscall_id, None, 0, 0
+        if syscall_id == SyscallCode.COMMIT_DEFERRED_PROOFS:
+            # word_idx = b, word = c (poseidon digest of deferred proofs)
+            while len(self.deferred_digest) <= b:
+                self.deferred_digest.append(0)
+            self.deferred_digest[b] = c
             return syscall_id, None, 0, 0
         if syscall_id == SyscallCode.POSEIDON2_PERMUTE:
             # permute 16 KoalaBear words in place at ptr = b

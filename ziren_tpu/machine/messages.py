@@ -15,6 +15,7 @@ PublicValues element indices (see executor/record.py PublicValues.to_list):
 """
 
 PV_DIGEST = 0  # 32 byte elements
+PV_DEFERRED = 32  # 8 field elements
 PV_START_PC = 40
 PV_NEXT_PC = 41
 PV_EXIT_CODE = 42

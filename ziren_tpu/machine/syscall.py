@@ -15,7 +15,7 @@ from ziren_tpu.executor.opcode import Opcode, SyscallCode
 from ziren_tpu.stark.chip import Air
 from ziren_tpu.stark.lookup import LookupKind
 from .layout import Layout, pad_to_pow2, word_decompose_np
-from .messages import PV_DIGEST, PV_EXIT_CODE, instruction_message
+from .messages import PV_DIGEST, PV_DEFERRED, PV_EXIT_CODE, instruction_message
 
 CODES = [
     ("is_halt", int(SyscallCode.HALT)),
@@ -26,6 +26,7 @@ CODES = [
     ("is_poseidon2", int(SyscallCode.POSEIDON2_PERMUTE)),
     ("is_sha_extend", int(SyscallCode.SHA_EXTEND)),
     ("is_sha_compress", int(SyscallCode.SHA_COMPRESS)),
+    ("is_commit_deferred", int(SyscallCode.COMMIT_DEFERRED_PROOFS)),
 ]
 
 COLS = Layout().add("shard").add("clk")
@@ -34,6 +35,7 @@ COLS.word("a").word("b").word("c").word("prev_a")
 for nm, _ in CODES:
     COLS.add(nm)
 COLS.add("commit_word", 8)  # one-hot commit word index
+COLS.add("deferred_word", 8)  # one-hot deferred-digest word index
 COLS.add("is_real")
 
 
@@ -67,6 +69,11 @@ class SyscallChip(Air):
         for r in np.nonzero(commit_mask)[0]:
             cw[r, int(widx[r])] = 1
         w.set("commit_word", cw)
+        dw = np.zeros((n, 8), dtype=np.uint32)
+        dmask = sid == int(SyscallCode.COMMIT_DEFERRED_PROOFS)
+        for r in np.nonzero(dmask)[0]:
+            dw[r, int(widx[r])] = 1
+        w.set("deferred_word", dw)
         w.set("is_real", np.ones(n))
         return pad_to_pow2(w.mat)
 
@@ -147,3 +154,19 @@ class SyscallChip(Air):
         for i in range(8):
             for j in range(4):
                 b.assert_zero(cw[i] * (pv[PV_DIGEST + 4 * i + j] - L.word("c")[j]))
+
+        # COMMIT_DEFERRED_PROOFS: bind pv.deferred_proofs_digest[idx]
+        from .layout import pack_word
+
+        dw = L["deferred_word"]
+        acc_dw = 0
+        for i in range(8):
+            b.assert_bool(dw[i])
+            acc_dw = dw[i] + acc_dw
+        b.assert_eq(acc_dw, L["is_commit_deferred"])
+        didx = sum(dw[i] * i for i in range(1, 8))
+        b.when(L["is_commit_deferred"]).assert_eq(bw[0], didx)
+        for i in range(1, 4):
+            b.when(L["is_commit_deferred"]).assert_zero(bw[i])
+        for i in range(8):
+            b.assert_zero(dw[i] * (pv[PV_DEFERRED + i] - pack_word(L.word("c"))))
