@@ -14,9 +14,16 @@ from ziren_tpu.machine.mips import mips_machine, prove_program, verify_mips_proo
 from ziren_tpu.stark.config import core_config, dev_config
 from ziren_tpu.stark.serialize import serialize_machine_proof
 
+REFERENCE_ELF = "/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf"
+
 
 def main(n=2000, config="core", shard_size=None):
-    program = fibonacci_program(n)
+    if n == 0:  # n=0 selects the reference guest ELF
+        from ziren_tpu.executor.program import load_elf
+
+        program = load_elf(open(REFERENCE_ELF, "rb").read())
+    else:
+        program = fibonacci_program(n)
     cfg = core_config() if config == "core" else dev_config()
     t0 = time.perf_counter()
     machine, pk, vk, proof, ex = prove_program(
