@@ -328,10 +328,10 @@ class TwoAdicFriPcs:
             ):
                 return False
 
-        for idx, qp in zip(query_indices, proof.query_proofs):
-            if not self._verify_query(rounds, idx, qp, alpha, betas, proof.final_poly, log_max):
-                return False
-        return True
+        return self._verify_queries(
+            rounds, query_indices, proof.query_proofs, alpha, betas,
+            proof.final_poly, log_max,
+        )
 
     def _set_shifts(self, log_max: int):
         self._shifts = {}
@@ -340,68 +340,100 @@ class TwoAdicFriPcs:
             self._shifts[l] = s
             s = (s * s) % F.P_INT
 
-    def _verify_query(self, rounds, idx, qp, alpha, betas, final_poly, log_max) -> bool:
+    def _verify_queries(
+        self, rounds, query_indices, query_proofs, alpha, betas, final_poly, log_max
+    ) -> bool:
+        """All queries verified together: reduced openings and the fold chain
+        run as (nq, 4) vector ops instead of a Python loop per query (the
+        84-query core config made the scalar path the verify bottleneck)."""
         log_blowup = self.fri.log_blowup
-        # 1. verify input batch openings and compute reduced openings
+        nq = len(query_indices)
+        idxs = np.asarray(query_indices, dtype=np.int64)
+        for qp in query_proofs:
+            if len(qp.input_openings) != len(rounds):
+                return False
+            if len(qp.commit_phase_openings) != len(betas):
+                return False
+        # 1. reduced openings per height, batched over queries
         ro: dict[int, np.ndarray] = {}
         cnt: dict[int, int] = {}
-        if len(qp.input_openings) != len(rounds):
-            return False
-        for (commit, mats), (rows, path) in zip(rounds, qp.input_openings):
-            for (dom, pts), row in zip(mats, rows):
+        for r_i, (_commit, mats) in enumerate(rounds):
+            for m_i, (dom, pts) in enumerate(mats):
                 l = dom.log_n + log_blowup
                 if l not in ro:
-                    ro[l] = E.ezero()
+                    ro[l] = E.ezero((nq,))
                     cnt[l] = 0
-                i_l = idx >> (log_max - l)
-                x = (
-                    F.GENERATOR
-                    * pow(F.two_adic_generator(l), F.reverse_bits_len(i_l, l), F.P_INT)
-                ) % F.P_INT
-                w = len(row)
+                i_l = idxs >> (log_max - l)
+                g = F.two_adic_generator(l)
+                x = np.array(
+                    [
+                        F.GENERATOR
+                        * pow(g, F.reverse_bits_len(int(i), l), F.P_INT)
+                        % F.P_INT
+                        for i in i_l
+                    ],
+                    dtype=np.uint64,
+                ) % np.uint64(F.P_INT)
+                rows = np.stack(
+                    [
+                        np.asarray(qp.input_openings[r_i][0][m_i], np.uint32)
+                        for qp in query_proofs
+                    ]
+                )  # (nq, w)
+                w = rows.shape[1]
                 for z, ys in pts:
-                    inv_zmx = E.einv(E.esub(z, E.from_base(np.uint32(x))))
+                    inv_zmx = E.einv(
+                        E.esub(
+                            np.broadcast_to(z, (nq, 4)),
+                            E.from_base(x.astype(np.uint32)),
+                        )
+                    )
                     alpha_pows = E.epowers(alpha, cnt[l] + w)[cnt[l] :]
-                    acc = E.ezero()
-                    for c in range(w):
-                        diff = E.esub(ys[c], E.from_base(np.uint32(row[c])))
-                        acc = E.eadd(acc, E.emul(diff, alpha_pows[c]))
+                    y_term = E.esum(
+                        E.emul(alpha_pows, np.asarray(ys, np.uint32)), axis=0
+                    )
+                    m_term = _mod_matmul_base_ext(rows, alpha_pows)  # (nq, 4)
+                    acc = E.esub(np.broadcast_to(y_term, (nq, 4)), m_term)
                     ro[l] = E.eadd(ro[l], E.emul(acc, inv_zmx))
                     cnt[l] += w
-        # 2. fold chain
-        heights = sorted(ro.keys(), reverse=True)
-        l = heights[0]
+        # 2. fold chain, batched over queries
+        l = max(ro.keys())
         folded = ro[l]
-        i = idx
-        if len(qp.commit_phase_openings) != len(betas):
-            return False
-        for (pair, path), beta, commit in zip(
-            qp.commit_phase_openings, betas, self.commit_phase_commits_cache
-        ):
-            # check our current value matches the opened sibling pair
+        i = idxs.copy()
+        half = np.uint32((F.P_INT + 1) // 2)
+        for l_i, beta in enumerate(betas):
+            pairs = np.stack(
+                [
+                    np.asarray(qp.commit_phase_openings[l_i][0], np.uint32).reshape(
+                        2, 4
+                    )
+                    for qp in query_proofs
+                ]
+            )  # (nq, 2, 4)
+            # current value must equal the opened entry at this index parity
             # (the Merkle paths were batch-verified above)
-            if not np.array_equal(pair[i & 1], folded):
+            sel = pairs[np.arange(nq), i & 1]
+            if not np.array_equal(sel, folded):
                 return False
-            e0, e1 = pair[0], pair[1]
-            half = (F.P_INT + 1) // 2
-            x = (
-                self._shifts[l]
-                * pow(
-                    F.two_adic_generator(l),
-                    F.reverse_bits_len((i >> 1) << 1, l),
-                    F.P_INT,
-                )
-            ) % F.P_INT
-            x_inv = pow(x, F.P_INT - 2, F.P_INT)
-            even = E.emul_base(E.eadd(e0, e1), np.uint32(half))
-            odd = E.emul_base(
-                E.emul_base(E.esub(e0, e1), np.uint32(half)), np.uint32(x_inv)
-            )
-            folded = E.eadd(even, E.emul(odd, beta))
+            e0, e1 = pairs[:, 0], pairs[:, 1]
+            g = F.two_adic_generator(l)
+            x = np.array(
+                [
+                    self._shifts[l]
+                    * pow(g, F.reverse_bits_len((int(ii) >> 1) << 1, l), F.P_INT)
+                    % F.P_INT
+                    for ii in i
+                ],
+                dtype=np.uint64,
+            ) % np.uint64(F.P_INT)
+            x_inv = F.finv(x.astype(np.uint32))  # (nq,)
+            even = E.emul_base(E.eadd(e0, e1), half)
+            odd = E.emul_base(E.emul_base(E.esub(e0, e1), half), x_inv)
+            folded = E.eadd(even, E.emul(odd, np.broadcast_to(beta, (nq, 4))))
             i >>= 1
             l -= 1
             if l in ro:
                 folded = E.eadd(folded, ro[l])
         if l != log_blowup:
             return False
-        return bool(np.array_equal(folded, final_poly))
+        return bool(np.all(folded == np.asarray(final_poly, np.uint32)[None, :]))
