@@ -106,10 +106,21 @@ _RC64 = RC.astype(np.uint64)
 _DIAG64 = INTERNAL_DIAG.astype(np.uint64)
 
 
+def _native():
+    """native/hashing.cpp fast path (multithreaded C++), None if unavailable."""
+    from . import p2_native
+
+    return p2_native if p2_native.available() else None
+
+
 def permute(state: np.ndarray) -> np.ndarray:
     """Poseidon2 permutation; state shape (..., 16) canonical uint32."""
     state = np.asarray(state, dtype=np.uint32)
     assert state.shape[-1] == WIDTH
+    if state.ndim > 1 and state.size >= 64 * WIDTH:
+        nat = _native()
+        if nat is not None:
+            return nat.permute(state)
     x = _external_linear_layer(state.astype(np.uint64))
     # initial external rounds (RC rows 0..3)
     for r in range(NUM_EXTERNAL_ROUNDS // 2):
@@ -143,6 +154,10 @@ def hash_rows(rows: np.ndarray) -> np.ndarray:
     """Vectorized PaddingFreeSponge over rows: (n, w) -> (n, 8)."""
     rows = np.asarray(rows, dtype=np.uint32)
     n, w = rows.shape
+    if n >= 64:
+        nat = _native()
+        if nat is not None:
+            return nat.hash_rows(rows)
     state = np.zeros((n, WIDTH), dtype=np.uint32)
     for i in range(0, w, RATE):
         chunk = rows[:, i : i + RATE]
@@ -153,6 +168,11 @@ def hash_rows(rows: np.ndarray) -> np.ndarray:
 
 def compress(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     """TruncatedPermutation 2-to-1: (..., 8), (..., 8) -> (..., 8)."""
+    left = np.asarray(left, dtype=np.uint32)
+    if left.ndim > 1 and left.size >= 64 * OUT:
+        nat = _native()
+        if nat is not None:
+            return nat.compress(left, right).reshape(left.shape)
     state = np.concatenate(
         [np.asarray(left, dtype=np.uint32), np.asarray(right, dtype=np.uint32)],
         axis=-1,

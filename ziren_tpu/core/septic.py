@@ -371,8 +371,34 @@ def y_is_exception(y) -> bool:
 def lift_x(m7):
     """Message (7,) -> (point (x, y_receive), offset byte)
     (reference: septic_curve.rs:130 — x6 = m6 * 256 + offset; y returned in
-    the receive range; sends use -y)."""
+    the receive range; sends use -y). Dispatches to the native (C++) path
+    when available; `_lift_x_py` is the semantic oracle."""
     m7 = np.asarray(m7, dtype=np.uint32)
+    from . import p2_native
+
+    if p2_native.available():
+        xs, ys, offs = p2_native.septic_lift_x(m7[None, :])
+        return (xs[0], ys[0]), int(offs[0])
+    return _lift_x_py(m7)
+
+
+def lift_x_batch(msgs):
+    """Batched hash-to-curve: (n, 7) -> (xs (n,7), ys (n,7), offsets (n,))."""
+    msgs = np.asarray(msgs, dtype=np.uint32).reshape(-1, 7)
+    from . import p2_native
+
+    if p2_native.available():
+        return p2_native.septic_lift_x(msgs)
+    xs = np.empty_like(msgs)
+    ys = np.empty_like(msgs)
+    offs = np.empty(msgs.shape[0], dtype=np.uint32)
+    for i, m in enumerate(msgs):
+        (x, y), o = _lift_x_py(m)
+        xs[i], ys[i], offs[i] = x, y, o
+    return xs, ys, offs
+
+
+def _lift_x_py(m7):
     for offset in range(256):
         x = m7.copy()
         x[6] = (int(m7[6]) * 256 + offset) % F.P_INT

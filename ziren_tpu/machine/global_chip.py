@@ -69,13 +69,16 @@ class GlobalChip(Air):
         return True
 
     def generate_dependencies(self, record, output):
-        for msg, is_send, kind in self._events(record):
-            (x, y), offset = S.lift_x(np.array(msg, dtype=np.uint32))
-            count(record, B.U8Range, np.array([offset]), 0)
-            rb = word_decompose_np(np.array([HALF - int(y[6])], dtype=np.int64))
-            count(record, B.U8Range, rb[:, 0], rb[:, 1])
-            count(record, B.U8Range, rb[:, 2], rb[:, 3])
-            count(record, B.MSB, rb[:, 3], 0)
+        events = self._events(record)
+        if not events:
+            return
+        msgs = np.array([m for m, _, _ in events], dtype=np.uint32)
+        _xs, ys, offs = S.lift_x_batch(msgs)
+        count(record, B.U8Range, offs, 0)
+        rb = word_decompose_np((HALF - ys[:, 6].astype(np.int64)))
+        count(record, B.U8Range, rb[:, 0], rb[:, 1])
+        count(record, B.U8Range, rb[:, 2], rb[:, 3])
+        count(record, B.MSB, rb[:, 3], 0)
 
     def generate_trace(self, record, output):
         events = self._events(record)
@@ -83,8 +86,12 @@ class GlobalChip(Air):
         w = COLS.writer(n)
         acc = S.digest_zero()
         accs = np.zeros((n, 14), dtype=np.uint32)
+        if n:
+            xs_all, ys_all, offs_all = S.lift_x_batch(
+                np.array([m for m, _, _ in events], dtype=np.uint32)
+            )
         for i, (msg, is_send, kind) in enumerate(events):
-            (x, y), offset = S.lift_x(np.array(msg, dtype=np.uint32))
+            (x, y), offset = (xs_all[i], ys_all[i]), int(offs_all[i])
             w.mat[i, COLS.slc("message")] = msg
             w.mat[i, COLS.idx("kind")] = kind
             w.mat[i, COLS.idx("is_send")] = is_send

@@ -79,17 +79,21 @@ def _bit_reverse_rows(m: np.ndarray) -> np.ndarray:
 
 
 def _mod_matmul_base_ext(mat: np.ndarray, ext_vec: np.ndarray) -> np.ndarray:
-    """(n, w) base @ (w, 4) ext -> (n, 4), via 16-bit limb split (exact in
-    uint64 for w <= 2^22)."""
+    """(n, w) base @ (w, 4) ext -> (n, 4), via 16-bit limb split run as
+    float64 BLAS matmuls (limb products < 2^32, sums over w < 2^21 stay
+    < 2^53: exact)."""
+    assert mat.shape[1] < (1 << 21)
     a = mat.astype(np.uint64)
     v = ext_vec.astype(np.uint64)
     p = np.uint64(F.P_INT)
-    a_lo, a_hi = a & np.uint64(0xFFFF), a >> np.uint64(16)
-    v_lo, v_hi = v & np.uint64(0xFFFF), v >> np.uint64(16)
-    s00 = a_lo @ v_lo
-    s01 = a_lo @ v_hi
-    s10 = a_hi @ v_lo
-    s11 = a_hi @ v_hi
+    a_lo = (a & np.uint64(0xFFFF)).astype(np.float64)
+    a_hi = (a >> np.uint64(16)).astype(np.float64)
+    v_lo = (v & np.uint64(0xFFFF)).astype(np.float64)
+    v_hi = (v >> np.uint64(16)).astype(np.float64)
+    s00 = (a_lo @ v_lo).astype(np.uint64)
+    s01 = (a_lo @ v_hi).astype(np.uint64)
+    s10 = (a_hi @ v_lo).astype(np.uint64)
+    s11 = (a_hi @ v_hi).astype(np.uint64)
     out = (
         s00 % p
         + (((s01 % p) << np.uint64(16)) % p)
