@@ -130,11 +130,18 @@ struct ShaExtendEvent {
   PrecompileAccess write;
 };
 
+struct Uint256Event {
+  uint32_t shard, clk, x_ptr, y_ptr;
+  PrecompileAccess reads[16];   // y words then modulus words
+  PrecompileAccess writes[8];   // x words (prev = x, value = result)
+};
+
 struct Executor {
   std::vector<Instr> instructions;
   std::vector<PrecompileEvent> p2_events;
   std::vector<ShaExtendEvent> sha_ext_events;
   std::vector<ShaCompressEvent> sha_cmp_events;
+  std::vector<Uint256Event> u256_events;
   uint32_t pc_start = 0, pc_base = 0;
   std::unordered_map<uint32_t, MemRec> memory;
   std::unordered_map<uint32_t, uint32_t> uninit;
@@ -372,6 +379,81 @@ struct Executor {
             uninit[addr] = word;
           }
           ret = c;
+          break;
+        }
+        case 0x0101001D: {  // UINT256_MUL
+          uint32_t x_ptr = b, y_ptr = c;
+          if (x_ptr % 4 || y_ptr % 4) { error = "uint256 unaligned"; return true; }
+          Uint256Event ev;
+          ev.shard = shard; ev.clk = clk; ev.x_ptr = x_ptr; ev.y_ptr = y_ptr;
+          uint32_t xw[8], yw[8], mw[8];
+          for (int i = 0; i < 8; i++) {  // x read unsafely (no records)
+            uint32_t addr = x_ptr + 4 * i;
+            auto it = memory.find(addr);
+            xw[i] = it != memory.end() ? it->second.value
+                    : (uninit.count(addr) ? uninit[addr] : 0);
+          }
+          for (int i = 0; i < 16; i++) {
+            uint32_t addr = y_ptr + 4 * i;
+            MemRec& r = lookup(addr);
+            ev.reads[i] = {addr, r.value, r.clk, r.shard, r.value};
+            (i < 8 ? yw[i] : mw[i - 8]) = r.value;
+            r.clk = clk; r.shard = shard;
+          }
+          // prod = x * y (16 words)
+          uint32_t prod[16] = {0};
+          for (int i = 0; i < 8; i++) {
+            uint64_t carry = 0;
+            for (int j = 0; j < 8; j++) {
+              uint64_t t = (uint64_t)xw[i] * yw[j] + prod[i + j] + carry;
+              prod[i + j] = (uint32_t)t;
+              carry = t >> 32;
+            }
+            prod[i + 8] = (uint32_t)carry;
+          }
+          uint32_t res[8];
+          bool m_zero = true;
+          for (int i = 0; i < 8; i++)
+            if (mw[i]) m_zero = false;
+          if (m_zero) {
+            for (int i = 0; i < 8; i++) res[i] = prod[i];
+          } else {
+            // binary long division: r = prod mod m over 512 bits
+            uint32_t rem[9] = {0};
+            for (int bit = 511; bit >= 0; bit--) {
+              uint32_t carry_in = (prod[bit / 32] >> (bit % 32)) & 1;
+              for (int i = 0; i < 9; i++) {  // rem = (rem << 1) | bit
+                uint32_t hi_bit = rem[i] >> 31;
+                rem[i] = (rem[i] << 1) | carry_in;
+                carry_in = hi_bit;
+              }
+              bool ge = rem[8] != 0;
+              if (!ge) {
+                for (int i = 7; i >= 0; i--) {
+                  if (rem[i] != mw[i]) { ge = rem[i] > mw[i]; break; }
+                  if (i == 0) ge = true;  // equal
+                }
+              }
+              if (ge) {
+                uint64_t borrow = 0;
+                for (int i = 0; i < 8; i++) {
+                  uint64_t t = (uint64_t)rem[i] - mw[i] - borrow;
+                  rem[i] = (uint32_t)t;
+                  borrow = (t >> 32) & 1;
+                }
+                rem[8] -= (uint32_t)borrow;
+              }
+            }
+            for (int i = 0; i < 8; i++) res[i] = rem[i];
+          }
+          for (int i = 0; i < 8; i++) {
+            uint32_t addr = x_ptr + 4 * i;
+            MemRec& r = lookup(addr);
+            ev.writes[i] = {addr, r.value, r.clk, r.shard, res[i]};
+            r.value = res[i]; r.clk = clk + 1; r.shard = shard;
+          }
+          if (trace) u256_events.push_back(ev);
+          extra_cycles = 1;
           break;
         }
         case 0x01010006: {  // SHA_COMPRESS
@@ -716,6 +798,29 @@ void ziren_exec_sha_ext_events(void* h, uint32_t* out) {
     const PrecompileAccess& a = e.write;
     uint32_t* f = row + 24;
     f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+  }
+}
+
+uint32_t ziren_exec_num_u256_events(void* h) {
+  return (uint32_t)((Executor*)h)->u256_events.size();
+}
+// rows of (shard, clk, x_ptr, y_ptr, 16 reads x5, 8 writes x5) = 124 u32 each
+void ziren_exec_u256_events(void* h, uint32_t* out) {
+  auto* ex = (Executor*)h;
+  for (size_t i = 0; i < ex->u256_events.size(); i++) {
+    const Uint256Event& e = ex->u256_events[i];
+    uint32_t* row = out + i * 124;
+    row[0] = e.shard; row[1] = e.clk; row[2] = e.x_ptr; row[3] = e.y_ptr;
+    for (int k = 0; k < 16; k++) {
+      const PrecompileAccess& a = e.reads[k];
+      uint32_t* f = row + 4 + k * 5;
+      f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+    }
+    for (int k = 0; k < 8; k++) {
+      const PrecompileAccess& a = e.writes[k];
+      uint32_t* f = row + 84 + k * 5;
+      f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
+    }
   }
 }
 

@@ -214,3 +214,31 @@ def sha256_program() -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def uint256_program(x: int, y: int, m: int) -> Program:
+    """x * y mod m (m == 0 means 2^256) via the UINT256_MUL precompile:
+    x at 0x2000 (result written back there), y at 0x2100, m at 0x2120."""
+
+    def store_words(base_reg_insns, base, value):
+        insns = list(base_reg_insns)
+        for i in range(8):
+            w = (value >> (32 * i)) & 0xFFFFFFFF
+            insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                      ri(O.SW, 9, 8, base + 4 * i)]
+        return insns
+
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    insns = store_words(insns, 0x000, x)
+    insns = store_words(insns, 0x100, y)
+    insns = store_words(insns, 0x120, m)
+    insns += [
+        imm(O.SLL, 2, 0x0101, 16), ri(O.OR, 2, 2, 0x1D),  # UINT256_MUL
+        imm(O.ADD, 4, 0, 0x2000),  # a0 = x_ptr
+        imm(O.ADD, 5, 0, 0x2100),  # a1 = y_ptr
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 8, 0),  # r20 = result word 0
+        ri(O.LW, 21, 8, 28),  # r21 = result word 7
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -625,6 +625,49 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.UINT256_MUL:
+            # result = x * y mod m (m == 0 means mod 2^256), written back to
+            # x_ptr (reference: syscalls/precompiles/uint256.rs — x read
+            # unsafely with no access records, y and modulus are 16 reads at
+            # clk, x written at clk + 1; one extra cycle)
+            x_ptr, y_ptr = b, c
+            assert x_ptr % 4 == 0 and y_ptr % 4 == 0, "uint256 ptr unaligned"
+            ev = {"shard": self.shard, "clk": self.clk, "x_ptr": x_ptr,
+                  "y_ptr": y_ptr, "reads": [], "writes": []}
+            x_words = [self.peek_word((x_ptr + 4 * i) & M32) for i in range(8)]
+
+            def _rd(addr):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                rec[1] = self.clk
+                rec[2] = self.shard
+                return rec[0]
+
+            y_words = [_rd((y_ptr + 4 * i) & M32) for i in range(8)]
+            m_words = [_rd((y_ptr + 32 + 4 * i) & M32) for i in range(8)]
+            to_int = lambda ws: sum(w << (32 * i) for i, w in enumerate(ws))
+            x_int, y_int, m_int = to_int(x_words), to_int(y_words), to_int(m_words)
+            r_int = (x_int * y_int) % (m_int if m_int else (1 << 256))
+            for i in range(8):
+                addr = (x_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                rv = (r_int >> (32 * i)) & M32
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], rv))
+                rec[0] = rv
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(
+                int(SyscallCode.UINT256_MUL), []
+            ).append(ev)
+            return syscall_id, None, 1, 0
         if syscall_id == SyscallCode.SHA_EXTEND:
             # w[i] = w[i-16] + s0(w[i-15]) + w[i-7] + s1(w[i-2]), i = 16..63
             # one event per iteration at clk + (i - 16); 48 extra cycles

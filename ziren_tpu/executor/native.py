@@ -48,11 +48,12 @@ def _load():
     lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.ziren_exec_peek.restype = ctypes.c_uint32
     for f in ("committed", "stdout", "events", "touched", "p2_events",
-              "sha_ext_events", "sha_cmp_events"):
+              "sha_ext_events", "sha_cmp_events", "u256_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.ziren_exec_num_p2_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_ext_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_cmp_events.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_num_u256_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -170,6 +171,24 @@ class NativeExecutor:
                     off += 5
                 evs.append(ev)
             record.precompile_events[0x01010006] = evs
+        nu256 = lib.ziren_exec_num_u256_events(h)
+        if nu256:
+            rows = np.zeros((nu256, 124), dtype=np.uint32)
+            lib.ziren_exec_u256_events(h, rows.ctypes.data_as(ctypes.c_void_p))
+            evs = []
+            for r in rows:
+                ev = {"shard": int(r[0]), "clk": int(r[1]), "x_ptr": int(r[2]),
+                      "y_ptr": int(r[3]), "reads": [], "writes": []}
+                for k in range(16):
+                    f = r[4 + k * 5 : 9 + k * 5]
+                    ev["reads"].append((int(f[0]), int(f[1]), int(f[2]), int(f[3])))
+                for k in range(8):
+                    f = r[84 + k * 5 : 89 + k * 5]
+                    ev["writes"].append(
+                        (int(f[0]), int(f[1]), int(f[2]), int(f[3]), int(f[4]))
+                    )
+                evs.append(ev)
+            record.precompile_events[0x0101001D] = evs
         record.mem_init = [(int(r[0]), int(r[1])) for r in touched]
         record.mem_final = [
             (int(r[0]), int(r[2]), int(r[3]), int(r[4])) for r in touched

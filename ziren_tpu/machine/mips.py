@@ -33,6 +33,7 @@ from .shift import ShiftLeftChip, ShiftRightChip
 from .poseidon2_chip import Poseidon2PermuteChip
 from .program import ProgramChip
 from .syscall import SyscallChip
+from .uint256 import Uint256MulChip
 
 
 def mips_airs():
@@ -57,6 +58,7 @@ def mips_airs():
         Poseidon2PermuteChip(),
         ShaExtendChip(),
         ShaCompressChip(),
+        Uint256MulChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -27,6 +27,7 @@ CODES = [
     ("is_sha_extend", int(SyscallCode.SHA_EXTEND)),
     ("is_sha_compress", int(SyscallCode.SHA_COMPRESS)),
     ("is_commit_deferred", int(SyscallCode.COMMIT_DEFERRED_PROOFS)),
+    ("is_uint256_mul", int(SyscallCode.UINT256_MUL)),
 ]
 
 COLS = Layout().add("shard").add("clk")
@@ -100,6 +101,7 @@ class SyscallChip(Air):
         is_p2 = L["is_poseidon2"]
         is_sha = L["is_sha_extend"]
         is_shac = L["is_sha_compress"]
+        is_u256 = L["is_uint256_mul"]
         b.receive(
             LookupKind.Instruction,
             instruction_message(
@@ -107,7 +109,7 @@ class SyscallChip(Air):
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
                 0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
-                is_p2 + is_sha * 48 + is_shac,  # precompile extra cycles
+                is_p2 + is_sha * 48 + is_shac + is_u256,  # precompile extras
             ),
             is_real,
         )
@@ -131,6 +133,12 @@ class SyscallChip(Air):
             [L["shard"], L["clk"], int(SyscallCode.SHA_COMPRESS),
              pack_word(L.word("b")), pack_word(L.word("c"))],
             is_shac,
+        )
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.UINT256_MUL),
+             pack_word(L.word("b")), pack_word(L.word("c"))],
+            is_u256,
         )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
