@@ -87,6 +87,15 @@ def verify_mips_proof(machine, vk, proof, pc_start=None):
 
     machine.verify(vk, proof)
     shards = proof.shard_proofs
+    # chips a shard proof may never omit (reference verify.rs: the CPU /
+    # memory / global chips are mandatory; event-driven chips are optional
+    # because omitting one with live events breaks the lookup balance)
+    required = {"Program", "Cpu", "Byte", "MemoryInit", "MemoryFinal",
+                "MemoryLocal", "Global"}
+    for i, sp in enumerate(shards):
+        missing = required - set(sp.chip_names)
+        if missing:
+            raise VerificationError(f"shard {i}: missing chips {sorted(missing)}")
     digest0 = shards[0].public_values[:40]
     for i, sp in enumerate(shards):
         pv = sp.public_values

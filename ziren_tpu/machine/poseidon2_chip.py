@@ -73,6 +73,9 @@ class Poseidon2PermuteChip(Air):
     def _events(self, record):
         return record.precompile_events.get(int(SyscallCode.POSEIDON2_PERMUTE), [])
 
+    def included(self, record):
+        return bool(self._events(record))
+
     def generate_dependencies(self, record, output):
         events = self._events(record)
         if not events:

@@ -59,6 +59,9 @@ class ShaCompressChip(Air):
     def _events(self, record):
         return record.precompile_events.get(int(SyscallCode.SHA_COMPRESS), [])
 
+    def included(self, record):
+        return bool(self._events(record))
+
     @staticmethod
     def _round_states(ev):
         """Returns the 64 round-input states + final output words."""

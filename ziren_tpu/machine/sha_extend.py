@@ -62,6 +62,9 @@ class ShaExtendChip(Air):
     def _events(self, record):
         return record.precompile_events.get(int(SyscallCode.SHA_EXTEND), [])
 
+    def included(self, record):
+        return bool(self._events(record))
+
     def generate_dependencies(self, record, output):
         events = self._events(record)
         if not events:

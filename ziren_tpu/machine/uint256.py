@@ -112,6 +112,9 @@ class Uint256MulChip(Air):
     def _events(self, record):
         return record.precompile_events.get(int(SyscallCode.UINT256_MUL), [])
 
+    def included(self, record):
+        return bool(self._events(record))
+
     def generate_dependencies(self, record, output):
         events = self._events(record)
         if not events:
