@@ -136,12 +136,58 @@ struct Uint256Event {
   PrecompileAccess writes[8];   // x words (prev = x, value = result)
 };
 
+struct KeccakEvent {
+  uint32_t shard, clk, input_ptr, result_ptr, n_u32;
+  PrecompileAccess len_read;
+  std::vector<PrecompileAccess> reads;  // n_u32 input words
+  PrecompileAccess writes[16];
+};
+
+static const uint64_t KECCAK_RC[24] = {
+  0x0000000000000001ull, 0x0000000000008082ull, 0x800000000000808Aull,
+  0x8000000080008000ull, 0x000000000000808Bull, 0x0000000080000001ull,
+  0x8000000080008081ull, 0x8000000000008009ull, 0x000000000000008Aull,
+  0x0000000000000088ull, 0x0000000080008009ull, 0x000000008000000Aull,
+  0x000000008000808Bull, 0x800000000000008Bull, 0x8000000000008089ull,
+  0x8000000000008003ull, 0x8000000000008002ull, 0x8000000000000080ull,
+  0x000000000000800Aull, 0x800000008000000Aull, 0x8000000080008081ull,
+  0x8000000000008080ull, 0x0000000080000001ull, 0x8000000080008008ull};
+
+static const int KECCAK_ROT[5][5] = {
+  {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+  {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14}};
+
+static inline uint64_t rol64(uint64_t x, int r) {
+  r %= 64;
+  return r ? (x << r) | (x >> (64 - r)) : x;
+}
+
+static void keccakf(uint64_t a[25]) {
+  for (int rnd = 0; rnd < 24; rnd++) {
+    uint64_t c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rol64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) a[x + 5 * y] ^= d[x];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rol64(a[x + 5 * y], KECCAK_ROT[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x + 5 * y] = b[x + 5 * y] ^ (~b[(x + 1) % 5 + 5 * y] & b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[rnd];
+  }
+}
+
 struct Executor {
   std::vector<Instr> instructions;
   std::vector<PrecompileEvent> p2_events;
   std::vector<ShaExtendEvent> sha_ext_events;
   std::vector<ShaCompressEvent> sha_cmp_events;
   std::vector<Uint256Event> u256_events;
+  std::vector<KeccakEvent> keccak_events;
   uint32_t pc_start = 0, pc_base = 0;
   std::unordered_map<uint32_t, MemRec> memory;
   std::unordered_map<uint32_t, uint32_t> uninit;
@@ -379,6 +425,45 @@ struct Executor {
             uninit[addr] = word;
           }
           ret = c;
+          break;
+        }
+        case 0x01010009: {  // KECCAK_SPONGE
+          uint32_t input_ptr = b, result_ptr = c;
+          KeccakEvent ev;
+          ev.shard = shard; ev.clk = clk;
+          ev.input_ptr = input_ptr; ev.result_ptr = result_ptr;
+          {
+            MemRec& r = lookup(result_ptr + 64);
+            ev.len_read = {result_ptr + 64, r.value, r.clk, r.shard, r.value};
+            ev.n_u32 = r.value;
+            r.clk = clk; r.shard = shard;
+          }
+          if (ev.n_u32 % 36) { error = "keccak input length not a block multiple"; return true; }
+          std::vector<uint32_t> words(ev.n_u32);
+          ev.reads.resize(ev.n_u32);
+          for (uint32_t i = 0; i < ev.n_u32; i++) {
+            uint32_t addr = input_ptr + 4 * i;
+            MemRec& r = lookup(addr);
+            ev.reads[i] = {addr, r.value, r.clk, r.shard, r.value};
+            words[i] = r.value;
+            r.clk = clk; r.shard = shard;
+          }
+          uint64_t st[25] = {0};
+          for (uint32_t blk = 0; blk < ev.n_u32 / 36; blk++) {
+            for (int i = 0; i < 18; i++)
+              st[i] ^= (uint64_t)words[36 * blk + 2 * i]
+                     | ((uint64_t)words[36 * blk + 2 * i + 1] << 32);
+            keccakf(st);
+          }
+          for (int i = 0; i < 16; i++) {
+            uint32_t addr = result_ptr + 4 * i;
+            uint32_t v = (i & 1) ? (uint32_t)(st[i / 2] >> 32) : (uint32_t)st[i / 2];
+            MemRec& r = lookup(addr);
+            ev.writes[i] = {addr, r.value, r.clk, r.shard, v};
+            r.value = v; r.clk = clk + 1; r.shard = shard;
+          }
+          if (trace) keccak_events.push_back(ev);
+          extra_cycles = 1;
           break;
         }
         case 0x0101001D: {  // UINT256_MUL
@@ -821,6 +906,31 @@ void ziren_exec_u256_events(void* h, uint32_t* out) {
       uint32_t* f = row + 84 + k * 5;
       f[0] = a.addr; f[1] = a.prev_value; f[2] = a.prev_clk; f[3] = a.prev_shard; f[4] = a.value;
     }
+  }
+}
+
+// keccak events are variable length; exported as a packed u32 blob:
+// per event [shard, clk, input_ptr, result_ptr, n_u32, len_read x5,
+//            n_u32 reads x5, 16 writes x5]
+uint32_t ziren_exec_keccak_blob_len(void* h) {
+  auto* ex = (Executor*)h;
+  uint64_t tot = 0;
+  for (const auto& e : ex->keccak_events) tot += 5 + 5 + 5ull * e.n_u32 + 80;
+  return (uint32_t)tot;
+}
+void ziren_exec_keccak_events(void* h, uint32_t* out) {
+  auto* ex = (Executor*)h;
+  uint32_t* p = out;
+  auto put = [&p](const PrecompileAccess& a) {
+    *p++ = a.addr; *p++ = a.prev_value; *p++ = a.prev_clk;
+    *p++ = a.prev_shard; *p++ = a.value;
+  };
+  for (const auto& e : ex->keccak_events) {
+    *p++ = e.shard; *p++ = e.clk; *p++ = e.input_ptr; *p++ = e.result_ptr;
+    *p++ = e.n_u32;
+    put(e.len_read);
+    for (const auto& a : e.reads) put(a);
+    for (int i = 0; i < 16; i++) put(e.writes[i]);
   }
 }
 

@@ -242,3 +242,39 @@ def uint256_program(x: int, y: int, m: int) -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def keccak_program(data: bytes) -> Program:
+    """keccak256(data) via the KECCAK_SPONGE precompile. The caller-side
+    padding (0x01 .. 0x80 over a 136-byte rate block) is applied here and the
+    padded block is extended to the sponge's 144-byte general block with zero
+    capacity-lane words, matching how the reference guest drives the syscall.
+    Input at 0x2000, result at 0x4000 (length word at 0x4040)."""
+    rate = 136
+    padded = bytearray(data)
+    pad_len = rate - (len(padded) % rate)
+    padded += b"\x00" * pad_len
+    padded[len(data)] = 0x01
+    padded[-1] |= 0x80
+    # widen each 136-byte rate block to a 144-byte general block
+    blocks = b"".join(
+        bytes(padded[i : i + rate]) + b"\x00" * 8
+        for i in range(0, len(padded), rate)
+    )
+    words = [int.from_bytes(blocks[4 * i : 4 * i + 4], "little")
+             for i in range(len(blocks) // 4)]
+    insns = [imm(O.ADD, 8, 0, 0x2000), imm(O.ADD, 10, 0, 0x4000)]
+    for i, v in enumerate(words):
+        insns += [imm(O.SLL, 9, v >> 16, 16), ri(O.OR, 9, 9, v & 0xFFFF),
+                  ri(O.SW, 9, 8, 4 * i)]
+    insns += [imm(O.ADD, 9, 0, len(words)), ri(O.SW, 9, 10, 0x40)]
+    insns += [
+        imm(O.SLL, 2, 0x0101, 16), ri(O.OR, 2, 2, 0x09),  # KECCAK_SPONGE
+        imm(O.ADD, 4, 0, 0x2000),  # a0 = input_ptr
+        imm(O.ADD, 5, 0, 0x4000),  # a1 = result_ptr
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 10, 0),  # r20 = digest word 0
+        ri(O.LW, 21, 10, 28),  # r21 = digest word 7
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -625,6 +625,67 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.KECCAK_SPONGE:
+            # absorb input (36-u32 / 18-lane blocks) into a zero keccak state,
+            # permuting per block; write state[0..8] as 16 u32s to result_ptr
+            # (reference: syscalls/precompiles/keccak/sponge.rs — input length
+            # in u32s is read from result_ptr + 64, reads at clk, the 16
+            # output words written at clk + 1; one extra cycle)
+            from .keccak import keccakf
+
+            input_ptr, result_ptr = b, c
+            ev = {"shard": self.shard, "clk": self.clk, "input_ptr": input_ptr,
+                  "result_ptr": result_ptr, "len_read": None, "reads": [],
+                  "writes": [], "input": [], "xored_states": []}
+
+            def _rd(addr):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                tup = (addr, rec[0], rec[1], rec[2])
+                rec[1] = self.clk
+                rec[2] = self.shard
+                return rec[0], tup
+
+            n_u32, len_tup = _rd((result_ptr + 64) & M32)
+            ev["len_read"] = len_tup
+            assert n_u32 % 36 == 0, "keccak input length not a block multiple"
+            words = []
+            for i in range(n_u32):
+                v, tup = _rd((input_ptr + 4 * i) & M32)
+                ev["reads"].append(tup)
+                words.append(v)
+            ev["input"] = words
+            lanes = [
+                words[2 * i] | (words[2 * i + 1] << 32)
+                for i in range(n_u32 // 2)
+            ]
+            state = [0] * 25
+            for blk in range(n_u32 // 36):
+                for i in range(18):
+                    state[i] ^= lanes[18 * blk + i]
+                ev["xored_states"].append(list(state))
+                state = keccakf(state)
+            out_words = []
+            for i in range(8):
+                out_words += [state[i] & M32, (state[i] >> 32) & M32]
+            for i in range(16):
+                addr = (result_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], out_words[i]))
+                rec[0] = out_words[i]
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(
+                int(SyscallCode.KECCAK_SPONGE), []
+            ).append(ev)
+            return syscall_id, None, 1, 0
         if syscall_id == SyscallCode.UINT256_MUL:
             # result = x * y mod m (m == 0 means mod 2^256), written back to
             # x_ptr (reference: syscalls/precompiles/uint256.rs — x read

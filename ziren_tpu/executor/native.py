@@ -48,8 +48,10 @@ def _load():
     lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.ziren_exec_peek.restype = ctypes.c_uint32
     for f in ("committed", "stdout", "events", "touched", "p2_events",
-              "sha_ext_events", "sha_cmp_events", "u256_events"):
+              "sha_ext_events", "sha_cmp_events", "u256_events",
+              "keccak_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ziren_exec_keccak_blob_len.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_p2_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_ext_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_cmp_events.argtypes = [ctypes.c_void_p]
@@ -171,6 +173,45 @@ class NativeExecutor:
                     off += 5
                 evs.append(ev)
             record.precompile_events[0x01010006] = evs
+        kb_len = lib.ziren_exec_keccak_blob_len(h)
+        if kb_len:
+            blob = np.zeros(kb_len, dtype=np.uint32)
+            lib.ziren_exec_keccak_events(h, blob.ctypes.data_as(ctypes.c_void_p))
+            from .keccak import keccakf
+
+            evs, off = [], 0
+            while off < kb_len:
+                shard_, clk_, iptr, rptr, n_u32 = (int(x) for x in blob[off:off + 5])
+                off += 5
+
+                def acc5():
+                    nonlocal off
+                    f = blob[off:off + 5]
+                    off += 5
+                    return tuple(int(x) for x in f)
+
+                lr = acc5()
+                ev = {"shard": shard_, "clk": clk_, "input_ptr": iptr,
+                      "result_ptr": rptr, "len_read": lr[:4], "reads": [],
+                      "writes": [], "input": [], "xored_states": []}
+                for _ in range(n_u32):
+                    f = acc5()
+                    ev["reads"].append(f[:4])
+                    ev["input"].append(f[1])
+                for _ in range(16):
+                    ev["writes"].append(acc5())
+                lanes = [
+                    ev["input"][2 * i] | (ev["input"][2 * i + 1] << 32)
+                    for i in range(n_u32 // 2)
+                ]
+                state = [0] * 25
+                for blk in range(n_u32 // 36):
+                    for i in range(18):
+                        state[i] ^= lanes[18 * blk + i]
+                    ev["xored_states"].append(list(state))
+                    state = keccakf(state)
+                evs.append(ev)
+            record.precompile_events[0x01010009] = evs
         nu256 = lib.ziren_exec_num_u256_events(h)
         if nu256:
             rows = np.zeros((nu256, 124), dtype=np.uint32)
