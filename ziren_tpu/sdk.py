@@ -1,0 +1,143 @@
+"""User-facing SDK: the moral equivalent of the reference's `zkm-sdk`
+ProverClient (reference: crates/sdk/src/lib.rs — setup / execute / prove /
+verify over guest ELFs with a write-based stdin).
+
+    from ziren_tpu.sdk import ProverClient, ZirenStdin
+
+    client = ProverClient()                 # "cpu" prover, dev FRI config
+    stdin = ZirenStdin(); stdin.write_slice(b"...")
+    pv, report = client.execute(elf, stdin)
+    pk, vk = client.setup(elf)
+    proof = client.prove(pk, stdin)
+    client.verify(proof, vk)
+
+Modes: config="core" uses the production FRI parameters (84 queries,
+16 PoW bits); config="dev" the fast 8-query test parameters. The
+compressed / groth16 / plonk actions of the reference sit on the recursion
+stack (ROADMAP.md) and raise NotImplementedError for now.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from ziren_tpu.executor.program import Program, load_elf
+from ziren_tpu.machine.mips import execute, mips_machine, verify_mips_proof
+from ziren_tpu.stark.config import core_config, dev_config
+
+
+class ZirenStdin:
+    """Input stream for the guest: a list of byte buffers consumed by the
+    HINT_LEN / HINT_READ syscalls (reference ZKMStdin::write_slice)."""
+
+    def __init__(self):
+        self.buffers: list[bytes] = []
+
+    def write_slice(self, data: bytes) -> "ZirenStdin":
+        self.buffers.append(bytes(data))
+        return self
+
+    def write_u32s(self, values) -> "ZirenStdin":
+        return self.write_slice(b"".join(struct.pack("<I", v) for v in values))
+
+
+@dataclass
+class ExecutionReport:
+    """reference: crates/core/executor/src/report.rs"""
+
+    total_instruction_count: int
+    exit_code: int
+    stdout: bytes
+    syscall_counts: dict = field(default_factory=dict)
+
+
+@dataclass
+class PublicValuesStream:
+    """Words committed by the guest via SYSCALL COMMIT, as bytes."""
+
+    words: list
+
+    def as_bytes(self) -> bytes:
+        return b"".join(struct.pack("<I", w & 0xFFFFFFFF) for w in self.words)
+
+
+@dataclass
+class ZirenProvingKey:
+    program: Program
+    machine: object
+    pk: object
+    vk: object
+
+
+@dataclass
+class ZirenVerifyingKey:
+    program_pc_start: int
+    machine: object
+    vk: object
+
+
+@dataclass
+class ZirenProofWithPublicValues:
+    proof: object  # MachineProof
+    public_values: PublicValuesStream
+
+
+def _load(elf_or_program) -> Program:
+    if isinstance(elf_or_program, Program):
+        return elf_or_program
+    return load_elf(bytes(elf_or_program))
+
+
+class ProverClient:
+    def __init__(self, config: str = "core"):
+        self._config = core_config() if config == "core" else dev_config()
+
+    # -- execute ----------------------------------------------------------
+    def execute(self, elf_or_program, stdin: ZirenStdin | None = None):
+        program = _load(elf_or_program)
+        ex, record = execute(program, stdin=stdin.buffers if stdin else None)
+        report = ExecutionReport(
+            total_instruction_count=int(ex.global_clk),
+            exit_code=int(record.public_values.exit_code),
+            stdout=bytes(getattr(ex, "stdout", b"") or b""),
+        )
+        return PublicValuesStream(list(ex.committed_values)), report
+
+    # -- prove / verify ---------------------------------------------------
+    def setup(self, elf_or_program):
+        program = _load(elf_or_program)
+        machine = mips_machine(self._config)
+        pk, vk = machine.setup(program, extra_observations=[program.pc_start])
+        return (
+            ZirenProvingKey(program, machine, pk, vk),
+            ZirenVerifyingKey(program.pc_start, machine, vk),
+        )
+
+    def prove(self, pk: ZirenProvingKey, stdin: ZirenStdin | None = None,
+              shard_size: int | None = None):
+        from ziren_tpu.executor import Executor
+
+        buffers = stdin.buffers if stdin else None
+        if shard_size:
+            ex = Executor(pk.program, stdin=buffers, shard_size=shard_size)
+            records = ex.run_sharded()
+        else:
+            ex, record = execute(pk.program, stdin=buffers)
+            records = [record]
+        proof = pk.machine.prove(pk.pk, records)
+        return ZirenProofWithPublicValues(
+            proof, PublicValuesStream(list(ex.committed_values))
+        )
+
+    def compressed_prove(self, *a, **k):
+        raise NotImplementedError("recursion stack lands in a later round")
+
+    groth16_prove = compressed_prove
+    plonk_prove = compressed_prove
+
+    def verify(self, proof: ZirenProofWithPublicValues,
+               vk: ZirenVerifyingKey) -> bool:
+        return verify_mips_proof(
+            vk.machine, vk.vk, proof.proof, pc_start=vk.program_pc_start
+        )
