@@ -11,15 +11,25 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_LOCK = threading.Lock()
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
 def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        return _load_locked()
+
+
+def _load_locked():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB

@@ -80,14 +80,28 @@ class StarkMachine:
         )
         return pk, vk
 
-    def prove(self, pk, records) -> MachineProof:
+    def prove(self, pk, records, parallel: bool = True) -> MachineProof:
+        """Prove every shard. Shards are transcript-independent (each gets a
+        clone of the post-vk challenger, reference prover.rs), so they prove
+        concurrently in a thread pool — numpy and the native kernels release
+        the GIL, so this scales with cores on multi-shard programs."""
         base = self.config.challenger()
         pk.vk.observe_into(base)
-        proofs = []
-        for record in records:
-            ch = base.clone()
-            proofs.append(prove_shard(self, pk, record, ch))
-        return MachineProof(proofs)
+        if len(records) <= 1 or not parallel:
+            return MachineProof(
+                [prove_shard(self, pk, r, base.clone()) for r in records]
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os
+
+        workers = min(len(records), os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = [
+                pool.submit(prove_shard, self, pk, r, base.clone())
+                for r in records
+            ]
+            return MachineProof([f.result() for f in futs])
 
     def verify(self, vk, proof: MachineProof) -> bool:
         base = self.config.challenger()

@@ -190,8 +190,10 @@ class TwoAdicFriPcs:
                     cnt[l] += w
         # FRI commit phase on bit-reversed reduced openings
         inputs = sorted(ro.items(), reverse=True)
-        self._set_shifts(inputs[0][0])
-        cp = self._commit_phase([(l, _bit_reverse_rows(v)) for l, v in inputs], challenger)
+        shifts = self._make_shifts(inputs[0][0])
+        cp = self._commit_phase(
+            [(l, _bit_reverse_rows(v)) for l, v in inputs], challenger, shifts
+        )
 
         # PoW grind
         pow_witness = challenger.grind(self.fri.proof_of_work_bits)
@@ -220,7 +222,7 @@ class TwoAdicFriPcs:
         proof = FriProof(cp.commits, query_proofs, cp.final_poly, pow_witness)
         return opened_values, proof
 
-    def _commit_phase(self, inputs, challenger) -> CommitPhaseData:
+    def _commit_phase(self, inputs, challenger, shifts) -> CommitPhaseData:
         """inputs: [(log_height, bit-reversed ext array (2^l, 4))] desc."""
         log_blowup = self.fri.log_blowup
         it = iter(inputs)
@@ -234,7 +236,7 @@ class TwoAdicFriPcs:
             trees.append(tree)
             challenger.observe_slice(tree.root)
             beta = challenger.sample_ext()
-            cur = self._fold(cur, beta, l)
+            cur = self._fold(cur, beta, l, shifts)
             l -= 1
             if nxt is not None and nxt[0] == l:
                 cur = E.eadd(cur, nxt[1])
@@ -244,14 +246,14 @@ class TwoAdicFriPcs:
         challenger.observe_slice(final)
         return CommitPhaseData(commits, trees, final)
 
-    def _fold(self, e_br: np.ndarray, beta: np.ndarray, log_h: int) -> np.ndarray:
+    def _fold(self, e_br: np.ndarray, beta: np.ndarray, log_h: int, shifts) -> np.ndarray:
         """One fold of a bit-reversed ext array of height 2^log_h, coset shift
         GENERATOR^(2^k): entry pairs are (f(x), f(-x))."""
         half = (F.P_INT + 1) // 2
         lo = e_br[0::2]
         hi = e_br[1::2]
         m = 1 << (log_h - 1)
-        shift = self._layer_shift(log_h)
+        shift = shifts[log_h]
         w_inv = pow(F.two_adic_generator(log_h), F.P_INT - 2, F.P_INT)
         s_inv = pow(shift, F.P_INT - 2, F.P_INT)
         xinv = F.fmul(np.uint32(s_inv), F.powers(w_inv, m))[
@@ -261,14 +263,6 @@ class TwoAdicFriPcs:
         odd = E.emul_base(E.emul_base(E.esub(lo, hi), np.uint32(half)), xinv)
         return E.eadd(even, E.emul(odd, np.broadcast_to(beta, odd.shape)))
 
-    def _layer_shift(self, log_h: int) -> int:
-        """Coset shift of the fold layer whose arrays have height 2^log_h.
-
-        The max-height layer has shift GENERATOR; each fold squares it. Layer
-        height determines how many folds happened relative to the top, but
-        shift bookkeeping is done by the callers passing absolute heights;
-        here we derive it from the *top* height stored at first use."""
-        return self._shifts[log_h]
 
     # -- verify ------------------------------------------------------------
     def verify(self, rounds, proof: FriProof, challenger) -> bool:
@@ -300,8 +294,7 @@ class TwoAdicFriPcs:
         if len(proof.query_proofs) != len(query_indices):
             return False
 
-        self._set_shifts(log_max)
-        self.commit_phase_commits_cache = proof.commit_phase_commits
+        shifts = self._make_shifts(log_max)
 
         # batched Merkle verification across all queries
         for r_i, (commit, mats) in enumerate(rounds):
@@ -334,18 +327,25 @@ class TwoAdicFriPcs:
 
         return self._verify_queries(
             rounds, query_indices, proof.query_proofs, alpha, betas,
-            proof.final_poly, log_max,
+            proof.final_poly, log_max, shifts,
         )
 
-    def _set_shifts(self, log_max: int):
-        self._shifts = {}
+    @staticmethod
+    def _make_shifts(log_max: int) -> dict:
+        """Coset shift per fold-layer height: the max-height layer lives on
+        GENERATOR * H, and each fold squares the shift. Returned as a local
+        dict (no instance state: one pcs object serves concurrent shard
+        proofs)."""
+        shifts = {}
         s = F.GENERATOR % F.P_INT
         for l in range(log_max, 0, -1):
-            self._shifts[l] = s
+            shifts[l] = s
             s = (s * s) % F.P_INT
+        return shifts
 
     def _verify_queries(
-        self, rounds, query_indices, query_proofs, alpha, betas, final_poly, log_max
+        self, rounds, query_indices, query_proofs, alpha, betas, final_poly,
+        log_max, shifts
     ) -> bool:
         """All queries verified together: reduced openings and the fold chain
         run as (nq, 4) vector ops instead of a Python loop per query (the
@@ -423,7 +423,7 @@ class TwoAdicFriPcs:
             g = F.two_adic_generator(l)
             x = np.array(
                 [
-                    self._shifts[l]
+                    shifts[l]
                     * pow(g, F.reverse_bits_len((int(ii) >> 1) << 1, l), F.P_INT)
                     % F.P_INT
                     for ii in i
