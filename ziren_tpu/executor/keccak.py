@@ -31,27 +31,34 @@ def _rol(x: int, r: int) -> int:
     return ((x << r) | (x >> (64 - r))) & M64
 
 
+def keccak_round(state: list, rnd: int) -> list:
+    """One Keccak-f round (theta, rho+pi, chi, iota) on 25 lanes."""
+    a = list(state)
+    # theta
+    c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+    d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+    for x in range(5):
+        for y in range(5):
+            a[x + 5 * y] ^= d[x]
+    # rho + pi
+    b = [0] * 25
+    for x in range(5):
+        for y in range(5):
+            b[y + 5 * ((2 * x + 3 * y) % 5)] = _rol(a[x + 5 * y], ROT[x][y])
+    # chi
+    for x in range(5):
+        for y in range(5):
+            a[x + 5 * y] = b[x + 5 * y] ^ (
+                (~b[(x + 1) % 5 + 5 * y] & M64) & b[(x + 2) % 5 + 5 * y]
+            )
+    # iota
+    a[0] ^= RC[rnd]
+    return a
+
+
 def keccakf(state: list) -> list:
     """24-round Keccak-f[1600] on a 25-lane state (x + 5y indexing)."""
     a = list(state)
     for rnd in range(24):
-        # theta
-        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
-        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
-        for x in range(5):
-            for y in range(5):
-                a[x + 5 * y] ^= d[x]
-        # rho + pi
-        b = [0] * 25
-        for x in range(5):
-            for y in range(5):
-                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rol(a[x + 5 * y], ROT[x][y])
-        # chi
-        for x in range(5):
-            for y in range(5):
-                a[x + 5 * y] = b[x + 5 * y] ^ (
-                    (~b[(x + 1) % 5 + 5 * y] & M64) & b[(x + 2) % 5 + 5 * y]
-                )
-        # iota
-        a[0] ^= RC[rnd]
+        a = keccak_round(a, rnd)
     return a
