@@ -63,3 +63,26 @@ def test_native_parity():
         pf, nf = pr.freeze(), nr.freeze()
         for k in pf:
             assert np.array_equal(pf[k], nf[k]), k
+
+
+@pytest.mark.parametrize("data", [b"hello world", bytes(range(200))])
+def test_sponge_chip_constraints(data):
+    from ziren_tpu.machine.debug import debug_constraints, debug_lookups
+    from ziren_tpu.machine.mips import mips_machine
+
+    prog = keccak_program(data)
+    machine = mips_machine()
+    pk, vk = machine.setup(prog, extra_observations=[prog.pc_start])
+    record = Executor(prog).run()
+    imbalance, origin = debug_lookups(machine, pk, record)
+    assert not imbalance, origin
+    assert debug_constraints(machine, pk, record)
+
+
+def test_prove_verify():
+    from ziren_tpu.machine.mips import prove_program, verify_mips_proof
+
+    prog = keccak_program(b"hello world")
+    machine, pk, vk, proof, ex = prove_program(prog)
+    assert "KeccakSponge" in proof.shard_proofs[0].chip_names
+    assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)

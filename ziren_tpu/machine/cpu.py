@@ -148,12 +148,13 @@ class CpuChip(Air):
         w.set("shard_to_send", is_chk * record.public_values.shard)
         w.set("clk_to_send", is_chk * cols["clk"])
         # extra cycles: poseidon2 = 1, sha_extend = 48, sha_compress = 1,
-        # uint256_mul = 1
+        # uint256_mul = 1, keccak_sponge = 1
         is_syscall = np.array([int(o == Opcode.SYSCALL) for o in ops])
         sid = np.asarray(cols["syscall_code"])
         extra = (
             (sid == 0x00010030) * 1 + (sid == 0x30010005) * 48
             + (sid == 0x01010006) * 1 + (sid == 0x0101001D) * 1
+            + (sid == 0x01010009) * 1
         ) * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])

@@ -33,6 +33,7 @@ from .shift import ShiftLeftChip, ShiftRightChip
 from .poseidon2_chip import Poseidon2PermuteChip
 from .program import ProgramChip
 from .syscall import SyscallChip
+from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
 
 
@@ -59,6 +60,7 @@ def mips_airs():
         ShaExtendChip(),
         ShaCompressChip(),
         Uint256MulChip(),
+        KeccakSpongeChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -28,6 +28,7 @@ CODES = [
     ("is_sha_compress", int(SyscallCode.SHA_COMPRESS)),
     ("is_commit_deferred", int(SyscallCode.COMMIT_DEFERRED_PROOFS)),
     ("is_uint256_mul", int(SyscallCode.UINT256_MUL)),
+    ("is_keccak", int(SyscallCode.KECCAK_SPONGE)),
 ]
 
 COLS = Layout().add("shard").add("clk")
@@ -102,6 +103,7 @@ class SyscallChip(Air):
         is_sha = L["is_sha_extend"]
         is_shac = L["is_sha_compress"]
         is_u256 = L["is_uint256_mul"]
+        is_keccak = L["is_keccak"]
         b.receive(
             LookupKind.Instruction,
             instruction_message(
@@ -109,7 +111,7 @@ class SyscallChip(Air):
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
                 0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
-                is_p2 + is_sha * 48 + is_shac + is_u256,  # precompile extras
+                is_p2 + is_sha * 48 + is_shac + is_u256 + is_keccak,
             ),
             is_real,
         )
@@ -139,6 +141,12 @@ class SyscallChip(Air):
             [L["shard"], L["clk"], int(SyscallCode.UINT256_MUL),
              pack_word(L.word("b")), pack_word(L.word("c"))],
             is_u256,
+        )
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.KECCAK_SPONGE),
+             pack_word(L.word("b")), pack_word(L.word("c"))],
+            is_keccak,
         )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
