@@ -278,3 +278,44 @@ def keccak_program(data: bytes) -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def secp256k1_program(op: str = "add") -> Program:
+    """Computes G + 2G (op='add') or 2G (op='double') on secp256k1 via the
+    weierstrass precompiles. Points at 0x2000 (p, overwritten) / 0x2200 (q)."""
+    GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    # 2G (well-known)
+    G2X = 0xC6047F9441ED7D6D3045406E95C07CD85C778E4B8CEF3CA7ABAC09B95C709EE5
+    G2Y = 0x1AE168FEA63DC339A3C58419466CEAEEF7F632653266D0E1236431A950CFE52A
+
+    def store_point(insns, base, x, y):
+        v = x | (y << 256)
+        for i in range(16):
+            w = (v >> (32 * i)) & 0xFFFFFFFF
+            insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                      ri(O.SW, 9, 8, base + 4 * i)]
+        return insns
+
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    if op == "add":
+        insns = store_point(insns, 0x000, GX, GY)
+        insns = store_point(insns, 0x200, G2X, G2Y)
+        insns += [
+            imm(O.SLL, 2, 0x0101, 16), ri(O.OR, 2, 2, 0x0A),  # SECP256K1_ADD
+            imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, 0x2200),
+            Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ]
+    else:
+        insns = store_point(insns, 0x000, GX, GY)
+        insns += [
+            imm(O.SLL, 2, 0x0001, 16), ri(O.OR, 2, 2, 0x0B),  # SECP256K1_DOUBLE
+            imm(O.ADD, 4, 0, 0x2000),
+            Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ]
+    insns += [
+        ri(O.LW, 20, 8, 0),  # r20 = x3 word 0
+        ri(O.LW, 21, 8, 32),  # r21 = y3 word 0
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -625,6 +625,60 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id in (SyscallCode.SECP256K1_ADD, SyscallCode.SECP256K1_DOUBLE):
+            # affine Weierstrass point add / double over secp256k1
+            # (reference: events/precompiles/ec.rs create_ec_add/double_event —
+            # p read unsafely at p_ptr and overwritten with the result; add
+            # reads q at clk and writes at clk + 1 with one extra cycle,
+            # double writes at clk with no extra cycle)
+            P256K = (1 << 256) - (1 << 32) - 977
+            is_add = syscall_id == SyscallCode.SECP256K1_ADD
+            p_ptr, q_ptr = b, c
+            assert p_ptr % 4 == 0, "ec point unaligned"
+            ev = {"shard": self.shard, "clk": self.clk, "p_ptr": p_ptr,
+                  "q_ptr": q_ptr if is_add else 0, "reads": [], "writes": []}
+            p_words = [self.peek_word((p_ptr + 4 * i) & M32) for i in range(16)]
+            to_int = lambda ws: sum(int(w) << (32 * i) for i, w in enumerate(ws))
+            x1, y1 = to_int(p_words[:8]), to_int(p_words[8:])
+            if is_add:
+                assert q_ptr % 4 == 0, "ec point unaligned"
+                q_words = []
+                for i in range(16):
+                    addr = (q_ptr + 4 * i) & M32
+                    rec = self.memory.get(addr)
+                    if rec is None:
+                        rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                        self.memory[addr] = rec
+                    self._touch(addr, rec)
+                    ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                    q_words.append(rec[0])
+                    rec[1] = self.clk
+                    rec[2] = self.shard
+                x2, y2 = to_int(q_words[:8]), to_int(q_words[8:])
+                assert x1 != x2, "ec add requires distinct x (use double)"
+                lam = ((y2 - y1) * pow(x2 - x1, P256K - 2, P256K)) % P256K
+            else:
+                lam = (3 * x1 * x1 * pow(2 * y1, P256K - 2, P256K)) % P256K
+                x2, y2 = x1, y1
+            x3 = (lam * lam - x1 - x2) % P256K
+            y3 = (lam * (x1 - x3) - y1) % P256K
+            out = [(x3 >> (32 * i)) & M32 for i in range(8)] + [
+                (y3 >> (32 * i)) & M32 for i in range(8)
+            ]
+            w_clk = self.clk + 1 if is_add else self.clk
+            for i in range(16):
+                addr = (p_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], out[i]))
+                rec[0] = out[i]
+                rec[1] = w_clk
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
+            return syscall_id, None, (1 if is_add else 0), 0
         if syscall_id == SyscallCode.KECCAK_SPONGE:
             # absorb input (36-u32 / 18-lane blocks) into a zero keccak state,
             # permuting per block; write state[0..8] as 16 u32s to result_ptr

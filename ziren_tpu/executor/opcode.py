@@ -126,6 +126,8 @@ class SyscallCode(IntEnum):
     SHA_EXTEND = 0x30_01_00_05
     SHA_COMPRESS = 0x01_01_00_06
     KECCAK_SPONGE = 0x01_01_00_09
+    SECP256K1_ADD = 0x01_01_00_0A
+    SECP256K1_DOUBLE = 0x00_01_00_0B
     COMMIT = 0x00_00_00_10
     COMMIT_DEFERRED_PROOFS = 0x00_00_00_1A
     VERIFY_ZKM_PROOF = 0x00_00_00_1B

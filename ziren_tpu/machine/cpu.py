@@ -154,7 +154,7 @@ class CpuChip(Air):
         extra = (
             (sid == 0x00010030) * 1 + (sid == 0x30010005) * 48
             + (sid == 0x01010006) * 1 + (sid == 0x0101001D) * 1
-            + (sid == 0x01010009) * 1
+            + (sid == 0x01010009) * 1 + (sid == 0x0101000A) * 1
         ) * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])

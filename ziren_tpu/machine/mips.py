@@ -35,6 +35,7 @@ from .program import ProgramChip
 from .syscall import SyscallChip
 from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
+from .weierstrass import Secp256k1AddChip, Secp256k1DoubleChip
 
 
 def mips_airs():
@@ -61,6 +62,8 @@ def mips_airs():
         ShaCompressChip(),
         Uint256MulChip(),
         KeccakSpongeChip(),
+        Secp256k1AddChip(),
+        Secp256k1DoubleChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

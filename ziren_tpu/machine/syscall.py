@@ -29,6 +29,8 @@ CODES = [
     ("is_commit_deferred", int(SyscallCode.COMMIT_DEFERRED_PROOFS)),
     ("is_uint256_mul", int(SyscallCode.UINT256_MUL)),
     ("is_keccak", int(SyscallCode.KECCAK_SPONGE)),
+    ("is_ec_add", int(SyscallCode.SECP256K1_ADD)),
+    ("is_ec_double", int(SyscallCode.SECP256K1_DOUBLE)),
 ]
 
 COLS = Layout().add("shard").add("clk")
@@ -104,6 +106,8 @@ class SyscallChip(Air):
         is_shac = L["is_sha_compress"]
         is_u256 = L["is_uint256_mul"]
         is_keccak = L["is_keccak"]
+        is_ec_add = L["is_ec_add"]
+        is_ec_double = L["is_ec_double"]
         b.receive(
             LookupKind.Instruction,
             instruction_message(
@@ -111,7 +115,7 @@ class SyscallChip(Air):
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
                 0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
-                is_p2 + is_sha * 48 + is_shac + is_u256 + is_keccak,
+                is_p2 + is_sha * 48 + is_shac + is_u256 + is_keccak + is_ec_add,
             ),
             is_real,
         )
@@ -147,6 +151,19 @@ class SyscallChip(Air):
             [L["shard"], L["clk"], int(SyscallCode.KECCAK_SPONGE),
              pack_word(L.word("b")), pack_word(L.word("c"))],
             is_keccak,
+        )
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.SECP256K1_ADD),
+             pack_word(L.word("b")), pack_word(L.word("c"))],
+            is_ec_add,
+        )
+        # double is single-argument: message length disambiguates
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.SECP256K1_DOUBLE),
+             pack_word(L.word("b"))],
+            is_ec_double,
         )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
