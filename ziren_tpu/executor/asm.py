@@ -319,3 +319,75 @@ def secp256k1_program(op: str = "add") -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+EC_CURVES = {
+    "secp256k1": (
+        (1 << 256) - (1 << 32) - 977, 0, 0x0101, 0x0A, 0x0001, 0x0B,
+        0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+        0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    ),
+    "secp256r1": (
+        (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1,
+        -3, 0x0101, 0x2C, 0x0001, 0x2D,
+        0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+        0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+    ),
+    "bn254": (
+        21888242871839275222246405745257275088696311157297823662689037894645226208583,
+        0, 0x0101, 0x0E, 0x0001, 0x0F, 1, 2,
+    ),
+}
+
+
+def ec_reference(curve: str, op: str):
+    """Host oracle: (2G, 3G) affine points for the named curve."""
+    m, a, *_rest, gx, gy = EC_CURVES[curve]
+    a %= m
+    lam = ((3 * gx * gx + a) * pow(2 * gy, m - 2, m)) % m
+    x2 = (lam * lam - 2 * gx) % m
+    y2 = (lam * (gx - x2) - gy) % m
+    if op == "double":
+        return x2, y2
+    lam = ((y2 - gy) * pow(x2 - gx, m - 2, m)) % m
+    x3 = (lam * lam - gx - x2) % m
+    y3 = (lam * (gx - x3) - gy) % m
+    return x3, y3
+
+
+def ec_program(curve: str, op: str = "add") -> Program:
+    """G + 2G (op='add') or 2G (op='double') via the weierstrass precompiles.
+    Points at 0x2000 (p, overwritten) / 0x2200 (q)."""
+    m, a, add_hi, add_lo, dbl_hi, dbl_lo, gx, gy = EC_CURVES[curve]
+    g2x, g2y = ec_reference(curve, "double")
+
+    def store_point(insns, base, x, y):
+        v = x | (y << 256)
+        for i in range(16):
+            w = (v >> (32 * i)) & 0xFFFFFFFF
+            insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                      ri(O.SW, 9, 8, base + 4 * i)]
+        return insns
+
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    if op == "add":
+        insns = store_point(insns, 0x000, gx, gy)
+        insns = store_point(insns, 0x200, g2x, g2y)
+        insns += [
+            imm(O.SLL, 2, add_hi, 16), ri(O.OR, 2, 2, add_lo),
+            imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, 0x2200),
+            Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ]
+    else:
+        insns = store_point(insns, 0x000, gx, gy)
+        insns += [
+            imm(O.SLL, 2, dbl_hi, 16), ri(O.OR, 2, 2, dbl_lo),
+            imm(O.ADD, 4, 0, 0x2000),
+            Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ]
+    insns += [
+        ri(O.LW, 20, 8, 0),
+        ri(O.LW, 21, 8, 32),
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -34,6 +34,19 @@ from .program import NUM_REGISTERS, REG_A0, REG_A1, REG_V0, sign_extend
 from .record import ExecutionRecord
 
 M32 = 0xFFFFFFFF
+
+# Weierstrass curve parameters: syscall -> (modulus, curve a, is_add)
+_P256K1 = (1 << 256) - (1 << 32) - 977
+_P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
+_PBN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+_WEIERSTRASS = {
+    SyscallCode.SECP256K1_ADD: (_P256K1, 0, True),
+    SyscallCode.SECP256K1_DOUBLE: (_P256K1, 0, False),
+    SyscallCode.SECP256R1_ADD: (_P256R1, _P256R1 - 3, True),
+    SyscallCode.SECP256R1_DOUBLE: (_P256R1, _P256R1 - 3, False),
+    SyscallCode.BN254_ADD: (_PBN254, 0, True),
+    SyscallCode.BN254_DOUBLE: (_PBN254, 0, False),
+}
 _SHA256_K = [
     0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
     0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
@@ -625,14 +638,13 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
-        if syscall_id in (SyscallCode.SECP256K1_ADD, SyscallCode.SECP256K1_DOUBLE):
-            # affine Weierstrass point add / double over secp256k1
+        if syscall_id in _WEIERSTRASS:
+            # affine Weierstrass point add / double (secp256k1/r1, bn254)
             # (reference: events/precompiles/ec.rs create_ec_add/double_event —
             # p read unsafely at p_ptr and overwritten with the result; add
             # reads q at clk and writes at clk + 1 with one extra cycle,
             # double writes at clk with no extra cycle)
-            P256K = (1 << 256) - (1 << 32) - 977
-            is_add = syscall_id == SyscallCode.SECP256K1_ADD
+            P256K, a_coef, is_add = _WEIERSTRASS[syscall_id]
             p_ptr, q_ptr = b, c
             assert p_ptr % 4 == 0, "ec point unaligned"
             ev = {"shard": self.shard, "clk": self.clk, "p_ptr": p_ptr,
@@ -658,7 +670,9 @@ class Executor:
                 assert x1 != x2, "ec add requires distinct x (use double)"
                 lam = ((y2 - y1) * pow(x2 - x1, P256K - 2, P256K)) % P256K
             else:
-                lam = (3 * x1 * x1 * pow(2 * y1, P256K - 2, P256K)) % P256K
+                lam = (
+                    (3 * x1 * x1 + a_coef) * pow(2 * y1, P256K - 2, P256K)
+                ) % P256K
                 x2, y2 = x1, y1
             x3 = (lam * lam - x1 - x2) % P256K
             y3 = (lam * (x1 - x3) - y1) % P256K

@@ -128,6 +128,10 @@ class SyscallCode(IntEnum):
     KECCAK_SPONGE = 0x01_01_00_09
     SECP256K1_ADD = 0x01_01_00_0A
     SECP256K1_DOUBLE = 0x00_01_00_0B
+    BN254_ADD = 0x01_01_00_0E
+    BN254_DOUBLE = 0x00_01_00_0F
+    SECP256R1_ADD = 0x01_01_00_2C
+    SECP256R1_DOUBLE = 0x00_01_00_2D
     COMMIT = 0x00_00_00_10
     COMMIT_DEFERRED_PROOFS = 0x00_00_00_1A
     VERIFY_ZKM_PROOF = 0x00_00_00_1B

@@ -155,6 +155,7 @@ class CpuChip(Air):
             (sid == 0x00010030) * 1 + (sid == 0x30010005) * 48
             + (sid == 0x01010006) * 1 + (sid == 0x0101001D) * 1
             + (sid == 0x01010009) * 1 + (sid == 0x0101000A) * 1
+            + (sid == 0x0101002C) * 1 + (sid == 0x0101000E) * 1
         ) * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])

@@ -91,8 +91,10 @@ class ModMulGadget:
         mat[start:, layout.slc(f"{self.prefix}_clo")] = C_OFF & 0xFF
         mat[start:, layout.slc(f"{self.prefix}_chi")] = C_OFF >> 8
 
-    def eval(self, b_, L, a_limbs, b_limbs, r_limbs, is_real):
-        """Constraints (ungated identity; padding rows satisfy with zeros)."""
+    def eval(self, b_, L, a_limbs, b_limbs, r_limbs, is_real, gate=None):
+        """Constraints. Without `gate` the identity is ungated (padding rows
+        satisfy with zeros); pass gate=is_real when any term has a nonzero
+        constant (raises each coefficient constraint by one degree)."""
         nl, nc = self.nl, self.nc
         q = L[f"{self.prefix}_q"]
         clo = L[f"{self.prefix}_clo"]
@@ -115,7 +117,8 @@ class ModMulGadget:
                 e = e - r_limbs[k]
             c_prev = carries[k - 1] if k > 0 else 0
             c_cur = carries[k] if k < nc else 0
-            b_.assert_zero(e + c_prev - c_cur * 256)
+            expr = e + c_prev - c_cur * 256
+            b_.assert_zero(gate * expr if gate is not None else expr)
 
 
 class ModLinGadget:
@@ -130,7 +133,8 @@ class ModLinGadget:
         self.m = modulus
         self.nl = nl
         self.max_borrow = max_borrow
-        layout.add(f"{prefix}_borrow")
+        assert max_borrow <= 3  # borrow committed as two bits
+        layout.add(f"{prefix}_b0").add(f"{prefix}_b1")
         layout.add(f"{prefix}_c", nl)
 
     def witness(self, terms):
@@ -161,7 +165,8 @@ class ModLinGadget:
 
     def fill(self, row, layout, terms, record=None):
         borrow, carries = self.witness(terms)
-        row[layout.idx(f"{self.prefix}_borrow")] = borrow
+        row[layout.idx(f"{self.prefix}_b0")] = borrow & 1
+        row[layout.idx(f"{self.prefix}_b1")] = borrow >> 1
         row[layout.slc(f"{self.prefix}_c")] = np.array(carries) + C_OFF_LIN
         if record is not None:
             cs = [c + C_OFF_LIN for c in carries]
@@ -174,17 +179,19 @@ class ModLinGadget:
     def fill_padding(self, mat, layout, start):
         mat[start:, layout.slc(f"{self.prefix}_c")] = C_OFF_LIN
 
-    def eval(self, b_, L, terms, is_real):
-        """terms: [(coef, limb_list)]; coefs are small Python ints."""
+    def eval(self, b_, L, terms, is_real, gate=None):
+        """terms: [(coef, limb_list)]; coefs are small Python ints. Pass
+        gate=is_real when any term is a nonzero constant vector."""
         nl = self.nl
-        borrow = L[f"{self.prefix}_borrow"]
+        b0 = L[f"{self.prefix}_b0"]
+        b1 = L[f"{self.prefix}_b1"]
         c_cols = L[f"{self.prefix}_c"]
         ml = limbs_of(self.m, nl)
-        # borrow in 0..max_borrow
-        g = borrow
-        for v in range(1, self.max_borrow + 1):
-            g = g * (borrow - v)
-        b_.assert_zero(g)
+        b_.assert_bool(b0)
+        b_.assert_bool(b1)
+        if self.max_borrow < 2:
+            b_.assert_zero(b1)
+        borrow = b0 + 2 * b1
         for k in range(0, nl - 1, 2):
             send_byte(b_, B.U8Range, c_cols[k], c_cols[k + 1], 0, is_real)
         if nl % 2:
@@ -199,4 +206,5 @@ class ModLinGadget:
                 e = e - borrow * ml[k]
             c_prev = carries[k - 1] if k > 0 else 0
             c_cur = carries[k] if k < nl else 0
-            b_.assert_zero(e + c_prev - c_cur * 256)
+            expr = e + c_prev - c_cur * 256
+            b_.assert_zero(gate * expr if gate is not None else expr)

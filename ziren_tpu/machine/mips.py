@@ -35,7 +35,7 @@ from .program import ProgramChip
 from .syscall import SyscallChip
 from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
-from .weierstrass import Secp256k1AddChip, Secp256k1DoubleChip
+from .weierstrass import curve_chips
 
 
 def mips_airs():
@@ -62,8 +62,7 @@ def mips_airs():
         ShaCompressChip(),
         Uint256MulChip(),
         KeccakSpongeChip(),
-        Secp256k1AddChip(),
-        Secp256k1DoubleChip(),
+        *curve_chips(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -31,7 +31,18 @@ CODES = [
     ("is_keccak", int(SyscallCode.KECCAK_SPONGE)),
     ("is_ec_add", int(SyscallCode.SECP256K1_ADD)),
     ("is_ec_double", int(SyscallCode.SECP256K1_DOUBLE)),
+    ("is_r1_add", int(SyscallCode.SECP256R1_ADD)),
+    ("is_r1_double", int(SyscallCode.SECP256R1_DOUBLE)),
+    ("is_bn_add", int(SyscallCode.BN254_ADD)),
+    ("is_bn_double", int(SyscallCode.BN254_DOUBLE)),
 ]
+
+EC_ADD_FLAGS = [("is_ec_add", SyscallCode.SECP256K1_ADD),
+                ("is_r1_add", SyscallCode.SECP256R1_ADD),
+                ("is_bn_add", SyscallCode.BN254_ADD)]
+EC_DOUBLE_FLAGS = [("is_ec_double", SyscallCode.SECP256K1_DOUBLE),
+                   ("is_r1_double", SyscallCode.SECP256R1_DOUBLE),
+                   ("is_bn_double", SyscallCode.BN254_DOUBLE)]
 
 COLS = Layout().add("shard").add("clk")
 COLS.add("pc").add("next_pc").add("next_next_pc")
@@ -106,8 +117,7 @@ class SyscallChip(Air):
         is_shac = L["is_sha_compress"]
         is_u256 = L["is_uint256_mul"]
         is_keccak = L["is_keccak"]
-        is_ec_add = L["is_ec_add"]
-        is_ec_double = L["is_ec_double"]
+        ec_adds = sum(L[nm] for nm, _ in EC_ADD_FLAGS)
         b.receive(
             LookupKind.Instruction,
             instruction_message(
@@ -115,7 +125,7 @@ class SyscallChip(Air):
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
                 0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
-                is_p2 + is_sha * 48 + is_shac + is_u256 + is_keccak + is_ec_add,
+                is_p2 + is_sha * 48 + is_shac + is_u256 + is_keccak + ec_adds,
             ),
             is_real,
         )
@@ -152,19 +162,20 @@ class SyscallChip(Air):
              pack_word(L.word("b")), pack_word(L.word("c"))],
             is_keccak,
         )
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SECP256K1_ADD),
-             pack_word(L.word("b")), pack_word(L.word("c"))],
-            is_ec_add,
-        )
+        for nm, code in EC_ADD_FLAGS:
+            b.send(
+                LookupKind.Syscall,
+                [L["shard"], L["clk"], int(code),
+                 pack_word(L.word("b")), pack_word(L.word("c"))],
+                L[nm],
+            )
         # double is single-argument: message length disambiguates
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SECP256K1_DOUBLE),
-             pack_word(L.word("b"))],
-            is_ec_double,
-        )
+        for nm, code in EC_DOUBLE_FLAGS:
+            b.send(
+                LookupKind.Syscall,
+                [L["shard"], L["clk"], int(code), pack_word(L.word("b"))],
+                L[nm],
+            )
 
         # HALT: next_pc = 0, exit code (A0 = b) must be 0
         b.when(is_halt).assert_zero(L["next_pc"])

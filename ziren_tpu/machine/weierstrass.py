@@ -1,5 +1,5 @@
-"""Weierstrass curve precompile chips (secp256k1 add / double), built on
-the fixed-modulus byte-limb gadgets in field_gadget.py
+"""Weierstrass curve precompile chips (secp256k1 / secp256r1 / bn254 add and
+double), built on the fixed-modulus byte-limb gadgets in field_gadget.py
 (reference: crates/core/machine/src/syscall/precompiles/weierstrass/
 weierstrass_add.rs / weierstrass_double.rs — same decomposition into
 slope-numerator / slope / x3 / y3 field ops, re-derived for this engine).
@@ -17,9 +17,12 @@ x1,y1 come from the p-write prev-value bytes, x2,y2 from the q-read values,
 x3,y3 from the p-write values (byte limbs from the memory-access words);
 x3 and y3 are range-checked < m against the constant modulus.
 
-Double: lam = (3 x^2 + a) / (2 y), same tail. The p point is read unsafely
-and overwritten in place (write at clk, no extra cycle — reference
+Double: lam * 2y = 3 x^2 + a, same tail. The p point is read unsafely and
+overwritten in place (write at clk, no extra cycle — reference
 create_ec_double_event), so the only memory accesses are the 16 writes.
+
+All three curves share the 8-words-per-coordinate shape; bls12-381
+(12 words per coordinate) and the edwards form are tracked in ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -31,20 +34,32 @@ from ziren_tpu.executor.opcode import SyscallCode
 from ziren_tpu.stark.chip import Air
 from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, send_byte
-from .field_gadget import ModLinGadget, ModMulGadget, limbs_of, pack_limbs
+from .field_gadget import ModLinGadget, ModMulGadget, limbs_of
 from .layout import Layout
-from .memory_access import add_access_cols, eval_access, fill_access
+from .memory_access import add_access_cols, eval_access
 
-P256K1 = (1 << 256) - (1 << 32) - 977
 NL = 32
 
+P256K1 = (1 << 256) - (1 << 32) - 977
+P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
+PBN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 
-def _access_words_to_int(words8) -> int:
+# (name, modulus, curve a, add syscall, double syscall)
+CURVES = [
+    ("Secp256k1", P256K1, 0,
+     int(SyscallCode.SECP256K1_ADD), int(SyscallCode.SECP256K1_DOUBLE)),
+    ("Secp256r1", P256R1, P256R1 - 3,
+     int(SyscallCode.SECP256R1_ADD), int(SyscallCode.SECP256R1_DOUBLE)),
+    ("Bn254", PBN254, 0,
+     int(SyscallCode.BN254_ADD), int(SyscallCode.BN254_DOUBLE)),
+]
+
+
+def _words_to_int(words8) -> int:
     return sum(int(w) << (32 * i) for i, w in enumerate(words8))
 
 
 def _word_limbs(view, names) -> list:
-    """Byte limbs of 8 access words (4 byte cols each), little-endian."""
     out = []
     for nm in names:
         out += list(view.word(nm))
@@ -66,9 +81,9 @@ def _eval_witness_vec(b_, L, name, is_real):
     return list(v)
 
 
-def _fill_lt(row, layout, prefix, value, record=None):
+def _fill_lt(row, layout, prefix, value, modulus, record=None):
     rl = limbs_of(value, NL)
-    ml = limbs_of(P256K1, NL)
+    ml = limbs_of(modulus, NL)
     df = np.zeros(NL, dtype=np.uint32)
     for k in range(NL - 1, -1, -1):
         if rl[k] != ml[k]:
@@ -82,9 +97,9 @@ def _fill_lt(row, layout, prefix, value, record=None):
     row[layout.slc(f"{prefix}_df")] = df
 
 
-def _eval_lt(b_, L, prefix, r_limbs, is_real):
+def _eval_lt(b_, L, prefix, r_limbs, modulus, is_real):
     """r < m (constant modulus), lexicographic MSB-first."""
-    ml = limbs_of(P256K1, NL)
+    ml = limbs_of(modulus, NL)
     df = L[f"{prefix}_df"]
     acc = 0
     for k in range(NL):
@@ -136,256 +151,264 @@ class _WeierstrassBase(Air):
                 ) & 0xFF
 
 
-def _add_layout():
-    l = Layout().add("shard").add("clk").add("p_ptr").add("q_ptr").add("is_real")
+def _make_add_chip(curve_name, modulus, add_code):
+    C = Layout().add("shard").add("clk").add("p_ptr").add("q_ptr").add("is_real")
     for i in range(16):
-        add_access_cols(l, f"pw{i}", write=True)
+        add_access_cols(C, f"pw{i}", write=True)
     for i in range(16):
-        add_access_cols(l, f"qr{i}", write=False)
+        add_access_cols(C, f"qr{i}", write=False)
     for nm in ("dx", "dy", "lam", "lam2", "xd", "t"):
-        l.add(nm, NL)
-    l.add("x3_df", NL).add("y3_df", NL).add("x3_sel").add("y3_sel")
-    return l
+        C.add(nm, NL)
+    C.add("x3_df", NL).add("y3_df", NL).add("x3_sel").add("y3_sel")
+    g_dx = ModLinGadget(C, "gdx", modulus, NL)
+    g_dy = ModLinGadget(C, "gdy", modulus, NL)
+    g_lam = ModMulGadget(C, "glam", modulus, NL)
+    g_lam2 = ModMulGadget(C, "glam2", modulus, NL)
+    g_x3 = ModLinGadget(C, "gx3", modulus, NL, max_borrow=2)
+    g_xd = ModLinGadget(C, "gxd", modulus, NL)
+    g_t = ModMulGadget(C, "gt", modulus, NL)
+    g_y3 = ModLinGadget(C, "gy3", modulus, NL)
 
+    class AddChip(_WeierstrassBase):
+        name = f"{curve_name}Add"
+        SYSCALL = add_code
+        COLS = C
+        width = C.width
 
-class Secp256k1AddChip(_WeierstrassBase):
-    name = "Secp256k1Add"
-    SYSCALL = SyscallCode.SECP256K1_ADD
-    COLS = _add_layout()
-    G_DX = ModLinGadget(COLS, "gdx", P256K1, NL)
-    G_DY = ModLinGadget(COLS, "gdy", P256K1, NL)
-    G_LAM = ModMulGadget(COLS, "glam", P256K1, NL)
-    G_LAM2 = ModMulGadget(COLS, "glam2", P256K1, NL)
-    G_X3 = ModLinGadget(COLS, "gx3", P256K1, NL, max_borrow=2)
-    G_XD = ModLinGadget(COLS, "gxd", P256K1, NL)
-    G_T = ModMulGadget(COLS, "gt", P256K1, NL)
-    G_Y3 = ModLinGadget(COLS, "gy3", P256K1, NL)
-    width = COLS.width
+        def generate_dependencies(self, record, output):
+            for ev in self._events(record):
+                clk = ev["clk"]
+                self._deps_accesses(
+                    record, ev,
+                    [(clk, a) for a in ev["reads"]]
+                    + [(clk + 1, a) for a in ev["writes"]],
+                )
+                row = np.zeros(C.width, dtype=np.uint32)
+                self._fill_math(row, ev, record)
 
-    def generate_dependencies(self, record, output):
-        for ev in self._events(record):
-            clk = ev["clk"]
-            self._deps_accesses(
-                record, ev,
-                [(clk, a) for a in ev["reads"]]
-                + [(clk + 1, a) for a in ev["writes"]],
+        def _fill_math(self, row, ev, record=None):
+            m = modulus
+            x1 = _words_to_int([w[1] for w in ev["writes"][:8]])
+            y1 = _words_to_int([w[1] for w in ev["writes"][8:]])
+            x2 = _words_to_int([r[1] for r in ev["reads"][:8]])
+            y2 = _words_to_int([r[1] for r in ev["reads"][8:]])
+            x3 = _words_to_int([w[4] for w in ev["writes"][:8]])
+            y3 = _words_to_int([w[4] for w in ev["writes"][8:]])
+            dx, dy = (x2 - x1) % m, (y2 - y1) % m
+            lam = (dy * pow(dx, m - 2, m)) % m
+            lam2 = (lam * lam) % m
+            xd = (x1 - x3) % m
+            t = (lam * xd) % m
+            for nm, v in (("dx", dx), ("dy", dy), ("lam", lam),
+                          ("lam2", lam2), ("xd", xd), ("t", t)):
+                _fill_witness_vec(row, C, nm, v, record)
+            g_dx.fill(row, C, [(1, dx), (1, x1), (-1, x2)], record)
+            g_dy.fill(row, C, [(1, dy), (1, y1), (-1, y2)], record)
+            g_lam.fill(row, C, lam, dx, dy, record)
+            g_lam2.fill(row, C, lam, lam, lam2, record)
+            g_x3.fill(row, C, [(1, x3), (1, x1), (1, x2), (-1, lam2)], record)
+            g_xd.fill(row, C, [(1, xd), (1, x3), (-1, x1)], record)
+            g_t.fill(row, C, lam, xd, t, record)
+            g_y3.fill(row, C, [(1, y3), (1, y1), (-1, t)], record)
+            _fill_lt(row, C, "x3", x3, m, record)
+            _fill_lt(row, C, "y3", y3, m, record)
+            return row
+
+        def generate_trace(self, record, output):
+            events = self._events(record)
+            n = len(events)
+            height = max(4, 1 << max(0, n - 1).bit_length())
+            mat = np.zeros((height, C.width), dtype=np.uint32)
+            shard_now = record.public_values.shard
+            for r_i, ev in enumerate(events):
+                row = self._fill_math(mat[r_i], ev)
+                row[C.idx("shard")] = ev["shard"]
+                row[C.idx("clk")] = ev["clk"]
+                row[C.idx("p_ptr")] = ev["p_ptr"]
+                row[C.idx("q_ptr")] = ev["q_ptr"]
+                row[C.idx("is_real")] = 1
+                for i in range(16):
+                    self._fill_access(row, C, f"pw{i}", ev["writes"][i],
+                                      ev["clk"] + 1, shard_now, True)
+                    self._fill_access(row, C, f"qr{i}", ev["reads"][i],
+                                      ev["clk"], shard_now, False)
+            for g in (g_lam, g_lam2, g_t):
+                g.fill_padding(mat, C, n)
+            for g in (g_dx, g_dy, g_x3, g_xd, g_y3):
+                g.fill_padding(mat, C, n)
+            return mat
+
+        def eval(self, b_):
+            L = C.view(b_.main_local)
+            is_real = L["is_real"]
+            b_.assert_bool(is_real)
+            b_.receive(
+                LookupKind.Syscall,
+                [L["shard"], L["clk"], self.SYSCALL, L["p_ptr"], L["q_ptr"]],
+                is_real,
             )
-            self._witness_counts(record, ev)
-
-    def _witness_counts(self, record, ev):
-        C = self.COLS
-        row = np.zeros(C.width, dtype=np.uint32)  # scratch
-        self._fill_math(row, ev, record)
-
-    def _fill_math(self, row, ev, record=None):
-        C = self.COLS
-        m = P256K1
-        x1 = _access_words_to_int([w[1] for w in ev["writes"][:8]])
-        y1 = _access_words_to_int([w[1] for w in ev["writes"][8:]])
-        x2 = _access_words_to_int([r[1] for r in ev["reads"][:8]])
-        y2 = _access_words_to_int([r[1] for r in ev["reads"][8:]])
-        x3 = _access_words_to_int([w[4] for w in ev["writes"][:8]])
-        y3 = _access_words_to_int([w[4] for w in ev["writes"][8:]])
-        dx, dy = (x2 - x1) % m, (y2 - y1) % m
-        lam = (dy * pow(dx, m - 2, m)) % m
-        lam2 = (lam * lam) % m
-        xd = (x1 - x3) % m
-        t = (lam * xd) % m
-        for nm, v in (("dx", dx), ("dy", dy), ("lam", lam), ("lam2", lam2),
-                      ("xd", xd), ("t", t)):
-            _fill_witness_vec(row, C, nm, v, record)
-        self.G_DX.fill(row, C, [(1, dx), (1, x1), (-1, x2)], record)
-        self.G_DY.fill(row, C, [(1, dy), (1, y1), (-1, y2)], record)
-        self.G_LAM.fill(row, C, lam, dx, dy, record)
-        self.G_LAM2.fill(row, C, lam, lam, lam2, record)
-        self.G_X3.fill(row, C, [(1, x3), (1, x1), (1, x2), (-1, lam2)], record)
-        self.G_XD.fill(row, C, [(1, xd), (1, x3), (-1, x1)], record)
-        self.G_T.fill(row, C, lam, xd, t, record)
-        self.G_Y3.fill(row, C, [(1, y3), (1, y1), (-1, t)], record)
-        _fill_lt(row, C, "x3", x3, record)
-        _fill_lt(row, C, "y3", y3, record)
-        return row
-
-    def generate_trace(self, record, output):
-        events = self._events(record)
-        n = len(events)
-        height = max(4, 1 << max(0, n - 1).bit_length())
-        C = self.COLS
-        mat = np.zeros((height, C.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
-        for r_i, ev in enumerate(events):
-            row = self._fill_math(mat[r_i], ev)
-            row[C.idx("shard")] = ev["shard"]
-            row[C.idx("clk")] = ev["clk"]
-            row[C.idx("p_ptr")] = ev["p_ptr"]
-            row[C.idx("q_ptr")] = ev["q_ptr"]
-            row[C.idx("is_real")] = 1
             for i in range(16):
-                self._fill_access(row, C, f"pw{i}", ev["writes"][i],
-                                  ev["clk"] + 1, shard_now, True)
-                self._fill_access(row, C, f"qr{i}", ev["reads"][i],
-                                  ev["clk"], shard_now, False)
-        for g in (self.G_LAM, self.G_LAM2, self.G_T):
-            g.fill_padding(mat, C, n)
-        for g in (self.G_DX, self.G_DY, self.G_X3, self.G_XD, self.G_Y3):
-            g.fill_padding(mat, C, n)
-        return mat
+                eval_access(b_, L, f"qr{i}", L["shard"], L["clk"],
+                            L["q_ptr"] + 4 * i, is_real, write=False)
+                eval_access(b_, L, f"pw{i}", L["shard"], L["clk"] + 1,
+                            L["p_ptr"] + 4 * i, is_real, write=True)
+            x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8)])
+            y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8, 16)])
+            x2 = _word_limbs(L, [f"qr{i}_value" for i in range(8)])
+            y2 = _word_limbs(L, [f"qr{i}_value" for i in range(8, 16)])
+            x3 = _word_limbs(L, [f"pw{i}_value" for i in range(8)])
+            y3 = _word_limbs(L, [f"pw{i}_value" for i in range(8, 16)])
+            dx = _eval_witness_vec(b_, L, "dx", is_real)
+            dy = _eval_witness_vec(b_, L, "dy", is_real)
+            lam = _eval_witness_vec(b_, L, "lam", is_real)
+            lam2 = _eval_witness_vec(b_, L, "lam2", is_real)
+            xd = _eval_witness_vec(b_, L, "xd", is_real)
+            t = _eval_witness_vec(b_, L, "t", is_real)
+            g_dx.eval(b_, L, [(1, dx), (1, x1), (-1, x2)], is_real)
+            g_dy.eval(b_, L, [(1, dy), (1, y1), (-1, y2)], is_real)
+            g_lam.eval(b_, L, lam, dx, dy, is_real)
+            g_lam2.eval(b_, L, lam, lam, lam2, is_real)
+            g_x3.eval(b_, L, [(1, x3), (1, x1), (1, x2), (-1, lam2)], is_real)
+            g_xd.eval(b_, L, [(1, xd), (1, x3), (-1, x1)], is_real)
+            g_t.eval(b_, L, lam, xd, t, is_real)
+            g_y3.eval(b_, L, [(1, y3), (1, y1), (-1, t)], is_real)
+            _eval_lt(b_, L, "x3", x3, modulus, is_real)
+            _eval_lt(b_, L, "y3", y3, modulus, is_real)
 
-    def eval(self, b_):
-        C = self.COLS
-        L = C.view(b_.main_local)
-        is_real = L["is_real"]
-        b_.assert_bool(is_real)
-        b_.receive(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(self.SYSCALL), L["p_ptr"], L["q_ptr"]],
-            is_real,
-        )
-        for i in range(16):
-            eval_access(b_, L, f"qr{i}", L["shard"], L["clk"],
-                        L["q_ptr"] + 4 * i, is_real, write=False)
-            eval_access(b_, L, f"pw{i}", L["shard"], L["clk"] + 1,
-                        L["p_ptr"] + 4 * i, is_real, write=True)
-        x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8)])
-        y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8, 16)])
-        x2 = _word_limbs(L, [f"qr{i}_value" for i in range(8)])
-        y2 = _word_limbs(L, [f"qr{i}_value" for i in range(8, 16)])
-        x3 = _word_limbs(L, [f"pw{i}_value" for i in range(8)])
-        y3 = _word_limbs(L, [f"pw{i}_value" for i in range(8, 16)])
-        dx = _eval_witness_vec(b_, L, "dx", is_real)
-        dy = _eval_witness_vec(b_, L, "dy", is_real)
-        lam = _eval_witness_vec(b_, L, "lam", is_real)
-        lam2 = _eval_witness_vec(b_, L, "lam2", is_real)
-        xd = _eval_witness_vec(b_, L, "xd", is_real)
-        t = _eval_witness_vec(b_, L, "t", is_real)
-        self.G_DX.eval(b_, L, [(1, dx), (1, x1), (-1, x2)], is_real)
-        self.G_DY.eval(b_, L, [(1, dy), (1, y1), (-1, y2)], is_real)
-        self.G_LAM.eval(b_, L, lam, dx, dy, is_real)
-        self.G_LAM2.eval(b_, L, lam, lam, lam2, is_real)
-        self.G_X3.eval(b_, L, [(1, x3), (1, x1), (1, x2), (-1, lam2)], is_real)
-        self.G_XD.eval(b_, L, [(1, xd), (1, x3), (-1, x1)], is_real)
-        self.G_T.eval(b_, L, lam, xd, t, is_real)
-        self.G_Y3.eval(b_, L, [(1, y3), (1, y1), (-1, t)], is_real)
-        _eval_lt(b_, L, "x3", x3, is_real)
-        _eval_lt(b_, L, "y3", y3, is_real)
+    return AddChip
 
 
-def _double_layout():
-    l = Layout().add("shard").add("clk").add("p_ptr").add("is_real")
+def _make_double_chip(curve_name, modulus, a_coef, double_code):
+    C = Layout().add("shard").add("clk").add("p_ptr").add("is_real")
     for i in range(16):
-        add_access_cols(l, f"pw{i}", write=True)
+        add_access_cols(C, f"pw{i}", write=True)
     for nm in ("ty", "x2c", "tx", "lam", "lam2", "xd", "t"):
-        l.add(nm, NL)
-    l.add("x3_df", NL).add("y3_df", NL).add("x3_sel").add("y3_sel")
-    return l
+        C.add(nm, NL)
+    C.add("x3_df", NL).add("y3_df", NL).add("x3_sel").add("y3_sel")
+    g_ty = ModLinGadget(C, "gty", modulus, NL)
+    g_x2c = ModMulGadget(C, "gx2c", modulus, NL)
+    g_tx = ModLinGadget(C, "gtx", modulus, NL, max_borrow=3)
+    g_lam = ModMulGadget(C, "glam", modulus, NL)
+    g_lam2 = ModMulGadget(C, "glam2", modulus, NL)
+    g_x3 = ModLinGadget(C, "gx3", modulus, NL, max_borrow=2)
+    g_xd = ModLinGadget(C, "gxd", modulus, NL)
+    g_t = ModMulGadget(C, "gt", modulus, NL)
+    g_y3 = ModLinGadget(C, "gy3", modulus, NL)
 
+    class DoubleChip(_WeierstrassBase):
+        name = f"{curve_name}Double"
+        SYSCALL = double_code
+        COLS = C
+        width = C.width
 
-class Secp256k1DoubleChip(_WeierstrassBase):
-    name = "Secp256k1Double"
-    SYSCALL = SyscallCode.SECP256K1_DOUBLE
-    COLS = _double_layout()
-    G_TY = ModLinGadget(COLS, "gty", P256K1, NL)
-    G_X2C = ModMulGadget(COLS, "gx2c", P256K1, NL)
-    G_TX = ModLinGadget(COLS, "gtx", P256K1, NL, max_borrow=2)
-    G_LAM = ModMulGadget(COLS, "glam", P256K1, NL)
-    G_LAM2 = ModMulGadget(COLS, "glam2", P256K1, NL)
-    G_X3 = ModLinGadget(COLS, "gx3", P256K1, NL, max_borrow=2)
-    G_XD = ModLinGadget(COLS, "gxd", P256K1, NL)
-    G_T = ModMulGadget(COLS, "gt", P256K1, NL)
-    G_Y3 = ModLinGadget(COLS, "gy3", P256K1, NL)
-    width = COLS.width
+        def generate_dependencies(self, record, output):
+            for ev in self._events(record):
+                clk = ev["clk"]
+                self._deps_accesses(record, ev, [(clk, a) for a in ev["writes"]])
+                row = np.zeros(C.width, dtype=np.uint32)
+                self._fill_math(row, ev, record)
 
-    def generate_dependencies(self, record, output):
-        for ev in self._events(record):
-            clk = ev["clk"]
-            self._deps_accesses(record, ev, [(clk, a) for a in ev["writes"]])
-            row = np.zeros(self.COLS.width, dtype=np.uint32)
-            self._fill_math(row, ev, record)
+        def _fill_math(self, row, ev, record=None):
+            m = modulus
+            x1 = _words_to_int([w[1] for w in ev["writes"][:8]])
+            y1 = _words_to_int([w[1] for w in ev["writes"][8:]])
+            x3 = _words_to_int([w[4] for w in ev["writes"][:8]])
+            y3 = _words_to_int([w[4] for w in ev["writes"][8:]])
+            ty = (2 * y1) % m
+            x2c = (x1 * x1) % m
+            tx = (3 * x2c + a_coef) % m
+            lam = (tx * pow(ty, m - 2, m)) % m
+            lam2 = (lam * lam) % m
+            xd = (x1 - x3) % m
+            t = (lam * xd) % m
+            for nm, v in (("ty", ty), ("x2c", x2c), ("tx", tx), ("lam", lam),
+                          ("lam2", lam2), ("xd", xd), ("t", t)):
+                _fill_witness_vec(row, C, nm, v, record)
+            g_ty.fill(row, C, [(2, y1), (-1, ty)], record)
+            g_x2c.fill(row, C, x1, x1, x2c, record)
+            g_tx.fill(row, C, [(3, x2c), (1, a_coef), (-1, tx)], record)
+            g_lam.fill(row, C, lam, ty, tx, record)
+            g_lam2.fill(row, C, lam, lam, lam2, record)
+            g_x3.fill(row, C, [(1, x3), (2, x1), (-1, lam2)], record)
+            g_xd.fill(row, C, [(1, xd), (1, x3), (-1, x1)], record)
+            g_t.fill(row, C, lam, xd, t, record)
+            g_y3.fill(row, C, [(1, y3), (1, y1), (-1, t)], record)
+            _fill_lt(row, C, "x3", x3, m, record)
+            _fill_lt(row, C, "y3", y3, m, record)
+            return row
 
-    def _fill_math(self, row, ev, record=None):
-        C = self.COLS
-        m = P256K1
-        x1 = _access_words_to_int([w[1] for w in ev["writes"][:8]])
-        y1 = _access_words_to_int([w[1] for w in ev["writes"][8:]])
-        x3 = _access_words_to_int([w[4] for w in ev["writes"][:8]])
-        y3 = _access_words_to_int([w[4] for w in ev["writes"][8:]])
-        ty = (2 * y1) % m
-        x2c = (x1 * x1) % m
-        tx = (3 * x2c) % m
-        lam = (tx * pow(ty, m - 2, m)) % m
-        lam2 = (lam * lam) % m
-        xd = (x1 - x3) % m
-        t = (lam * xd) % m
-        for nm, v in (("ty", ty), ("x2c", x2c), ("tx", tx), ("lam", lam),
-                      ("lam2", lam2), ("xd", xd), ("t", t)):
-            _fill_witness_vec(row, C, nm, v, record)
-        self.G_TY.fill(row, C, [(2, y1), (-1, ty)], record)
-        self.G_X2C.fill(row, C, x1, x1, x2c, record)
-        self.G_TX.fill(row, C, [(3, x2c), (-1, tx)], record)
-        self.G_LAM.fill(row, C, lam, ty, tx, record)
-        self.G_LAM2.fill(row, C, lam, lam, lam2, record)
-        self.G_X3.fill(row, C, [(1, x3), (2, x1), (-1, lam2)], record)
-        self.G_XD.fill(row, C, [(1, xd), (1, x3), (-1, x1)], record)
-        self.G_T.fill(row, C, lam, xd, t, record)
-        self.G_Y3.fill(row, C, [(1, y3), (1, y1), (-1, t)], record)
-        _fill_lt(row, C, "x3", x3, record)
-        _fill_lt(row, C, "y3", y3, record)
-        return row
+        def generate_trace(self, record, output):
+            events = self._events(record)
+            n = len(events)
+            height = max(4, 1 << max(0, n - 1).bit_length())
+            mat = np.zeros((height, C.width), dtype=np.uint32)
+            shard_now = record.public_values.shard
+            for r_i, ev in enumerate(events):
+                row = self._fill_math(mat[r_i], ev)
+                row[C.idx("shard")] = ev["shard"]
+                row[C.idx("clk")] = ev["clk"]
+                row[C.idx("p_ptr")] = ev["p_ptr"]
+                row[C.idx("is_real")] = 1
+                for i in range(16):
+                    self._fill_access(row, C, f"pw{i}", ev["writes"][i],
+                                      ev["clk"], shard_now, True)
+            for g in (g_x2c, g_lam, g_lam2, g_t):
+                g.fill_padding(mat, C, n)
+            for g in (g_ty, g_tx, g_x3, g_xd, g_y3):
+                g.fill_padding(mat, C, n)
+            return mat
 
-    def generate_trace(self, record, output):
-        events = self._events(record)
-        n = len(events)
-        height = max(4, 1 << max(0, n - 1).bit_length())
-        C = self.COLS
-        mat = np.zeros((height, C.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
-        for r_i, ev in enumerate(events):
-            row = self._fill_math(mat[r_i], ev)
-            row[C.idx("shard")] = ev["shard"]
-            row[C.idx("clk")] = ev["clk"]
-            row[C.idx("p_ptr")] = ev["p_ptr"]
-            row[C.idx("is_real")] = 1
+        def eval(self, b_):
+            L = C.view(b_.main_local)
+            is_real = L["is_real"]
+            b_.assert_bool(is_real)
+            b_.receive(
+                LookupKind.Syscall,
+                [L["shard"], L["clk"], self.SYSCALL, L["p_ptr"]],
+                is_real,
+            )
             for i in range(16):
-                self._fill_access(row, C, f"pw{i}", ev["writes"][i],
-                                  ev["clk"], shard_now, True)
-        for g in (self.G_X2C, self.G_LAM, self.G_LAM2, self.G_T):
-            g.fill_padding(mat, C, n)
-        for g in (self.G_TY, self.G_TX, self.G_X3, self.G_XD, self.G_Y3):
-            g.fill_padding(mat, C, n)
-        return mat
+                eval_access(b_, L, f"pw{i}", L["shard"], L["clk"],
+                            L["p_ptr"] + 4 * i, is_real, write=True)
+            x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8)])
+            y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8, 16)])
+            x3 = _word_limbs(L, [f"pw{i}_value" for i in range(8)])
+            y3 = _word_limbs(L, [f"pw{i}_value" for i in range(8, 16)])
+            ty = _eval_witness_vec(b_, L, "ty", is_real)
+            x2c = _eval_witness_vec(b_, L, "x2c", is_real)
+            tx = _eval_witness_vec(b_, L, "tx", is_real)
+            lam = _eval_witness_vec(b_, L, "lam", is_real)
+            lam2 = _eval_witness_vec(b_, L, "lam2", is_real)
+            xd = _eval_witness_vec(b_, L, "xd", is_real)
+            t = _eval_witness_vec(b_, L, "t", is_real)
+            a_limbs = limbs_of(a_coef, NL)
+            g_ty.eval(b_, L, [(2, y1), (-1, ty)], is_real)
+            g_x2c.eval(b_, L, x1, x1, x2c, is_real)
+            g_tx.eval(b_, L, [(3, x2c), (1, a_limbs), (-1, tx)], is_real,
+                      gate=is_real if a_coef else None)
+            g_lam.eval(b_, L, lam, ty, tx, is_real)
+            g_lam2.eval(b_, L, lam, lam, lam2, is_real)
+            g_x3.eval(b_, L, [(1, x3), (2, x1), (-1, lam2)], is_real)
+            g_xd.eval(b_, L, [(1, xd), (1, x3), (-1, x1)], is_real)
+            g_t.eval(b_, L, lam, xd, t, is_real)
+            g_y3.eval(b_, L, [(1, y3), (1, y1), (-1, t)], is_real)
+            _eval_lt(b_, L, "x3", x3, modulus, is_real)
+            _eval_lt(b_, L, "y3", y3, modulus, is_real)
 
-    def eval(self, b_):
-        C = self.COLS
-        L = C.view(b_.main_local)
-        is_real = L["is_real"]
-        b_.assert_bool(is_real)
-        b_.receive(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(self.SYSCALL), L["p_ptr"]],
-            is_real,
-        )
-        for i in range(16):
-            eval_access(b_, L, f"pw{i}", L["shard"], L["clk"],
-                        L["p_ptr"] + 4 * i, is_real, write=True)
-        x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8)])
-        y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8, 16)])
-        x3 = _word_limbs(L, [f"pw{i}_value" for i in range(8)])
-        y3 = _word_limbs(L, [f"pw{i}_value" for i in range(8, 16)])
-        ty = _eval_witness_vec(b_, L, "ty", is_real)
-        x2c = _eval_witness_vec(b_, L, "x2c", is_real)
-        tx = _eval_witness_vec(b_, L, "tx", is_real)
-        lam = _eval_witness_vec(b_, L, "lam", is_real)
-        lam2 = _eval_witness_vec(b_, L, "lam2", is_real)
-        xd = _eval_witness_vec(b_, L, "xd", is_real)
-        t = _eval_witness_vec(b_, L, "t", is_real)
-        self.G_TY.eval(b_, L, [(2, y1), (-1, ty)], is_real)
-        self.G_X2C.eval(b_, L, x1, x1, x2c, is_real)
-        self.G_TX.eval(b_, L, [(3, x2c), (-1, tx)], is_real)
-        self.G_LAM.eval(b_, L, lam, ty, tx, is_real)
-        self.G_LAM2.eval(b_, L, lam, lam, lam2, is_real)
-        self.G_X3.eval(b_, L, [(1, x3), (2, x1), (-1, lam2)], is_real)
-        self.G_XD.eval(b_, L, [(1, xd), (1, x3), (-1, x1)], is_real)
-        self.G_T.eval(b_, L, lam, xd, t, is_real)
-        self.G_Y3.eval(b_, L, [(1, y3), (1, y1), (-1, t)], is_real)
-        _eval_lt(b_, L, "x3", x3, is_real)
-        _eval_lt(b_, L, "y3", y3, is_real)
+    return DoubleChip
+
+
+def curve_chips() -> list:
+    """All weierstrass precompile chips (add + double per curve)."""
+    out = []
+    for name, modulus, a_coef, add_code, double_code in CURVES:
+        out.append(_make_add_chip(name, modulus, add_code)())
+        out.append(_make_double_chip(name, modulus, a_coef, double_code)())
+    return out
+
+
+# Backwards-compatible names for the secp256k1 chips
+Secp256k1AddChip = _make_add_chip("Secp256k1", P256K1, int(SyscallCode.SECP256K1_ADD))
+Secp256k1DoubleChip = _make_double_chip(
+    "Secp256k1", P256K1, 0, int(SyscallCode.SECP256K1_DOUBLE)
+)
