@@ -45,3 +45,30 @@ def test_prove_verify_bn254_double():
     machine, pk, vk, proof, ex = prove_program(prog)
     assert "Bn254Double" in proof.shard_proofs[0].chip_names
     assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)
+
+
+def test_ed25519_add_and_double():
+    from ziren_tpu.executor.asm import (ED25519_GX, ED25519_GY,
+                                        ed25519_program, ed25519_reference)
+
+    for double in (True, False):
+        prog = ed25519_program(double)
+        ex = Executor(prog)
+        record = ex.run()
+        g2 = ed25519_reference(ED25519_GX, ED25519_GY, ED25519_GX, ED25519_GY)
+        x3, y3 = g2 if double else ed25519_reference(ED25519_GX, ED25519_GY, *g2)
+        assert ex.peek_register(20) == x3 & 0xFFFFFFFF
+        machine = mips_machine()
+        pk, vk = machine.setup(prog, extra_observations=[prog.pc_start])
+        imbalance, origin = debug_lookups(machine, pk, record)
+        assert not imbalance, origin
+        assert debug_constraints(machine, pk, record)
+
+
+def test_ed25519_prove_verify():
+    from ziren_tpu.executor.asm import ed25519_program
+
+    prog = ed25519_program(double=True)
+    machine, pk, vk, proof, ex = prove_program(prog)
+    assert "EdAdd" in proof.shard_proofs[0].chip_names
+    assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)

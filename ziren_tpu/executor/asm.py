@@ -391,3 +391,44 @@ def ec_program(curve: str, op: str = "add") -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+ED25519_P = (1 << 255) - 19
+ED25519_D = 37095705934669439343138083508754565189542113879843219016388785533085940283555
+ED25519_GX = 15112221349535400772501151409588531511454012693041857206046113283949847762202
+ED25519_GY = 46316835694926478169428394003475163141307993866256225615783033603165251855960
+
+
+def ed25519_reference(x1, y1, x2, y2):
+    m, d = ED25519_P, ED25519_D
+    den = (d * x1 * x2 * y1 * y2) % m
+    x3 = ((x1 * y2 + x2 * y1) * pow(1 + den, m - 2, m)) % m
+    y3 = ((y1 * y2 + x1 * x2) * pow(1 - den, m - 2, m)) % m
+    return x3, y3
+
+
+def ed25519_program(double: bool = False) -> Program:
+    """G + G (complete addition law doubles too) or G + 2G via ED_ADD."""
+    gx, gy = ED25519_GX, ED25519_GY
+    qx, qy = (gx, gy) if double else ed25519_reference(gx, gy, gx, gy)
+
+    def store_point(insns, base, x, y):
+        v = x | (y << 256)
+        for i in range(16):
+            w = (v >> (32 * i)) & 0xFFFFFFFF
+            insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                      ri(O.SW, 9, 8, base + 4 * i)]
+        return insns
+
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    insns = store_point(insns, 0x000, gx, gy)
+    insns = store_point(insns, 0x200, qx, qy)
+    insns += [
+        imm(O.SLL, 2, 0x0101, 16), ri(O.OR, 2, 2, 0x07),  # ED_ADD
+        imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, 0x2200),
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 8, 0),
+        ri(O.LW, 21, 8, 32),
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -39,6 +39,8 @@ M32 = 0xFFFFFFFF
 _P256K1 = (1 << 256) - (1 << 32) - 977
 _P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
 _PBN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+_P25519 = (1 << 255) - 19
+_ED25519_D = 37095705934669439343138083508754565189542113879843219016388785533085940283555
 _WEIERSTRASS = {
     SyscallCode.SECP256K1_ADD: (_P256K1, 0, True),
     SyscallCode.SECP256K1_DOUBLE: (_P256K1, 0, False),
@@ -637,6 +639,52 @@ class Executor:
             self.record.precompile_events.setdefault(
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
+            return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.ED_ADD:
+            # twisted Edwards (ed25519, a = -1) complete addition
+            # (reference: syscalls/precompiles/edwards/add.rs — same event
+            # shape as the weierstrass add: q read at clk, p overwritten at
+            # clk + 1, one extra cycle)
+            m = _P25519
+            d = _ED25519_D
+            p_ptr, q_ptr = b, c
+            assert p_ptr % 4 == 0 and q_ptr % 4 == 0, "ed point unaligned"
+            ev = {"shard": self.shard, "clk": self.clk, "p_ptr": p_ptr,
+                  "q_ptr": q_ptr, "reads": [], "writes": []}
+            p_words = [self.peek_word((p_ptr + 4 * i) & M32) for i in range(16)]
+            to_int = lambda ws: sum(int(w) << (32 * i) for i, w in enumerate(ws))
+            x1, y1 = to_int(p_words[:8]), to_int(p_words[8:])
+            q_words = []
+            for i in range(16):
+                addr = (q_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                q_words.append(rec[0])
+                rec[1] = self.clk
+                rec[2] = self.shard
+            x2, y2 = to_int(q_words[:8]), to_int(q_words[8:])
+            den = (d * x1 * x2 * y1 * y2) % m
+            x3 = ((x1 * y2 + x2 * y1) * pow(1 + den, m - 2, m)) % m
+            y3 = ((y1 * y2 + x1 * x2) * pow(1 - den, m - 2, m)) % m
+            out = [(x3 >> (32 * i)) & M32 for i in range(8)] + [
+                (y3 >> (32 * i)) & M32 for i in range(8)
+            ]
+            for i in range(16):
+                addr = (p_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], out[i]))
+                rec[0] = out[i]
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
             return syscall_id, None, 1, 0
         if syscall_id in _WEIERSTRASS:
             # affine Weierstrass point add / double (secp256k1/r1, bn254)

@@ -126,6 +126,8 @@ class SyscallCode(IntEnum):
     SHA_EXTEND = 0x30_01_00_05
     SHA_COMPRESS = 0x01_01_00_06
     KECCAK_SPONGE = 0x01_01_00_09
+    ED_ADD = 0x01_01_00_07
+    ED_DECOMPRESS = 0x00_01_00_08
     SECP256K1_ADD = 0x01_01_00_0A
     SECP256K1_DOUBLE = 0x00_01_00_0B
     BN254_ADD = 0x01_01_00_0E

@@ -35,6 +35,7 @@ from .program import ProgramChip
 from .syscall import SyscallChip
 from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
+from .edwards import EdAddChip
 from .weierstrass import curve_chips
 
 
@@ -63,6 +64,7 @@ def mips_airs():
         Uint256MulChip(),
         KeccakSpongeChip(),
         *curve_chips(),
+        EdAddChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),
