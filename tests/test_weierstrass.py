@@ -7,7 +7,7 @@ from ziren_tpu.executor.asm import ec_program, ec_reference
 from ziren_tpu.machine.debug import debug_constraints, debug_lookups
 from ziren_tpu.machine.mips import mips_machine, prove_program, verify_mips_proof
 
-CURVES = ["secp256k1", "secp256r1", "bn254"]
+CURVES = ["secp256k1", "secp256r1", "bn254", "bls12381"]
 
 
 @pytest.mark.parametrize("curve", CURVES)

@@ -337,6 +337,15 @@ EC_CURVES = {
         21888242871839275222246405745257275088696311157297823662689037894645226208583,
         0, 0x0101, 0x0E, 0x0001, 0x0F, 1, 2,
     ),
+    "bls12381": (
+        int("1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+            "1eabfffeb153ffffb9feffffffffaaab", 16),
+        0, 0x0101, 0x1E, 0x0001, 0x1F,
+        int("17f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+            "6c55e83ff97a1aeffb3af00adb22c6bb", 16),
+        int("08b3f481e3aaa0f1a09e30ed741d8ae4fcf5e095d5d00af600db18cb2c04b3ed"
+            "d03cc744a2888ae40caa232946c5e7e1", 16),
+    ),
 }
 
 
@@ -359,11 +368,12 @@ def ec_program(curve: str, op: str = "add") -> Program:
     """G + 2G (op='add') or 2G (op='double') via the weierstrass precompiles.
     Points at 0x2000 (p, overwritten) / 0x2200 (q)."""
     m, a, add_hi, add_lo, dbl_hi, dbl_lo, gx, gy = EC_CURVES[curve]
+    nw = 12 if curve == "bls12381" else 8  # words per coordinate
     g2x, g2y = ec_reference(curve, "double")
 
     def store_point(insns, base, x, y):
-        v = x | (y << 256)
-        for i in range(16):
+        v = x | (y << (32 * nw))
+        for i in range(2 * nw):
             w = (v >> (32 * i)) & 0xFFFFFFFF
             insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
                       ri(O.SW, 9, 8, base + 4 * i)]
@@ -387,7 +397,7 @@ def ec_program(curve: str, op: str = "add") -> Program:
         ]
     insns += [
         ri(O.LW, 20, 8, 0),
-        ri(O.LW, 21, 8, 32),
+        ri(O.LW, 21, 8, 4 * nw),
         *halt_sequence(0),
     ]
     return Program.new(insns)

@@ -41,13 +41,19 @@ _P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
 _PBN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 _P25519 = (1 << 255) - 19
 _ED25519_D = 37095705934669439343138083508754565189542113879843219016388785533085940283555
+_PBLS = int(
+    "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+    "1eabfffeb153ffffb9feffffffffaaab", 16
+)
 _WEIERSTRASS = {
-    SyscallCode.SECP256K1_ADD: (_P256K1, 0, True),
-    SyscallCode.SECP256K1_DOUBLE: (_P256K1, 0, False),
-    SyscallCode.SECP256R1_ADD: (_P256R1, _P256R1 - 3, True),
-    SyscallCode.SECP256R1_DOUBLE: (_P256R1, _P256R1 - 3, False),
-    SyscallCode.BN254_ADD: (_PBN254, 0, True),
-    SyscallCode.BN254_DOUBLE: (_PBN254, 0, False),
+    SyscallCode.SECP256K1_ADD: (_P256K1, 0, True, 8),
+    SyscallCode.SECP256K1_DOUBLE: (_P256K1, 0, False, 8),
+    SyscallCode.SECP256R1_ADD: (_P256R1, _P256R1 - 3, True, 8),
+    SyscallCode.SECP256R1_DOUBLE: (_P256R1, _P256R1 - 3, False, 8),
+    SyscallCode.BN254_ADD: (_PBN254, 0, True, 8),
+    SyscallCode.BN254_DOUBLE: (_PBN254, 0, False, 8),
+    SyscallCode.BLS12381_ADD: (_PBLS, 0, True, 12),
+    SyscallCode.BLS12381_DOUBLE: (_PBLS, 0, False, 12),
 }
 _SHA256_K = [
     0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
@@ -692,18 +698,19 @@ class Executor:
             # p read unsafely at p_ptr and overwritten with the result; add
             # reads q at clk and writes at clk + 1 with one extra cycle,
             # double writes at clk with no extra cycle)
-            P256K, a_coef, is_add = _WEIERSTRASS[syscall_id]
+            P256K, a_coef, is_add, nwc = _WEIERSTRASS[syscall_id]
+            npt = 2 * nwc
             p_ptr, q_ptr = b, c
             assert p_ptr % 4 == 0, "ec point unaligned"
             ev = {"shard": self.shard, "clk": self.clk, "p_ptr": p_ptr,
                   "q_ptr": q_ptr if is_add else 0, "reads": [], "writes": []}
-            p_words = [self.peek_word((p_ptr + 4 * i) & M32) for i in range(16)]
+            p_words = [self.peek_word((p_ptr + 4 * i) & M32) for i in range(npt)]
             to_int = lambda ws: sum(int(w) << (32 * i) for i, w in enumerate(ws))
-            x1, y1 = to_int(p_words[:8]), to_int(p_words[8:])
+            x1, y1 = to_int(p_words[:nwc]), to_int(p_words[nwc:])
             if is_add:
                 assert q_ptr % 4 == 0, "ec point unaligned"
                 q_words = []
-                for i in range(16):
+                for i in range(npt):
                     addr = (q_ptr + 4 * i) & M32
                     rec = self.memory.get(addr)
                     if rec is None:
@@ -714,7 +721,7 @@ class Executor:
                     q_words.append(rec[0])
                     rec[1] = self.clk
                     rec[2] = self.shard
-                x2, y2 = to_int(q_words[:8]), to_int(q_words[8:])
+                x2, y2 = to_int(q_words[:nwc]), to_int(q_words[nwc:])
                 assert x1 != x2, "ec add requires distinct x (use double)"
                 lam = ((y2 - y1) * pow(x2 - x1, P256K - 2, P256K)) % P256K
             else:
@@ -724,11 +731,11 @@ class Executor:
                 x2, y2 = x1, y1
             x3 = (lam * lam - x1 - x2) % P256K
             y3 = (lam * (x1 - x3) - y1) % P256K
-            out = [(x3 >> (32 * i)) & M32 for i in range(8)] + [
-                (y3 >> (32 * i)) & M32 for i in range(8)
+            out = [(x3 >> (32 * i)) & M32 for i in range(nwc)] + [
+                (y3 >> (32 * i)) & M32 for i in range(nwc)
             ]
             w_clk = self.clk + 1 if is_add else self.clk
-            for i in range(16):
+            for i in range(npt):
                 addr = (p_ptr + 4 * i) & M32
                 rec = self.memory.get(addr)
                 if rec is None:

@@ -132,6 +132,8 @@ class SyscallCode(IntEnum):
     SECP256K1_DOUBLE = 0x00_01_00_0B
     BN254_ADD = 0x01_01_00_0E
     BN254_DOUBLE = 0x00_01_00_0F
+    BLS12381_ADD = 0x01_01_00_1E
+    BLS12381_DOUBLE = 0x00_01_00_1F
     SECP256R1_ADD = 0x01_01_00_2C
     SECP256R1_DOUBLE = 0x00_01_00_2D
     COMMIT = 0x00_00_00_10

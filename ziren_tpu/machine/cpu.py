@@ -156,7 +156,7 @@ class CpuChip(Air):
             + (sid == 0x01010006) * 1 + (sid == 0x0101001D) * 1
             + (sid == 0x01010009) * 1 + (sid == 0x0101000A) * 1
             + (sid == 0x0101002C) * 1 + (sid == 0x0101000E) * 1
-            + (sid == 0x01010007) * 1
+            + (sid == 0x01010007) * 1 + (sid == 0x0101001E) * 1
         ) * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])

@@ -36,15 +36,19 @@ CODES = [
     ("is_bn_add", int(SyscallCode.BN254_ADD)),
     ("is_bn_double", int(SyscallCode.BN254_DOUBLE)),
     ("is_ed_add", int(SyscallCode.ED_ADD)),
+    ("is_bls_add", int(SyscallCode.BLS12381_ADD)),
+    ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
 ]
 
 EC_ADD_FLAGS = [("is_ec_add", SyscallCode.SECP256K1_ADD),
                 ("is_r1_add", SyscallCode.SECP256R1_ADD),
                 ("is_bn_add", SyscallCode.BN254_ADD),
-                ("is_ed_add", SyscallCode.ED_ADD)]
+                ("is_ed_add", SyscallCode.ED_ADD),
+                ("is_bls_add", SyscallCode.BLS12381_ADD)]
 EC_DOUBLE_FLAGS = [("is_ec_double", SyscallCode.SECP256K1_DOUBLE),
                    ("is_r1_double", SyscallCode.SECP256R1_DOUBLE),
-                   ("is_bn_double", SyscallCode.BN254_DOUBLE)]
+                   ("is_bn_double", SyscallCode.BN254_DOUBLE),
+                   ("is_bls_double", SyscallCode.BLS12381_DOUBLE)]
 
 COLS = Layout().add("shard").add("clk")
 COLS.add("pc").add("next_pc").add("next_next_pc")

@@ -21,8 +21,8 @@ Double: lam * 2y = 3 x^2 + a, same tail. The p point is read unsafely and
 overwritten in place (write at clk, no extra cycle — reference
 create_ec_double_event), so the only memory accesses are the 16 writes.
 
-All three curves share the 8-words-per-coordinate shape; bls12-381
-(12 words per coordinate) and the edwards form are tracked in ROADMAP.md.
+The factory is parametrized by words-per-coordinate: 8 for the 256-bit
+curves, 12 for bls12-381 (48 byte limbs).
 """
 
 from __future__ import annotations
@@ -44,14 +44,21 @@ P256K1 = (1 << 256) - (1 << 32) - 977
 P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
 PBN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 
-# (name, modulus, curve a, add syscall, double syscall)
+PBLS = int(
+    "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+    "1eabfffeb153ffffb9feffffffffaaab", 16
+)
+
+# (name, modulus, curve a, add syscall, double syscall, words per coordinate)
 CURVES = [
     ("Secp256k1", P256K1, 0,
-     int(SyscallCode.SECP256K1_ADD), int(SyscallCode.SECP256K1_DOUBLE)),
+     int(SyscallCode.SECP256K1_ADD), int(SyscallCode.SECP256K1_DOUBLE), 8),
     ("Secp256r1", P256R1, P256R1 - 3,
-     int(SyscallCode.SECP256R1_ADD), int(SyscallCode.SECP256R1_DOUBLE)),
+     int(SyscallCode.SECP256R1_ADD), int(SyscallCode.SECP256R1_DOUBLE), 8),
     ("Bn254", PBN254, 0,
-     int(SyscallCode.BN254_ADD), int(SyscallCode.BN254_DOUBLE)),
+     int(SyscallCode.BN254_ADD), int(SyscallCode.BN254_DOUBLE), 8),
+    ("Bls12381", PBLS, 0,
+     int(SyscallCode.BLS12381_ADD), int(SyscallCode.BLS12381_DOUBLE), 12),
 ]
 
 
@@ -66,26 +73,26 @@ def _word_limbs(view, names) -> list:
     return out
 
 
-def _fill_witness_vec(row, layout, name, value, record=None):
-    limbs = limbs_of(value, NL)
+def _fill_witness_vec(row, layout, name, value, record=None, nl=NL):
+    limbs = limbs_of(value, nl)
     row[layout.slc(name)] = limbs
     if record is not None:
-        for k in range(0, NL, 2):
+        for k in range(0, nl, 2):
             count(record, B.U8Range, np.array([limbs[k]]), limbs[k + 1])
 
 
-def _eval_witness_vec(b_, L, name, is_real):
+def _eval_witness_vec(b_, L, name, is_real, nl=NL):
     v = L[name]
-    for k in range(0, NL, 2):
+    for k in range(0, nl, 2):
         send_byte(b_, B.U8Range, v[k], v[k + 1], 0, is_real)
     return list(v)
 
 
-def _fill_lt(row, layout, prefix, value, modulus, record=None):
-    rl = limbs_of(value, NL)
-    ml = limbs_of(modulus, NL)
-    df = np.zeros(NL, dtype=np.uint32)
-    for k in range(NL - 1, -1, -1):
+def _fill_lt(row, layout, prefix, value, modulus, record=None, nl=NL):
+    rl = limbs_of(value, nl)
+    ml = limbs_of(modulus, nl)
+    df = np.zeros(nl, dtype=np.uint32)
+    for k in range(nl - 1, -1, -1):
         if rl[k] != ml[k]:
             df[k] = 1
             row[layout.idx(f"{prefix}_sel")] = rl[k]
@@ -97,22 +104,22 @@ def _fill_lt(row, layout, prefix, value, modulus, record=None):
     row[layout.slc(f"{prefix}_df")] = df
 
 
-def _eval_lt(b_, L, prefix, r_limbs, modulus, is_real):
+def _eval_lt(b_, L, prefix, r_limbs, modulus, is_real, nl=NL):
     """r < m (constant modulus), lexicographic MSB-first."""
-    ml = limbs_of(modulus, NL)
+    ml = limbs_of(modulus, nl)
     df = L[f"{prefix}_df"]
     acc = 0
-    for k in range(NL):
+    for k in range(nl):
         b_.assert_bool(df[k])
         acc = df[k] + acc
     b_.assert_eq(acc, is_real)
-    for k in range(NL):
-        for j in range(k + 1, NL):
+    for k in range(nl):
+        for j in range(k + 1, nl):
             b_.assert_zero(df[k] * (r_limbs[j] - ml[j]))
     # the selected byte is committed so the lookup message stays degree 1
     sel = L[f"{prefix}_sel"]
-    b_.assert_eq(sel, sum(df[k] * r_limbs[k] for k in range(NL)))
-    sel_m = sum(df[k] * ml[k] for k in range(NL))
+    b_.assert_eq(sel, sum(df[k] * r_limbs[k] for k in range(nl)))
+    sel_m = sum(df[k] * ml[k] for k in range(nl))
     send_byte(b_, B.LTU, sel, sel_m, 1, is_real)
 
 
@@ -151,23 +158,27 @@ class _WeierstrassBase(Air):
                 ) & 0xFF
 
 
-def _make_add_chip(curve_name, modulus, add_code):
+def _make_add_chip(curve_name, modulus, add_code, nw=8):
+    npt, nl = 2 * nw, 4 * nw
     C = Layout().add("shard").add("clk").add("p_ptr").add("q_ptr").add("is_real")
-    for i in range(16):
+    for i in range(npt):
         add_access_cols(C, f"pw{i}", write=True)
-    for i in range(16):
+    for i in range(npt):
         add_access_cols(C, f"qr{i}", write=False)
     for nm in ("dx", "dy", "lam", "lam2", "xd", "t"):
-        C.add(nm, NL)
-    C.add("x3_df", NL).add("y3_df", NL).add("x3_sel").add("y3_sel")
-    g_dx = ModLinGadget(C, "gdx", modulus, NL)
-    g_dy = ModLinGadget(C, "gdy", modulus, NL)
-    g_lam = ModMulGadget(C, "glam", modulus, NL)
-    g_lam2 = ModMulGadget(C, "glam2", modulus, NL)
-    g_x3 = ModLinGadget(C, "gx3", modulus, NL, max_borrow=2)
-    g_xd = ModLinGadget(C, "gxd", modulus, NL)
-    g_t = ModMulGadget(C, "gt", modulus, NL)
-    g_y3 = ModLinGadget(C, "gy3", modulus, NL)
+        C.add(nm, nl)
+    C.add("x3_df", nl).add("y3_df", nl).add("x3_sel").add("y3_sel")
+    g_dx = ModLinGadget(C, "gdx", modulus, nl)
+    g_dy = ModLinGadget(C, "gdy", modulus, nl)
+    g_lam = ModMulGadget(C, "glam", modulus, nl)
+    g_lam2 = ModMulGadget(C, "glam2", modulus, nl)
+    g_x3 = ModLinGadget(C, "gx3", modulus, nl, max_borrow=2)
+    g_xd = ModLinGadget(C, "gxd", modulus, nl)
+    g_t = ModMulGadget(C, "gt", modulus, nl)
+    g_y3 = ModLinGadget(C, "gy3", modulus, nl)
+
+    def _EVW(b_, L, name, is_real):
+        return _eval_witness_vec(b_, L, name, is_real, nl=nl)
 
     class AddChip(_WeierstrassBase):
         name = f"{curve_name}Add"
@@ -188,12 +199,12 @@ def _make_add_chip(curve_name, modulus, add_code):
 
         def _fill_math(self, row, ev, record=None):
             m = modulus
-            x1 = _words_to_int([w[1] for w in ev["writes"][:8]])
-            y1 = _words_to_int([w[1] for w in ev["writes"][8:]])
-            x2 = _words_to_int([r[1] for r in ev["reads"][:8]])
-            y2 = _words_to_int([r[1] for r in ev["reads"][8:]])
-            x3 = _words_to_int([w[4] for w in ev["writes"][:8]])
-            y3 = _words_to_int([w[4] for w in ev["writes"][8:]])
+            x1 = _words_to_int([w[1] for w in ev["writes"][:nw]])
+            y1 = _words_to_int([w[1] for w in ev["writes"][nw:]])
+            x2 = _words_to_int([r[1] for r in ev["reads"][:nw]])
+            y2 = _words_to_int([r[1] for r in ev["reads"][nw:]])
+            x3 = _words_to_int([w[4] for w in ev["writes"][:nw]])
+            y3 = _words_to_int([w[4] for w in ev["writes"][nw:]])
             dx, dy = (x2 - x1) % m, (y2 - y1) % m
             lam = (dy * pow(dx, m - 2, m)) % m
             lam2 = (lam * lam) % m
@@ -201,7 +212,7 @@ def _make_add_chip(curve_name, modulus, add_code):
             t = (lam * xd) % m
             for nm, v in (("dx", dx), ("dy", dy), ("lam", lam),
                           ("lam2", lam2), ("xd", xd), ("t", t)):
-                _fill_witness_vec(row, C, nm, v, record)
+                _fill_witness_vec(row, C, nm, v, record, nl=nl)
             g_dx.fill(row, C, [(1, dx), (1, x1), (-1, x2)], record)
             g_dy.fill(row, C, [(1, dy), (1, y1), (-1, y2)], record)
             g_lam.fill(row, C, lam, dx, dy, record)
@@ -210,8 +221,8 @@ def _make_add_chip(curve_name, modulus, add_code):
             g_xd.fill(row, C, [(1, xd), (1, x3), (-1, x1)], record)
             g_t.fill(row, C, lam, xd, t, record)
             g_y3.fill(row, C, [(1, y3), (1, y1), (-1, t)], record)
-            _fill_lt(row, C, "x3", x3, m, record)
-            _fill_lt(row, C, "y3", y3, m, record)
+            _fill_lt(row, C, "x3", x3, m, record, nl=nl)
+            _fill_lt(row, C, "y3", y3, m, record, nl=nl)
             return row
 
         def generate_trace(self, record, output):
@@ -227,7 +238,7 @@ def _make_add_chip(curve_name, modulus, add_code):
                 row[C.idx("p_ptr")] = ev["p_ptr"]
                 row[C.idx("q_ptr")] = ev["q_ptr"]
                 row[C.idx("is_real")] = 1
-                for i in range(16):
+                for i in range(npt):
                     self._fill_access(row, C, f"pw{i}", ev["writes"][i],
                                       ev["clk"] + 1, shard_now, True)
                     self._fill_access(row, C, f"qr{i}", ev["reads"][i],
@@ -247,23 +258,23 @@ def _make_add_chip(curve_name, modulus, add_code):
                 [L["shard"], L["clk"], self.SYSCALL, L["p_ptr"], L["q_ptr"]],
                 is_real,
             )
-            for i in range(16):
+            for i in range(npt):
                 eval_access(b_, L, f"qr{i}", L["shard"], L["clk"],
                             L["q_ptr"] + 4 * i, is_real, write=False)
                 eval_access(b_, L, f"pw{i}", L["shard"], L["clk"] + 1,
                             L["p_ptr"] + 4 * i, is_real, write=True)
-            x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8)])
-            y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8, 16)])
-            x2 = _word_limbs(L, [f"qr{i}_value" for i in range(8)])
-            y2 = _word_limbs(L, [f"qr{i}_value" for i in range(8, 16)])
-            x3 = _word_limbs(L, [f"pw{i}_value" for i in range(8)])
-            y3 = _word_limbs(L, [f"pw{i}_value" for i in range(8, 16)])
-            dx = _eval_witness_vec(b_, L, "dx", is_real)
-            dy = _eval_witness_vec(b_, L, "dy", is_real)
-            lam = _eval_witness_vec(b_, L, "lam", is_real)
-            lam2 = _eval_witness_vec(b_, L, "lam2", is_real)
-            xd = _eval_witness_vec(b_, L, "xd", is_real)
-            t = _eval_witness_vec(b_, L, "t", is_real)
+            x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(nw)])
+            y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(nw, npt)])
+            x2 = _word_limbs(L, [f"qr{i}_value" for i in range(nw)])
+            y2 = _word_limbs(L, [f"qr{i}_value" for i in range(nw, npt)])
+            x3 = _word_limbs(L, [f"pw{i}_value" for i in range(nw)])
+            y3 = _word_limbs(L, [f"pw{i}_value" for i in range(nw, npt)])
+            dx = _EVW(b_, L, "dx", is_real)
+            dy = _EVW(b_, L, "dy", is_real)
+            lam = _EVW(b_, L, "lam", is_real)
+            lam2 = _EVW(b_, L, "lam2", is_real)
+            xd = _EVW(b_, L, "xd", is_real)
+            t = _EVW(b_, L, "t", is_real)
             g_dx.eval(b_, L, [(1, dx), (1, x1), (-1, x2)], is_real)
             g_dy.eval(b_, L, [(1, dy), (1, y1), (-1, y2)], is_real)
             g_lam.eval(b_, L, lam, dx, dy, is_real)
@@ -272,28 +283,32 @@ def _make_add_chip(curve_name, modulus, add_code):
             g_xd.eval(b_, L, [(1, xd), (1, x3), (-1, x1)], is_real)
             g_t.eval(b_, L, lam, xd, t, is_real)
             g_y3.eval(b_, L, [(1, y3), (1, y1), (-1, t)], is_real)
-            _eval_lt(b_, L, "x3", x3, modulus, is_real)
-            _eval_lt(b_, L, "y3", y3, modulus, is_real)
+            _eval_lt(b_, L, "x3", x3, modulus, is_real, nl=nl)
+            _eval_lt(b_, L, "y3", y3, modulus, is_real, nl=nl)
 
     return AddChip
 
 
-def _make_double_chip(curve_name, modulus, a_coef, double_code):
+def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
+    npt, nl = 2 * nw, 4 * nw
     C = Layout().add("shard").add("clk").add("p_ptr").add("is_real")
-    for i in range(16):
+    for i in range(npt):
         add_access_cols(C, f"pw{i}", write=True)
     for nm in ("ty", "x2c", "tx", "lam", "lam2", "xd", "t"):
-        C.add(nm, NL)
-    C.add("x3_df", NL).add("y3_df", NL).add("x3_sel").add("y3_sel")
-    g_ty = ModLinGadget(C, "gty", modulus, NL)
-    g_x2c = ModMulGadget(C, "gx2c", modulus, NL)
-    g_tx = ModLinGadget(C, "gtx", modulus, NL, max_borrow=3)
-    g_lam = ModMulGadget(C, "glam", modulus, NL)
-    g_lam2 = ModMulGadget(C, "glam2", modulus, NL)
-    g_x3 = ModLinGadget(C, "gx3", modulus, NL, max_borrow=2)
-    g_xd = ModLinGadget(C, "gxd", modulus, NL)
-    g_t = ModMulGadget(C, "gt", modulus, NL)
-    g_y3 = ModLinGadget(C, "gy3", modulus, NL)
+        C.add(nm, nl)
+    C.add("x3_df", nl).add("y3_df", nl).add("x3_sel").add("y3_sel")
+    g_ty = ModLinGadget(C, "gty", modulus, nl)
+    g_x2c = ModMulGadget(C, "gx2c", modulus, nl)
+    g_tx = ModLinGadget(C, "gtx", modulus, nl, max_borrow=3)
+    g_lam = ModMulGadget(C, "glam", modulus, nl)
+    g_lam2 = ModMulGadget(C, "glam2", modulus, nl)
+    g_x3 = ModLinGadget(C, "gx3", modulus, nl, max_borrow=2)
+    g_xd = ModLinGadget(C, "gxd", modulus, nl)
+    g_t = ModMulGadget(C, "gt", modulus, nl)
+    g_y3 = ModLinGadget(C, "gy3", modulus, nl)
+
+    def _EVW(b_, L, name, is_real):
+        return _eval_witness_vec(b_, L, name, is_real, nl=nl)
 
     class DoubleChip(_WeierstrassBase):
         name = f"{curve_name}Double"
@@ -310,10 +325,10 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
 
         def _fill_math(self, row, ev, record=None):
             m = modulus
-            x1 = _words_to_int([w[1] for w in ev["writes"][:8]])
-            y1 = _words_to_int([w[1] for w in ev["writes"][8:]])
-            x3 = _words_to_int([w[4] for w in ev["writes"][:8]])
-            y3 = _words_to_int([w[4] for w in ev["writes"][8:]])
+            x1 = _words_to_int([w[1] for w in ev["writes"][:nw]])
+            y1 = _words_to_int([w[1] for w in ev["writes"][nw:]])
+            x3 = _words_to_int([w[4] for w in ev["writes"][:nw]])
+            y3 = _words_to_int([w[4] for w in ev["writes"][nw:]])
             ty = (2 * y1) % m
             x2c = (x1 * x1) % m
             tx = (3 * x2c + a_coef) % m
@@ -323,7 +338,7 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
             t = (lam * xd) % m
             for nm, v in (("ty", ty), ("x2c", x2c), ("tx", tx), ("lam", lam),
                           ("lam2", lam2), ("xd", xd), ("t", t)):
-                _fill_witness_vec(row, C, nm, v, record)
+                _fill_witness_vec(row, C, nm, v, record, nl=nl)
             g_ty.fill(row, C, [(2, y1), (-1, ty)], record)
             g_x2c.fill(row, C, x1, x1, x2c, record)
             g_tx.fill(row, C, [(3, x2c), (1, a_coef), (-1, tx)], record)
@@ -333,8 +348,8 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
             g_xd.fill(row, C, [(1, xd), (1, x3), (-1, x1)], record)
             g_t.fill(row, C, lam, xd, t, record)
             g_y3.fill(row, C, [(1, y3), (1, y1), (-1, t)], record)
-            _fill_lt(row, C, "x3", x3, m, record)
-            _fill_lt(row, C, "y3", y3, m, record)
+            _fill_lt(row, C, "x3", x3, m, record, nl=nl)
+            _fill_lt(row, C, "y3", y3, m, record, nl=nl)
             return row
 
         def generate_trace(self, record, output):
@@ -349,7 +364,7 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
                 row[C.idx("clk")] = ev["clk"]
                 row[C.idx("p_ptr")] = ev["p_ptr"]
                 row[C.idx("is_real")] = 1
-                for i in range(16):
+                for i in range(npt):
                     self._fill_access(row, C, f"pw{i}", ev["writes"][i],
                                       ev["clk"], shard_now, True)
             for g in (g_x2c, g_lam, g_lam2, g_t):
@@ -367,21 +382,21 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
                 [L["shard"], L["clk"], self.SYSCALL, L["p_ptr"]],
                 is_real,
             )
-            for i in range(16):
+            for i in range(npt):
                 eval_access(b_, L, f"pw{i}", L["shard"], L["clk"],
                             L["p_ptr"] + 4 * i, is_real, write=True)
-            x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8)])
-            y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(8, 16)])
-            x3 = _word_limbs(L, [f"pw{i}_value" for i in range(8)])
-            y3 = _word_limbs(L, [f"pw{i}_value" for i in range(8, 16)])
-            ty = _eval_witness_vec(b_, L, "ty", is_real)
-            x2c = _eval_witness_vec(b_, L, "x2c", is_real)
-            tx = _eval_witness_vec(b_, L, "tx", is_real)
-            lam = _eval_witness_vec(b_, L, "lam", is_real)
-            lam2 = _eval_witness_vec(b_, L, "lam2", is_real)
-            xd = _eval_witness_vec(b_, L, "xd", is_real)
-            t = _eval_witness_vec(b_, L, "t", is_real)
-            a_limbs = limbs_of(a_coef, NL)
+            x1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(nw)])
+            y1 = _word_limbs(L, [f"pw{i}_prev_value" for i in range(nw, npt)])
+            x3 = _word_limbs(L, [f"pw{i}_value" for i in range(nw)])
+            y3 = _word_limbs(L, [f"pw{i}_value" for i in range(nw, npt)])
+            ty = _EVW(b_, L, "ty", is_real)
+            x2c = _EVW(b_, L, "x2c", is_real)
+            tx = _EVW(b_, L, "tx", is_real)
+            lam = _EVW(b_, L, "lam", is_real)
+            lam2 = _EVW(b_, L, "lam2", is_real)
+            xd = _EVW(b_, L, "xd", is_real)
+            t = _EVW(b_, L, "t", is_real)
+            a_limbs = limbs_of(a_coef, nl)
             g_ty.eval(b_, L, [(2, y1), (-1, ty)], is_real)
             g_x2c.eval(b_, L, x1, x1, x2c, is_real)
             g_tx.eval(b_, L, [(3, x2c), (1, a_limbs), (-1, tx)], is_real,
@@ -392,8 +407,8 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
             g_xd.eval(b_, L, [(1, xd), (1, x3), (-1, x1)], is_real)
             g_t.eval(b_, L, lam, xd, t, is_real)
             g_y3.eval(b_, L, [(1, y3), (1, y1), (-1, t)], is_real)
-            _eval_lt(b_, L, "x3", x3, modulus, is_real)
-            _eval_lt(b_, L, "y3", y3, modulus, is_real)
+            _eval_lt(b_, L, "x3", x3, modulus, is_real, nl=nl)
+            _eval_lt(b_, L, "y3", y3, modulus, is_real, nl=nl)
 
     return DoubleChip
 
@@ -401,9 +416,9 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code):
 def curve_chips() -> list:
     """All weierstrass precompile chips (add + double per curve)."""
     out = []
-    for name, modulus, a_coef, add_code, double_code in CURVES:
-        out.append(_make_add_chip(name, modulus, add_code)())
-        out.append(_make_double_chip(name, modulus, a_coef, double_code)())
+    for name, modulus, a_coef, add_code, double_code, nw in CURVES:
+        out.append(_make_add_chip(name, modulus, add_code, nw=nw)())
+        out.append(_make_double_chip(name, modulus, a_coef, double_code, nw=nw)())
     return out
 
 
