@@ -442,3 +442,22 @@ def ed25519_program(double: bool = False) -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def fp_op_program(code_hi: int, code_lo: int, x: int, y: int, nw: int) -> Program:
+    """Generic Fp/Fp2 precompile driver: x at 0x2000 (result written back),
+    y at 0x3000; nw = u32 words per element."""
+    insns = [imm(O.ADD, 8, 0, 0x2000), imm(O.ADD, 10, 0, 0x3000)]
+    for base_reg, base, v in ((8, 0, x), (10, 0, y)):
+        for i in range(nw):
+            w = (v >> (32 * i)) & 0xFFFFFFFF
+            insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                      ri(O.SW, 9, base_reg, base + 4 * i)]
+    insns += [
+        imm(O.SLL, 2, code_hi, 16), ri(O.OR, 2, 2, code_lo),
+        imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, 0x3000),
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 8, 0),
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

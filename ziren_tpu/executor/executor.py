@@ -45,6 +45,21 @@ _PBLS = int(
     "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
     "1eabfffeb153ffffb9feffffffffaaab", 16
 )
+# Fp / Fp2 tower ops: syscall -> (modulus, words per element, op, is_fp2)
+_FPOPS = {
+    SyscallCode.BLS12381_FP_ADD: (_PBLS, 12, "add", False),
+    SyscallCode.BLS12381_FP_SUB: (_PBLS, 12, "sub", False),
+    SyscallCode.BLS12381_FP_MUL: (_PBLS, 12, "mul", False),
+    SyscallCode.BLS12381_FP2_ADD: (_PBLS, 12, "add", True),
+    SyscallCode.BLS12381_FP2_SUB: (_PBLS, 12, "sub", True),
+    SyscallCode.BLS12381_FP2_MUL: (_PBLS, 12, "mul", True),
+    SyscallCode.BN254_FP_ADD: (_PBN254, 8, "add", False),
+    SyscallCode.BN254_FP_SUB: (_PBN254, 8, "sub", False),
+    SyscallCode.BN254_FP_MUL: (_PBN254, 8, "mul", False),
+    SyscallCode.BN254_FP2_ADD: (_PBN254, 8, "add", True),
+    SyscallCode.BN254_FP2_SUB: (_PBN254, 8, "sub", True),
+    SyscallCode.BN254_FP2_MUL: (_PBN254, 8, "mul", True),
+}
 _WEIERSTRASS = {
     SyscallCode.SECP256K1_ADD: (_P256K1, 0, True, 8),
     SyscallCode.SECP256K1_DOUBLE: (_P256K1, 0, False, 8),
@@ -645,6 +660,64 @@ class Executor:
             self.record.precompile_events.setdefault(
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
+            return syscall_id, None, 1, 0
+        if syscall_id in _FPOPS:
+            # Fp / Fp2 tower field ops (reference: precompiles/fptower/ —
+            # x at x_ptr reduced mod m, y read at clk, result written to
+            # x_ptr at clk + 1, one extra cycle; inputs are reduced first)
+            m, nwf, fop, is_fp2 = _FPOPS[syscall_id]
+            nw_el = nwf * (2 if is_fp2 else 1)
+            x_ptr, y_ptr = b, c
+            assert x_ptr % 4 == 0 and y_ptr % 4 == 0, "fp op unaligned"
+            ev = {"shard": self.shard, "clk": self.clk, "x_ptr": x_ptr,
+                  "y_ptr": y_ptr, "reads": [], "writes": []}
+            x_words = [self.peek_word((x_ptr + 4 * i) & M32) for i in range(nw_el)]
+            y_words = []
+            for i in range(nw_el):
+                addr = (y_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                y_words.append(rec[0])
+                rec[1] = self.clk
+                rec[2] = self.shard
+            to_int = lambda ws: sum(int(w) << (32 * i) for i, w in enumerate(ws))
+
+            def apply(a, b2):
+                a, b2 = a % m, b2 % m
+                if fop == "add":
+                    return (a + b2) % m
+                if fop == "sub":
+                    return (a - b2) % m
+                return (a * b2) % m
+
+            if is_fp2:
+                a0, a1 = to_int(x_words[:nwf]), to_int(x_words[nwf:])
+                b0, b1 = to_int(y_words[:nwf]), to_int(y_words[nwf:])
+                if fop == "mul":
+                    r0 = (a0 * b0 - a1 * b1) % m
+                    r1 = (a0 * b1 + a1 * b0) % m
+                else:
+                    r0, r1 = apply(a0, b0), apply(a1, b1)
+                r_int = r0 | (r1 << (32 * nwf))
+            else:
+                r_int = apply(to_int(x_words), to_int(y_words))
+            for i in range(nw_el):
+                addr = (x_ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                rv = (r_int >> (32 * i)) & M32
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], rv))
+                rec[0] = rv
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
             return syscall_id, None, 1, 0
         if syscall_id == SyscallCode.ED_ADD:
             # twisted Edwards (ed25519, a = -1) complete addition

@@ -134,6 +134,18 @@ class SyscallCode(IntEnum):
     BN254_DOUBLE = 0x00_01_00_0F
     BLS12381_ADD = 0x01_01_00_1E
     BLS12381_DOUBLE = 0x00_01_00_1F
+    BLS12381_FP_ADD = 0x01_01_00_20
+    BLS12381_FP_SUB = 0x01_01_00_21
+    BLS12381_FP_MUL = 0x01_01_00_22
+    BLS12381_FP2_ADD = 0x01_01_00_23
+    BLS12381_FP2_SUB = 0x01_01_00_24
+    BLS12381_FP2_MUL = 0x01_01_00_25
+    BN254_FP_ADD = 0x01_01_00_26
+    BN254_FP_SUB = 0x01_01_00_27
+    BN254_FP_MUL = 0x01_01_00_28
+    BN254_FP2_ADD = 0x01_01_00_29
+    BN254_FP2_SUB = 0x01_01_00_2A
+    BN254_FP2_MUL = 0x01_01_00_2B
     SECP256R1_ADD = 0x01_01_00_2C
     SECP256R1_DOUBLE = 0x00_01_00_2D
     COMMIT = 0x00_00_00_10

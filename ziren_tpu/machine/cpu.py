@@ -147,17 +147,23 @@ class CpuChip(Air):
         ))
         w.set("shard_to_send", is_chk * record.public_values.shard)
         w.set("clk_to_send", is_chk * cols["clk"])
-        # extra cycles: poseidon2 = 1, sha_extend = 48, sha_compress = 1,
-        # uint256_mul = 1, keccak_sponge = 1
+        # extra cycles: sha_extend = 48; every other precompile that writes
+        # at clk + 1 costs one extra cycle (doubles write at clk: zero)
         is_syscall = np.array([int(o == Opcode.SYSCALL) for o in ops])
         sid = np.asarray(cols["syscall_code"])
-        extra = (
-            (sid == 0x00010030) * 1 + (sid == 0x30010005) * 48
-            + (sid == 0x01010006) * 1 + (sid == 0x0101001D) * 1
-            + (sid == 0x01010009) * 1 + (sid == 0x0101000A) * 1
-            + (sid == 0x0101002C) * 1 + (sid == 0x0101000E) * 1
-            + (sid == 0x01010007) * 1 + (sid == 0x0101001E) * 1
-        ) * is_syscall
+        one_cycle = [
+            0x00010030, 0x01010006, 0x0101001D, 0x01010009,  # p2/shac/u256/keccak
+            0x0101000A, 0x0101002C, 0x0101000E, 0x0101001E,  # ec adds
+            0x01010007,  # ed add
+            0x01010020, 0x01010021, 0x01010022, 0x01010023,  # bls fp/fp2
+            0x01010024, 0x01010025,
+            0x01010026, 0x01010027, 0x01010028, 0x01010029,  # bn254 fp/fp2
+            0x0101002A, 0x0101002B,
+        ]
+        extra = (sid == 0x30010005) * 48
+        for c in one_cycle:
+            extra = extra + (sid == c) * 1
+        extra = extra * is_syscall
         w.set("num_extra_cycles", extra.astype(np.int64))
         w.set_word("a", cols["a"])
         w.set_word("prev_a", cols["prev_a"])

@@ -36,6 +36,7 @@ from .syscall import SyscallChip
 from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
 from .edwards import EdAddChip
+from .fptower import fptower_chips
 from .weierstrass import curve_chips
 
 
@@ -65,6 +66,7 @@ def mips_airs():
         KeccakSpongeChip(),
         *curve_chips(),
         EdAddChip(),
+        *fptower_chips(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -38,13 +38,25 @@ CODES = [
     ("is_ed_add", int(SyscallCode.ED_ADD)),
     ("is_bls_add", int(SyscallCode.BLS12381_ADD)),
     ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
+] + [
+    (f"is_fp_{int(c):x}", int(c))
+    for c in (
+        SyscallCode.BLS12381_FP_ADD, SyscallCode.BLS12381_FP_SUB,
+        SyscallCode.BLS12381_FP_MUL, SyscallCode.BLS12381_FP2_ADD,
+        SyscallCode.BLS12381_FP2_SUB, SyscallCode.BLS12381_FP2_MUL,
+        SyscallCode.BN254_FP_ADD, SyscallCode.BN254_FP_SUB,
+        SyscallCode.BN254_FP_MUL, SyscallCode.BN254_FP2_ADD,
+        SyscallCode.BN254_FP2_SUB, SyscallCode.BN254_FP2_MUL,
+    )
 ]
 
 EC_ADD_FLAGS = [("is_ec_add", SyscallCode.SECP256K1_ADD),
                 ("is_r1_add", SyscallCode.SECP256R1_ADD),
                 ("is_bn_add", SyscallCode.BN254_ADD),
                 ("is_ed_add", SyscallCode.ED_ADD),
-                ("is_bls_add", SyscallCode.BLS12381_ADD)]
+                ("is_bls_add", SyscallCode.BLS12381_ADD)] + [
+    (nm, code) for nm, code in CODES if nm.startswith("is_fp_")
+]
 EC_DOUBLE_FLAGS = [("is_ec_double", SyscallCode.SECP256K1_DOUBLE),
                    ("is_r1_double", SyscallCode.SECP256R1_DOUBLE),
                    ("is_bn_double", SyscallCode.BN254_DOUBLE),
