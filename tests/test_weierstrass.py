@@ -72,3 +72,29 @@ def test_ed25519_prove_verify():
     machine, pk, vk, proof, ex = prove_program(prog)
     assert "EdAdd" in proof.shard_proofs[0].chip_names
     assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)
+
+
+@pytest.mark.parametrize("sign", [0, 1])
+def test_ed_decompress(sign):
+    from ziren_tpu.executor.asm import (ED25519_GX, ED25519_P,
+                                        ed_decompress_program)
+
+    prog = ed_decompress_program(sign)
+    ex = Executor(prog)
+    record = ex.run()
+    want = ED25519_GX if (ED25519_GX & 1) == sign else (ED25519_P - ED25519_GX)
+    assert ex.peek_register(20) == want & 0xFFFFFFFF
+    machine = mips_machine()
+    pk, vk = machine.setup(prog, extra_observations=[prog.pc_start])
+    imbalance, origin = debug_lookups(machine, pk, record)
+    assert not imbalance, origin
+    assert debug_constraints(machine, pk, record)
+
+
+def test_ed_decompress_prove_verify():
+    from ziren_tpu.executor.asm import ed_decompress_program
+
+    prog = ed_decompress_program(1)
+    machine, pk, vk, proof, ex = prove_program(prog)
+    assert "EdDecompress" in proof.shard_proofs[0].chip_names
+    assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)

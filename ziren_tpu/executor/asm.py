@@ -461,3 +461,23 @@ def fp_op_program(code_hi: int, code_lo: int, x: int, y: int, nw: int) -> Progra
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def ed_decompress_program(sign: int = 0) -> Program:
+    """Decompress the ed25519 base point's y (optionally with the sign bit
+    flipped to select -x). Slice at 0x2000: x written to +0, y stored at +32."""
+    y = ED25519_GY
+
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    for i in range(8):
+        w = (y >> (32 * i)) & 0xFFFFFFFF
+        insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                  ri(O.SW, 9, 8, 32 + 4 * i)]
+    insns += [
+        imm(O.SLL, 2, 0x0001, 16), ri(O.OR, 2, 2, 0x08),  # ED_DECOMPRESS
+        imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, sign),
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 8, 0),
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

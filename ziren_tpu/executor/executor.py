@@ -719,6 +719,56 @@ class Executor:
                 rec[2] = self.shard
             self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.ED_DECOMPRESS:
+            # recover x from compressed (y, sign): x^2 = (y^2-1)/(d y^2+1),
+            # x chosen with lsb == sign (reference: edwards/decompress.rs —
+            # y read at ptr+32 at clk, x written at ptr at clk, 0 extra)
+            m, d = _P25519, _ED25519_D
+            ptr, sign = b, c
+            assert ptr % 4 == 0, "ed_decompress ptr unaligned"
+            assert sign <= 1, "sign bit must be 0 or 1"
+            ev = {"shard": self.shard, "clk": self.clk, "ptr": ptr,
+                  "sign": sign, "reads": [], "writes": []}
+            y_words = []
+            for i in range(8):
+                addr = (ptr + 32 + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                y_words.append(rec[0])
+                rec[1] = self.clk
+                rec[2] = self.shard
+            y = sum(int(w) << (32 * i) for i, w in enumerate(y_words))
+            y &= (1 << 255) - 1  # bit 255 of the stored bytes is ignored
+            assert y < m, "compressed y not canonical"
+            num = (y * y - 1) % m
+            den = (d * y * y + 1) % m
+            xx = (num * pow(den, m - 2, m)) % m
+            # sqrt mod p (p = 5 mod 8): candidate x = xx^((p+3)/8), fix by i
+            x = pow(xx, (m + 3) // 8, m)
+            if (x * x - xx) % m != 0:
+                x = (x * pow(2, (m - 1) // 4, m)) % m
+            assert (x * x - xx) % m == 0, "not a square: invalid point"
+            if x & 1 != sign:
+                x = (m - x) % m
+            assert not (x == 0 and sign), "x = 0 with sign bit set"
+            for i in range(8):
+                addr = (ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                rv = (x >> (32 * i)) & M32
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], rv))
+                rec[0] = rv
+                rec[1] = self.clk
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
+            return syscall_id, None, 0, 0
         if syscall_id == SyscallCode.ED_ADD:
             # twisted Edwards (ed25519, a = -1) complete addition
             # (reference: syscalls/precompiles/edwards/add.rs — same event

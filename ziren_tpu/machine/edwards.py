@@ -58,6 +58,146 @@ _ONE = [1] + [0] * (NL - 1)
 _D_LIMBS = limbs_of(ED_D, NL)
 
 
+DCOLS = Layout().add("shard").add("clk").add("ptr").add("sign").add("is_real")
+for i in range(8):
+    add_access_cols(DCOLS, f"xw{i}", write=True)
+for i in range(8):
+    add_access_cols(DCOLS, f"yr{i}", write=False)
+for nm in ("ys", "td", "dn", "nm", "xx"):
+    DCOLS.add(nm, NL)
+DCOLS.add("bit255").add("h0")
+DCOLS.add("x_df", NL).add("x_sel")
+DG_YS = ModMulGadget(DCOLS, "dgys", P25519, NL)
+DG_TD = ModMulGadget(DCOLS, "dgtd", P25519, NL)
+DG_DN = ModLinGadget(DCOLS, "dgdn", P25519, NL)
+DG_NM = ModLinGadget(DCOLS, "dgnm", P25519, NL)
+DG_XX = ModMulGadget(DCOLS, "dgxx", P25519, NL)
+DG_E = ModMulGadget(DCOLS, "dge", P25519, NL)
+
+
+class EdDecompressChip(_WeierstrassBase):
+    """Recover x from (y, sign): x^2 (d y^2 + 1) = y^2 - 1, lsb(x) = sign,
+    x canonical (reference: edwards/ed_decompress.rs). Bit 255 of the stored
+    y bytes is ignored (committed via an MSB byte lookup on the top byte)."""
+
+    name = "EdDecompress"
+    SYSCALL = int(SyscallCode.ED_DECOMPRESS)
+    COLS = DCOLS
+    width = DCOLS.width
+
+    def generate_dependencies(self, record, output):
+        for ev in self._events(record):
+            clk = ev["clk"]
+            self._deps_accesses(
+                record, ev,
+                [(clk, a) for a in ev["reads"]]
+                + [(clk, a) for a in ev["writes"]],
+            )
+            row = np.zeros(DCOLS.width, dtype=np.uint32)
+            self._fill_math(row, ev, record)
+
+    def _fill_math(self, row, ev, record=None):
+        from ziren_tpu.executor.opcode import ByteOpcode as B
+        from .byte import count
+
+        m = P25519
+        y_raw = _words_to_int([r[1] for r in ev["reads"]])
+        x = _words_to_int([w[4] for w in ev["writes"]])
+        bit255 = (y_raw >> 255) & 1
+        y = y_raw & ((1 << 255) - 1)
+        ys = (y * y) % m
+        td = (ED_D * ys) % m
+        dn = (td + 1) % m
+        nm = (ys - 1) % m
+        xx = (x * x) % m
+        for col, v in (("ys", ys), ("td", td), ("dn", dn), ("nm", nm),
+                       ("xx", xx)):
+            _fill_witness_vec(row, DCOLS, col, v, record)
+        row[DCOLS.idx("bit255")] = bit255
+        row[DCOLS.idx("h0")] = (x & 0xFF) >> 1
+        if record is not None:
+            top = (y_raw >> 248) & 0xFF
+            count(record, B.MSB, np.array([top]), 0)
+            count(record, B.LTU, np.array([(x & 0xFF) >> 1]), 128)
+        DG_YS.fill(row, DCOLS, y, y, ys, record)
+        DG_TD.fill(row, DCOLS, ED_D, ys, td, record)
+        DG_DN.fill(row, DCOLS, [(1, td), (1, 1), (-1, dn)], record)
+        DG_NM.fill(row, DCOLS, [(1, nm), (1, 1), (-1, ys)], record)
+        DG_XX.fill(row, DCOLS, x, x, xx, record)
+        DG_E.fill(row, DCOLS, xx, dn, nm, record)
+        _fill_lt(row, DCOLS, "x", x, m, record)
+        return row
+
+    def generate_trace(self, record, output):
+        events = self._events(record)
+        n = len(events)
+        height = max(4, 1 << max(0, n - 1).bit_length())
+        mat = np.zeros((height, DCOLS.width), dtype=np.uint32)
+        shard_now = record.public_values.shard
+        for r_i, ev in enumerate(events):
+            row = self._fill_math(mat[r_i], ev)
+            row[DCOLS.idx("shard")] = ev["shard"]
+            row[DCOLS.idx("clk")] = ev["clk"]
+            row[DCOLS.idx("ptr")] = ev["ptr"]
+            row[DCOLS.idx("sign")] = ev["sign"]
+            row[DCOLS.idx("is_real")] = 1
+            for i in range(8):
+                self._fill_access(row, DCOLS, f"xw{i}", ev["writes"][i],
+                                  ev["clk"], shard_now, True)
+                self._fill_access(row, DCOLS, f"yr{i}", ev["reads"][i],
+                                  ev["clk"], shard_now, False)
+        for g in (DG_YS, DG_TD, DG_XX, DG_E):
+            g.fill_padding(mat, DCOLS, n)
+        for g in (DG_DN, DG_NM):
+            g.fill_padding(mat, DCOLS, n)
+        return mat
+
+    def eval(self, b_):
+        from ziren_tpu.executor.opcode import ByteOpcode as B
+        from .byte import send_byte
+
+        L = DCOLS.view(b_.main_local)
+        is_real = L["is_real"]
+        sign = L["sign"]
+        b_.assert_bool(is_real)
+        b_.assert_bool(sign)
+        b_.receive(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], self.SYSCALL, L["ptr"], sign],
+            is_real,
+        )
+        for i in range(8):
+            eval_access(b_, L, f"yr{i}", L["shard"], L["clk"],
+                        L["ptr"] + 32 + 4 * i, is_real, write=False)
+            eval_access(b_, L, f"xw{i}", L["shard"], L["clk"],
+                        L["ptr"] + 4 * i, is_real, write=True)
+        y_limbs = _word_limbs(L, [f"yr{i}_value" for i in range(8)])
+        x_limbs = _word_limbs(L, [f"xw{i}_value" for i in range(8)])
+        # strip the ignored bit 255 from the top byte
+        bit255 = L["bit255"]
+        b_.assert_bool(bit255)
+        send_byte(b_, B.MSB, y_limbs[31], 0, bit255, is_real)
+        y_eff = list(y_limbs)
+        y_eff[31] = y_limbs[31] - 128 * bit255
+        ys = _eval_witness_vec(b_, L, "ys", is_real)
+        td = _eval_witness_vec(b_, L, "td", is_real)
+        dn = _eval_witness_vec(b_, L, "dn", is_real)
+        nm = _eval_witness_vec(b_, L, "nm", is_real)
+        xx = _eval_witness_vec(b_, L, "xx", is_real)
+        one = [1] + [0] * (NL - 1)
+        DG_YS.eval(b_, L, y_eff, y_eff, ys, is_real)
+        DG_TD.eval(b_, L, _D_LIMBS, ys, td, is_real)
+        DG_DN.eval(b_, L, [(1, td), (1, one), (-1, dn)], is_real, gate=is_real)
+        DG_NM.eval(b_, L, [(1, nm), (1, one), (-1, ys)], is_real, gate=is_real)
+        DG_XX.eval(b_, L, x_limbs, x_limbs, xx, is_real)
+        DG_E.eval(b_, L, xx, dn, nm, is_real)
+        # parity: x byte 0 = 2 h0 + sign, h0 < 128
+        h0 = L["h0"]
+        b_.when(is_real).assert_eq(x_limbs[0], 2 * h0 + sign)
+        send_byte(b_, B.LTU, h0, 128, 1, is_real)
+        _eval_lt(b_, L, "x", x_limbs, P25519, is_real)
+
+
 class EdAddChip(_WeierstrassBase):
     name = "EdAdd"
     SYSCALL = int(SyscallCode.ED_ADD)

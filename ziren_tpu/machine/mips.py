@@ -35,7 +35,7 @@ from .program import ProgramChip
 from .syscall import SyscallChip
 from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
-from .edwards import EdAddChip
+from .edwards import EdAddChip, EdDecompressChip
 from .fptower import fptower_chips
 from .weierstrass import curve_chips
 
@@ -66,6 +66,7 @@ def mips_airs():
         KeccakSpongeChip(),
         *curve_chips(),
         EdAddChip(),
+        EdDecompressChip(),
         *fptower_chips(),
         ByteChip(),
         MemoryLocalChip(),

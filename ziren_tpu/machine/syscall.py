@@ -36,6 +36,7 @@ CODES = [
     ("is_bn_add", int(SyscallCode.BN254_ADD)),
     ("is_bn_double", int(SyscallCode.BN254_DOUBLE)),
     ("is_ed_add", int(SyscallCode.ED_ADD)),
+    ("is_ed_decompress", int(SyscallCode.ED_DECOMPRESS)),
     ("is_bls_add", int(SyscallCode.BLS12381_ADD)),
     ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
 ] + [
@@ -187,6 +188,13 @@ class SyscallChip(Air):
                  pack_word(L.word("b")), pack_word(L.word("c"))],
                 L[nm],
             )
+        # decompress: two-arg (ptr, sign), zero extra cycles
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.ED_DECOMPRESS),
+             pack_word(L.word("b")), pack_word(L.word("c"))],
+            L["is_ed_decompress"],
+        )
         # double is single-argument: message length disambiguates
         for nm, code in EC_DOUBLE_FLAGS:
             b.send(
