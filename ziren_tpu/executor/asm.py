@@ -481,3 +481,30 @@ def ed_decompress_program(sign: int = 0) -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def u256x2048_program(a: int, b_val: int) -> Program:
+    """(hi, lo) = a * b via U256XU2048_MUL. a at 0x2000, b at 0x2100,
+    lo to 0x3000 (A2), hi to 0x3200 (A3)."""
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    for i in range(8):
+        w = (a >> (32 * i)) & 0xFFFFFFFF
+        insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                  ri(O.SW, 9, 8, 0x000 + 4 * i)]
+    for i in range(64):
+        w = (b_val >> (32 * i)) & 0xFFFFFFFF
+        insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                  ri(O.SW, 9, 8, 0x100 + 4 * i)]
+    insns += [
+        imm(O.SLL, 2, 0x0101, 16), ri(O.OR, 2, 2, 0x2F),  # U256XU2048_MUL
+        imm(O.ADD, 4, 0, 0x2000),  # a0 = a_ptr
+        imm(O.ADD, 5, 0, 0x2100),  # a1 = b_ptr
+        imm(O.ADD, 6, 0, 0x3000),  # a2 = lo_ptr
+        imm(O.ADD, 7, 0, 0x3200),  # a3 = hi_ptr
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        imm(O.ADD, 10, 0, 0x3000),
+        ri(O.LW, 20, 10, 0),  # lo word 0
+        ri(O.LW, 21, 10, 0x200),  # hi word 0
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)

@@ -661,6 +661,48 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.U256XU2048_MUL:
+            # 256-bit x 2048-bit multiply: (hi, lo) = a * b
+            # (reference: precompiles/u256x2048_mul.rs — lo_ptr/hi_ptr come
+            # from registers A2/A3 (traced reads), a + b read at clk,
+            # lo (64 words) + hi (8 words) written at clk + 1; 1 extra cycle)
+            a_ptr, b_ptr = b, c
+            ev = {"shard": self.shard, "clk": self.clk, "a_ptr": a_ptr,
+                  "b_ptr": b_ptr, "reads": [], "writes": []}
+
+            def _rd(addr):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                rec[1] = self.clk
+                rec[2] = self.shard
+                return rec[0]
+
+            lo_ptr = _rd(6)  # register A2
+            hi_ptr = _rd(7)  # register A3
+            a_words = [_rd((a_ptr + 4 * i) & M32) for i in range(8)]
+            b_words = [_rd((b_ptr + 4 * i) & M32) for i in range(64)]
+            to_int = lambda ws: sum(int(w) << (32 * i) for i, w in enumerate(ws))
+            prod = to_int(a_words) * to_int(b_words)
+            lo_int, hi_int = prod & ((1 << 2048) - 1), prod >> 2048
+            outs = [(lo_ptr + 4 * i, (lo_int >> (32 * i)) & M32) for i in range(64)]
+            outs += [(hi_ptr + 4 * i, (hi_int >> (32 * i)) & M32) for i in range(8)]
+            for addr, rv in outs:
+                addr &= M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], rv))
+                rec[0] = rv
+                rec[1] = self.clk + 1
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
+            return syscall_id, None, 1, 0
         if syscall_id in _FPOPS:
             # Fp / Fp2 tower field ops (reference: precompiles/fptower/ —
             # x at x_ptr reduced mod m, y read at clk, result written to

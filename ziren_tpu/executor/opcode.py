@@ -148,6 +148,7 @@ class SyscallCode(IntEnum):
     BN254_FP2_MUL = 0x01_01_00_2B
     SECP256R1_ADD = 0x01_01_00_2C
     SECP256R1_DOUBLE = 0x00_01_00_2D
+    U256XU2048_MUL = 0x01_01_00_2F
     COMMIT = 0x00_00_00_10
     COMMIT_DEFERRED_PROOFS = 0x00_00_00_1A
     VERIFY_ZKM_PROOF = 0x00_00_00_1B

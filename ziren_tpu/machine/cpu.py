@@ -159,6 +159,7 @@ class CpuChip(Air):
             0x01010024, 0x01010025,
             0x01010026, 0x01010027, 0x01010028, 0x01010029,  # bn254 fp/fp2
             0x0101002A, 0x0101002B,
+            0x0101002F,  # u256x2048 mul
         ]
         extra = (sid == 0x30010005) * 48
         for c in one_cycle:

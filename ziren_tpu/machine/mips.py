@@ -37,6 +37,7 @@ from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
 from .edwards import EdAddChip, EdDecompressChip
 from .fptower import fptower_chips
+from .u256x2048 import U256xU2048MulChip
 from .weierstrass import curve_chips
 
 
@@ -68,6 +69,7 @@ def mips_airs():
         EdAddChip(),
         EdDecompressChip(),
         *fptower_chips(),
+        U256xU2048MulChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

@@ -39,6 +39,7 @@ CODES = [
     ("is_ed_decompress", int(SyscallCode.ED_DECOMPRESS)),
     ("is_bls_add", int(SyscallCode.BLS12381_ADD)),
     ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
+    ("is_u256x2048", int(SyscallCode.U256XU2048_MUL)),
 ] + [
     (f"is_fp_{int(c):x}", int(c))
     for c in (
@@ -55,7 +56,8 @@ EC_ADD_FLAGS = [("is_ec_add", SyscallCode.SECP256K1_ADD),
                 ("is_r1_add", SyscallCode.SECP256R1_ADD),
                 ("is_bn_add", SyscallCode.BN254_ADD),
                 ("is_ed_add", SyscallCode.ED_ADD),
-                ("is_bls_add", SyscallCode.BLS12381_ADD)] + [
+                ("is_bls_add", SyscallCode.BLS12381_ADD),
+                ("is_u256x2048", SyscallCode.U256XU2048_MUL)] + [
     (nm, code) for nm, code in CODES if nm.startswith("is_fp_")
 ]
 EC_DOUBLE_FLAGS = [("is_ec_double", SyscallCode.SECP256K1_DOUBLE),
