@@ -1,9 +1,11 @@
 """The MIPS machine: chip set assembly + end-to-end prove/verify helpers
 (reference: crates/core/machine/src/mips/mod.rs MipsAir).
 
-v1 chip set (see SURVEY.md §7 step 4): Program, Cpu, AddSub, Bitwise, Lt,
-Branch, SyscallInstrs, Byte, MemoryInit, MemoryFinal. Grows toward the
-reference's 50-chip machine milestone by milestone.
+~50 chips: the CPU/ALU/memory core, the byte table, the multi-shard
+global/septic chips, and the full precompile set (sha extend/compress,
+poseidon2, keccak sponge, uint256, u256x2048, weierstrass add/double for
+secp256k1/r1 + bn254 + bls12-381, ed25519 add/decompress, 12 fp/fp2 tower
+ops). Precompile chips enter a shard proof only when they have events.
 """
 
 from __future__ import annotations
