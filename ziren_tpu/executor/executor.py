@@ -661,6 +661,109 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if 4000 <= syscall_id < 4300:
+            # Linux O32 ABI syscall emulation (reference: sys_linux/*.rs):
+            # every variant records its register reads/writes and an A3
+            # errno write into a LinuxEvent grouped under SYS_LINUX; the
+            # SysLinux chip lands with the Linux-ABI milestone (ROADMAP.md)
+            a0, a1 = b, c
+            ev = {"shard": self.shard, "clk": self.clk, "a0": a0, "a1": a1,
+                  "syscall_code": int(syscall_id), "reads": [], "writes": []}
+            EBADF = 9
+
+            def _reg_read(addr):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [0, 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                rec[1] = self.clk
+                rec[2] = self.shard
+                return rec[0]
+
+            def _reg_write(addr, value):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [0, 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], value))
+                rec[0] = value & M32
+                rec[1] = self.clk
+                rec[2] = self.shard
+
+            next_pc_override = None
+            if syscall_id == SyscallCode.SYS_BRK:
+                brk = _reg_read(34)  # BRK register
+                v0 = a0 if a0 > brk else brk
+                _reg_write(7, 0)  # A3 errno
+            elif syscall_id in (SyscallCode.SYS_MMAP, SyscallCode.SYS_MMAP2):
+                size = a1
+                if size & 0xFFF:
+                    size = (size + 0x1000 - (size & 0xFFF)) & M32
+                _reg_write(7, 0)
+                if a0 == 0:
+                    v0 = self.peek_register(35)  # HEAP
+                    _reg_write(35, (v0 + size) & M32)
+                else:
+                    v0 = a0
+            elif syscall_id == SyscallCode.SYS_CLONE:
+                v0 = 1
+                _reg_write(7, 0)
+            elif syscall_id == SyscallCode.SYS_EXT_GROUP:
+                self.exited = True
+                self.exit_code = a0
+                v0 = 0
+                _reg_write(7, 0)
+                next_pc_override = 0
+            elif syscall_id == SyscallCode.SYS_READ:
+                if a0 == 0:  # stdin
+                    v0 = 0
+                    _reg_write(7, 0)
+                else:
+                    v0 = 0xFFFFFFFF
+                    _reg_write(7, EBADF)
+            elif syscall_id == SyscallCode.SYS_WRITE:
+                nbytes = _reg_read(6)  # A2
+                data = bytearray()
+                for i in range(nbytes):
+                    w = self.peek_word((a1 + i) & ~3 & M32)
+                    data.append((w >> (((a1 + i) & 3) * 8)) & 0xFF)
+                if a0 in (1, 2):
+                    self.stdout.extend(data)
+                v0 = nbytes
+                _reg_write(7, 0)
+            elif syscall_id == SyscallCode.SYS_FCNTL:
+                if a1 == 3:  # F_GETFL
+                    if a0 == 0:
+                        v0 = 0
+                        _reg_write(7, 0)
+                    elif a0 in (1, 2):
+                        v0 = 1
+                        _reg_write(7, 0)
+                    else:
+                        v0 = 0xFFFFFFFF
+                        _reg_write(7, EBADF)
+                elif a1 == 1:  # F_GETFD
+                    if a0 in (0, 1, 2):
+                        v0 = a0
+                        _reg_write(7, 0)
+                    else:
+                        v0 = 0xFFFFFFFF
+                        _reg_write(7, EBADF)
+                else:
+                    v0 = 0xFFFFFFFF
+                    _reg_write(7, EBADF)
+            else:
+                # nop'd syscalls (open/close/sigaction/... reference mod.rs)
+                v0 = 0
+                _reg_write(7, 0)
+            ev["v0"] = v0
+            self.record.precompile_events.setdefault(
+                int(SyscallCode.SYS_LINUX), []
+            ).append(ev)
+            return v0, next_pc_override, 0, self.exit_code
         if syscall_id == SyscallCode.U256XU2048_MUL:
             # 256-bit x 2048-bit multiply: (hi, lo) = a * b
             # (reference: precompiles/u256x2048_mul.rs — lo_ptr/hi_ptr come

@@ -154,6 +154,17 @@ class SyscallCode(IntEnum):
     VERIFY_ZKM_PROOF = 0x00_00_00_1B
     UINT256_MUL = 0x01_01_00_1D
     POSEIDON2_PERMUTE = 0x00_01_00_30
+    # Linux O32 ABI syscalls (reference code.rs:140-190; executor-level
+    # emulation — the SysLinux chip lands with the Linux-ABI milestone)
+    SYS_LINUX = 4000
+    SYS_READ = 4003
+    SYS_WRITE = 4004
+    SYS_BRK = 4045
+    SYS_FCNTL = 4055
+    SYS_MMAP2 = 4090
+    SYS_MMAP = 4210
+    SYS_CLONE = 4120
+    SYS_EXT_GROUP = 4246
     SYSHINTLEN = 0x00_00_00_F0
     SYSHINTREAD = 0x00_00_00_F1
     SYSVERIFY = 0x00_00_00_F2
