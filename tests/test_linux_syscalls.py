@@ -42,3 +42,51 @@ def test_exit_group_halts():
     ex = Executor(prog)
     ex.run()
     assert ex.exited and ex.exit_code == 0
+
+
+def test_chip_oracles():
+    from ziren_tpu.machine.debug import debug_constraints, debug_lookups
+    from ziren_tpu.machine.mips import mips_machine
+
+    insns = []
+    insns += _syscall(4045, 0x10000, 0)
+    insns += _syscall(4045, 0, 0)
+    insns += _syscall(4090, 0, 0x1801)
+    insns += _syscall(4090, 0x8000, 0x10)
+    insns += _syscall(4120, 0, 0)
+    insns += _syscall(4055, 1, 3)
+    insns += _syscall(4055, 2, 1)
+    insns += _syscall(4055, 9, 3)
+    insns += _syscall(4003, 0, 0)
+    insns += _syscall(4003, 5, 0)
+    insns += _syscall(4222, 0, 0)
+    insns += halt_sequence(0)
+    prog = Program.new(insns)
+    machine = mips_machine()
+    pk, vk = machine.setup(prog, extra_observations=[prog.pc_start])
+    record = Executor(prog).run()
+    imbalance, origin = debug_lookups(machine, pk, record)
+    assert not imbalance, origin
+    assert debug_constraints(machine, pk, record)
+
+
+def test_prove_verify():
+    from ziren_tpu.machine.mips import prove_program, verify_mips_proof
+
+    insns = []
+    insns += _syscall(4045, 0x10000, 0) + [ri(O.ADD, 20, 2, 0)]
+    insns += _syscall(4090, 0, 0x1801) + [ri(O.ADD, 21, 2, 0)]
+    insns += _syscall(4055, 1, 3)
+    insns += halt_sequence(0)
+    prog = Program.new(insns)
+    machine, pk, vk, proof, ex = prove_program(prog)
+    assert "SysLinux" in proof.shard_proofs[0].chip_names
+    assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)
+
+
+def test_exit_group_prove_verify():
+    from ziren_tpu.machine.mips import prove_program, verify_mips_proof
+
+    prog = Program.new(_syscall(4246, 0, 0) + halt_sequence(0))
+    machine, pk, vk, proof, ex = prove_program(prog)
+    assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)

@@ -138,9 +138,10 @@ class CpuChip(Air):
         }
         is_chk = np.array([int(o in _CHK) for o in ops])
         w.set("is_check_memory", is_chk)
-        is_halt = (np.asarray(cols["syscall_code"]) == 0) & (
+        sid_arr = np.asarray(cols["syscall_code"])
+        is_halt = ((sid_arr == 0) | (sid_arr == 4246)) & (
             np.array([int(o == Opcode.SYSCALL) for o in ops]) == 1
-        )
+        )  # HALT and SYS_EXT_GROUP both end execution (next_pc = 0)
         w.set("is_halt", is_halt.astype(np.int64))
         w.set("is_sequential", np.array(
             [int(o not in BRANCH_OPCODES and o not in JUMP_OPCODES) for o in ops]

@@ -11,9 +11,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from ziren_tpu.executor.opcode import ByteOpcode as B
 from ziren_tpu.executor.opcode import Opcode, SyscallCode
 from ziren_tpu.stark.chip import Air
 from ziren_tpu.stark.lookup import LookupKind
+from .byte import count, send_byte
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .messages import PV_DIGEST, PV_DEFERRED, PV_EXIT_CODE, instruction_message
 
@@ -40,6 +42,7 @@ CODES = [
     ("is_bls_add", int(SyscallCode.BLS12381_ADD)),
     ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
     ("is_u256x2048", int(SyscallCode.U256XU2048_MUL)),
+    ("is_linux_exit", int(SyscallCode.SYS_EXT_GROUP)),
 ] + [
     (f"is_fp_{int(c):x}", int(c))
     for c in (
@@ -72,6 +75,11 @@ for nm, _ in CODES:
     COLS.add(nm)
 COLS.add("commit_word", 8)  # one-hot commit word index
 COLS.add("deferred_word", 8)  # one-hot deferred-digest word index
+# grouped Linux syscalls (codes 4000..4299 except SYS_EXT_GROUP): the id is
+# NOT one-hot decoded here — the SysLinux chip decodes it from the dispatch
+COLS.add("is_linux")
+COLS.add("lx_d0").add("lx_d1")  # (id - 4000) = d0 + 256 d1, range proof
+COLS.add("lx_inv")  # witness: id != SYS_EXT_GROUP on is_linux rows
 COLS.add("is_real")
 
 
@@ -86,6 +94,16 @@ class SyscallChip(Air):
         mask = ops == int(Opcode.SYSCALL)
         return cols, mask
 
+    def generate_dependencies(self, record, output):
+        cols, mask = self._rows(record)
+        sid = cols["prev_a"][mask]
+        is_linux = (sid >= 4000) & (sid < 4300) & (sid != 4246)
+        d = (sid[is_linux] - 4000).astype(np.int64)
+        if d.size:
+            count(record, B.U8Range, d & 0xFF, 0)
+            hi = d >> 8
+            count(record, B.LTU, (d & 0xFF)[hi == 1], 44)
+
     def generate_trace(self, record, output):
         cols, mask = self._rows(record)
         n = int(mask.sum())
@@ -99,6 +117,18 @@ class SyscallChip(Air):
         sid = cols["prev_a"][mask]
         for nm, code in CODES:
             w.set(nm, (sid == code).astype(np.uint32))
+        is_linux = ((sid >= 4000) & (sid < 4300) & (sid != 4246)).astype(np.int64)
+        w.set("is_linux", is_linux)
+        d = (sid - 4000) * is_linux
+        w.set("lx_d0", d & 0xFF)
+        w.set("lx_d1", d >> 8)
+        P = 2130706433
+        inv = np.array(
+            [pow(int(s - 4246) % P, P - 2, P) if il else 0
+             for s, il in zip(sid, is_linux)],
+            dtype=np.uint32,
+        )
+        w.set("lx_inv", inv)
         cw = np.zeros((n, 8), dtype=np.uint32)
         commit_mask = sid == int(SyscallCode.COMMIT)
         widx = cols["b"][mask]
@@ -118,19 +148,33 @@ class SyscallChip(Air):
         pv = b.public_values
         is_real = L["is_real"]
         b.assert_bool(is_real)
-        flags = [L[nm] for nm, _ in CODES]
+        is_linux = L["is_linux"]
+        flags = [L[nm] for nm, _ in CODES] + [is_linux]
         acc = 0
         for f in flags:
             b.assert_bool(f)
             acc = f + acc
         b.assert_eq(acc, is_real)
         # syscall id binding: prev_a = one-hot combination of known codes
+        # (relaxed on grouped-Linux rows, which bind via the range proof)
         prev_a = L.word("prev_a")
         for i in range(4):
             byte_i = sum(
-                f * ((code >> (8 * i)) & 0xFF) for f, (_, code) in zip(flags, CODES)
+                f * ((code >> (8 * i)) & 0xFF)
+                for f, (_, code) in zip(flags, CODES)
             )
-            b.assert_eq(prev_a[i], byte_i)
+            b.assert_zero((1 - is_linux) * (prev_a[i] - byte_i))
+        # grouped Linux id: value in [4000, 4300), not SYS_EXT_GROUP
+        lvalue = prev_a[0] + prev_a[1] * 256
+        b.assert_zero(is_linux * prev_a[2])
+        b.assert_zero(is_linux * prev_a[3])
+        d0, d1 = L["lx_d0"], L["lx_d1"]
+        b.assert_bool(d1)
+        b.assert_zero(is_linux * (lvalue - 4000 - d0 - 256 * d1))
+        send_byte(b, B.U8Range, d0, 0, 0, is_linux)
+        # d1 = 1 requires d0 < 44 so the id stays below 4300
+        b.send(LookupKind.Byte, [int(B.LTU), d0, 44, 1], is_linux * d1)
+        b.assert_zero(is_linux * ((lvalue - 4246) * L["lx_inv"] - 1))
 
         is_halt = L["is_halt"]
         is_p2 = L["is_poseidon2"]
@@ -145,7 +189,8 @@ class SyscallChip(Air):
                 L["shard"], L["clk"], L["pc"], L["next_pc"], L["next_next_pc"],
                 int(Opcode.SYSCALL),
                 L.word("a"), L.word("b"), L.word("c"), prev_a,
-                0, is_real, is_real, is_halt, is_real,  # rw_a=1, chk=1, seq=1
+                0, is_real, is_real, is_halt + L["is_linux_exit"],
+                is_real,  # rw_a=1, chk=1, seq=1; halt-like includes exitgroup
                 is_p2 + is_sha * 48 + is_shac + is_u256 + is_keccak + ec_adds,
             ),
             is_real,
@@ -190,6 +235,14 @@ class SyscallChip(Air):
                  pack_word(L.word("b")), pack_word(L.word("c"))],
                 L[nm],
             )
+        # Linux family: one grouped dispatch carrying the actual id plus the
+        # a0/a1 argument words and the v0 result word (decoded by SysLinux)
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.SYS_LINUX), lvalue]
+            + list(L.word("b")) + list(L.word("c")) + list(L.word("a")),
+            is_linux + L["is_linux_exit"],
+        )
         # decompress: two-arg (ptr, sign), zero extra cycles
         b.send(
             LookupKind.Syscall,
@@ -205,11 +258,12 @@ class SyscallChip(Air):
                 L[nm],
             )
 
-        # HALT: next_pc = 0, exit code (A0 = b) must be 0
-        b.when(is_halt).assert_zero(L["next_pc"])
+        # HALT / SYS_EXT_GROUP: next_pc = 0, exit code (A0 = b) must be 0
+        halt_like = is_halt + L["is_linux_exit"]
+        b.when(halt_like).assert_zero(L["next_pc"])
         for i in range(4):
-            b.when(is_halt).assert_zero(L.word("b")[i])
-        b.when(is_halt).assert_zero(pv[PV_EXIT_CODE])
+            b.when(halt_like).assert_zero(L.word("b")[i])
+        b.when(halt_like).assert_zero(pv[PV_EXIT_CODE])
 
         # COMMIT: bind pv.committed_value_digest[word_idx] to c
         cw = L["commit_word"]
