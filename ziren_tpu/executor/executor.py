@@ -142,6 +142,13 @@ class Executor:
         self.touched: dict[int, int] = {}  # addr -> init value (first touch)
         self.report = {"opcode_counts": {}, "syscall_counts": {}}
         self._accesses = {}
+        # unconstrained blocks (reference: syscalls/unconstrained.rs): the
+        # block runs untraced, all state is reverted at EXIT except the hint
+        # stream, and the ENTER instruction re-executes returning 0
+        self.unconstrained = False
+        self._uc = None
+        self._uc_completed = False
+        self._suppress_event = False
 
     # -- memory primitives -------------------------------------------------
     def _touch(self, addr, rec):
@@ -372,7 +379,9 @@ class Executor:
         if next_next_pc == 0:
             raise ExecutionError("null pointer reference")
 
-        if self.mode == "trace":
+        if self._suppress_event:
+            self._suppress_event = False
+        elif self.mode == "trace":
             self.record.append_cycle(
                 clk=clk,
                 pc=pc,
@@ -408,6 +417,7 @@ class Executor:
             and self.shard_size
             and self.shard_cycles >= self.shard_size
             and not self.next_is_delayslot
+            and not self.unconstrained  # blocks never straddle shards
         ):
             self._bump_shard()
         return done
@@ -615,6 +625,10 @@ class Executor:
                 data.append((w >> (((write_buf + i) & 3) * 8)) & 0xFF)
             if fd in (1, 2, 3):
                 self.stdout.extend(data)
+            elif fd == 4:
+                # hint fd: becomes the next HINT_LEN/HINT_READ buffer
+                # (reference: io.rs write_fd FD_HINT)
+                self.input_stream.append(bytes(data))
             return nbytes, None, 0, 0
         if syscall_id == SyscallCode.COMMIT:
             # word_idx = b, word = c
@@ -661,6 +675,60 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.ENTER_UNCONSTRAINED:
+            if self._uc_completed:
+                # replayed after EXIT restored state: take the constrained path
+                self._uc_completed = False
+                return 0, None, 0, 0
+            assert not self.unconstrained, "nested unconstrained block"
+            self.unconstrained = True
+            snap_mem = {a: list(r) for a, r in self.memory.items()}
+            # the ENTER cycle's own operand reads already stamped A0/A1;
+            # rewind those records so the replayed ENTER sees pre-cycle state
+            for acc in self._accesses.values():
+                addr, prev_v, prev_clk, prev_shard = acc[0], acc[1], acc[2], acc[3]
+                snap_mem[addr] = [prev_v, prev_clk, prev_shard]
+            self._uc = {
+                "memory": snap_mem,
+                "touched": dict(self.touched),
+                "shard_initial": dict(self.shard_initial),
+                "clk": self.clk,
+                "global_clk": self.global_clk,
+                "shard_cycles": self.shard_cycles,
+                "pc": self.pc,
+                "next_pc": self.next_pc,
+                "mode": self.mode,
+                "pe_lens": {
+                    k: len(v) for k, v in self.record.precompile_events.items()
+                },
+            }
+            self.mode = "simple"
+            return 1, None, 0, 0
+        if syscall_id == SyscallCode.EXIT_UNCONSTRAINED:
+            if self.unconstrained:
+                s = self._uc
+                self.memory = s["memory"]
+                self.touched = s["touched"]
+                self.shard_initial = s["shard_initial"]
+                # the loop's end-of-cycle increments land back at the ENTER
+                self.clk = s["clk"] - 5
+                self.global_clk = s["global_clk"] - 1
+                self.shard_cycles = s["shard_cycles"] - 1
+                pe = self.record.precompile_events
+                for k in list(pe.keys()):
+                    n0 = s["pe_lens"].get(k, 0)
+                    del pe[k][n0:]
+                    if not pe[k]:
+                        del pe[k]
+                self.mode = s["mode"]
+                self.unconstrained = False
+                self._uc_completed = True
+                self._suppress_event = True
+                enter_pc = s["pc"]
+                self._uc = None
+                # keep V0 = the restored ENTER code so the replay dispatches
+                return self.peek_register(REG_V0), enter_pc, 0, 0
+            return 0, None, 0, 0
         if 4000 <= syscall_id < 4300:
             # Linux O32 ABI syscall emulation (reference: sys_linux/*.rs):
             # every variant records its register reads/writes and an A3

@@ -43,6 +43,8 @@ CODES = [
     ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
     ("is_u256x2048", int(SyscallCode.U256XU2048_MUL)),
     ("is_linux_exit", int(SyscallCode.SYS_EXT_GROUP)),
+    ("is_enter_unc", int(SyscallCode.ENTER_UNCONSTRAINED)),
+    ("is_exit_unc", int(SyscallCode.EXIT_UNCONSTRAINED)),
 ] + [
     (f"is_fp_{int(c):x}", int(c))
     for c in (
