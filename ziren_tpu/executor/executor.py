@@ -149,6 +149,10 @@ class Executor:
         self._uc = None
         self._uc_completed = False
         self._suppress_event = False
+        # deferred sub-proof verification (reference: proof_stream on state)
+        self.proof_stream: list = []
+        self.proof_stream_ptr = 0
+        self.subproof_verifier = None
 
     # -- memory primitives -------------------------------------------------
     def _touch(self, addr, rec):
@@ -675,6 +679,22 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.VERIFY_ZKM_PROOF:
+            # defer a sub-proof claim: vkey digest at b, pv digest at c
+            # (reference: syscalls/verify.rs — unsafe word reads, no memory
+            # records; verification happens host-side / in the recursion
+            # layer, the claim folds into pv.deferred_proofs_digest)
+            assert b % 4 == 0 and c % 4 == 0, "verify ptrs unaligned"
+            vkey = tuple(self.peek_word((b + 4 * i) & M32) for i in range(8))
+            pvd = tuple(self.peek_word((c + 4 * i) & M32) for i in range(8))
+            idx = self.proof_stream_ptr
+            if self.subproof_verifier is not None:
+                assert idx < len(self.proof_stream), "not enough proofs written"
+                proof, proof_vk = self.proof_stream[idx]
+                self.subproof_verifier(proof, proof_vk, vkey, pvd)
+            self.proof_stream_ptr += 1
+            self.record.deferred_proof_claims.append((vkey, pvd))
+            return syscall_id, None, 0, 0
         if syscall_id == SyscallCode.ENTER_UNCONSTRAINED:
             if self._uc_completed:
                 # replayed after EXIT restored state: take the constrained path

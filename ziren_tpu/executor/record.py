@@ -87,6 +87,9 @@ class ExecutionRecord:
         # addr -> (shard, clk, value) at shard entry / exit
         self.shard_initial: dict = {}
         self.shard_final: dict = {}
+        # (vkey digest, pv digest) claims from VERIFY_ZKM_PROOF; folded into
+        # pv.deferred_proofs_digest by the recursion layer
+        self.deferred_proof_claims: list = []
         self._frozen = None
 
     def append_cycle(self, **fields):

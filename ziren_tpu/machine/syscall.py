@@ -45,6 +45,7 @@ CODES = [
     ("is_linux_exit", int(SyscallCode.SYS_EXT_GROUP)),
     ("is_enter_unc", int(SyscallCode.ENTER_UNCONSTRAINED)),
     ("is_exit_unc", int(SyscallCode.EXIT_UNCONSTRAINED)),
+    ("is_verify_proof", int(SyscallCode.VERIFY_ZKM_PROOF)),
 ] + [
     (f"is_fp_{int(c):x}", int(c))
     for c in (
