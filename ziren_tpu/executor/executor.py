@@ -679,6 +679,58 @@ class Executor:
                 int(SyscallCode.POSEIDON2_PERMUTE), []
             ).append(ev)
             return syscall_id, None, 1, 0
+        if syscall_id == SyscallCode.BOOLEAN_CIRCUIT_GARBLE:
+            # garbled-circuit ciphertext check (reference:
+            # precompiles/boolean_circuit/garble.rs): per gate (17 u32s:
+            # type, h0[4], h1[4], label_b[4], expected_ct[4]), the computed
+            # ct is h0^h1^label (^delta for OR gates); result = all match.
+            # Executor-level support; the AIR chip is tracked in ROADMAP.md.
+            input_ptr, output_ptr = b, c
+            ev = {"shard": self.shard, "clk": self.clk, "input_ptr": input_ptr,
+                  "output_ptr": output_ptr, "reads": [], "writes": []}
+
+            def _rd(addr):
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                rec[1] = self.clk
+                rec[2] = self.shard
+                return rec[0]
+
+            num_gates = _rd(input_ptr & M32)
+            delta = [_rd((input_ptr + 4 + 4 * i) & M32) for i in range(4)]
+            base = input_ptr + 20
+            gates = [
+                _rd((base + 4 * i) & M32) for i in range(17 * num_gates)
+            ]
+            result = 1
+            for g in range(num_gates):
+                o = 17 * g
+                gtype = gates[o]
+                for i in range(4):
+                    ct = gates[o + 1 + i] ^ gates[o + 5 + i] ^ gates[o + 9 + i]
+                    if gtype != 0:
+                        ct ^= delta[i]
+                    if ct != gates[o + 13 + i]:
+                        result = 0
+            addr = output_ptr & M32
+            rec = self.memory.get(addr)
+            if rec is None:
+                rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                self.memory[addr] = rec
+            self._touch(addr, rec)
+            ev["writes"].append((addr, rec[0], rec[1], rec[2], result))
+            rec[0] = result
+            rec[1] = self.clk
+            rec[2] = self.shard
+            ev["output"] = result
+            self.record.precompile_events.setdefault(
+                int(syscall_id), []
+            ).append(ev)
+            return syscall_id, None, 0, 0
         if syscall_id == SyscallCode.VERIFY_ZKM_PROOF:
             # defer a sub-proof claim: vkey digest at b, pv digest at c
             # (reference: syscalls/verify.rs — unsafe word reads, no memory

@@ -154,6 +154,7 @@ class SyscallCode(IntEnum):
     VERIFY_ZKM_PROOF = 0x00_00_00_1B
     UINT256_MUL = 0x01_01_00_1D
     POSEIDON2_PERMUTE = 0x00_01_00_30
+    BOOLEAN_CIRCUIT_GARBLE = 0x00_01_00_31
     # Linux O32 ABI syscalls (reference code.rs:140-190; executor-level
     # emulation — the SysLinux chip lands with the Linux-ABI milestone)
     SYS_LINUX = 4000
