@@ -701,6 +701,7 @@ class Executor:
                 return rec[0]
 
             num_gates = _rd(input_ptr & M32)
+            assert 1 <= num_gates < (1 << 24), "garble gate count out of range"
             delta = [_rd((input_ptr + 4 + 4 * i) & M32) for i in range(4)]
             base = input_ptr + 20
             gates = [

@@ -39,6 +39,7 @@ from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
 from .edwards import EdAddChip, EdDecompressChip
 from .fptower import fptower_chips
+from .garble import BooleanCircuitGarbleChip
 from .sys_linux import SysLinuxChip
 from .u256x2048 import U256xU2048MulChip
 from .weierstrass import curve_chips
@@ -74,6 +75,7 @@ def mips_airs():
         *fptower_chips(),
         U256xU2048MulChip(),
         SysLinuxChip(),
+        BooleanCircuitGarbleChip(),
         ByteChip(),
         MemoryLocalChip(),
         MemoryInitChip(),

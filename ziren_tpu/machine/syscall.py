@@ -46,6 +46,7 @@ CODES = [
     ("is_enter_unc", int(SyscallCode.ENTER_UNCONSTRAINED)),
     ("is_exit_unc", int(SyscallCode.EXIT_UNCONSTRAINED)),
     ("is_verify_proof", int(SyscallCode.VERIFY_ZKM_PROOF)),
+    ("is_garble", int(SyscallCode.BOOLEAN_CIRCUIT_GARBLE)),
 ] + [
     (f"is_fp_{int(c):x}", int(c))
     for c in (
@@ -245,6 +246,13 @@ class SyscallChip(Air):
             [L["shard"], L["clk"], int(SyscallCode.SYS_LINUX), lvalue]
             + list(L.word("b")) + list(L.word("c")) + list(L.word("a")),
             is_linux + L["is_linux_exit"],
+        )
+        # garble: two-arg (input_ptr, output_ptr), zero extra cycles
+        b.send(
+            LookupKind.Syscall,
+            [L["shard"], L["clk"], int(SyscallCode.BOOLEAN_CIRCUIT_GARBLE),
+             pack_word(L.word("b")), pack_word(L.word("c"))],
+            L["is_garble"],
         )
         # decompress: two-arg (ptr, sign), zero extra cycles
         b.send(
