@@ -202,5 +202,11 @@ def _make_fp_chip(prefix, modulus, nwf, fop, is_fp2, code):
     return FpChip
 
 
+_CHIP_CLASSES = None
+
+
 def fptower_chips() -> list:
-    return [_make_fp_chip(*spec[:5], spec[5])() for spec in FP_OPS]
+    global _CHIP_CLASSES
+    if _CHIP_CLASSES is None:
+        _CHIP_CLASSES = [_make_fp_chip(*s[:5], s[5]) for s in FP_OPS]
+    return [cls() for cls in _CHIP_CLASSES]

@@ -413,13 +413,22 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
     return DoubleChip
 
 
+_CHIP_CLASSES = None
+
+
 def curve_chips() -> list:
-    """All weierstrass precompile chips (add + double per curve)."""
-    out = []
-    for name, modulus, a_coef, add_code, double_code, nw in CURVES:
-        out.append(_make_add_chip(name, modulus, add_code, nw=nw)())
-        out.append(_make_double_chip(name, modulus, a_coef, double_code, nw=nw)())
-    return out
+    """All weierstrass precompile chips (add + double per curve). The
+    factory classes are built once so the per-class symbolic-pass cache in
+    stark/chip.py stays warm across machines."""
+    global _CHIP_CLASSES
+    if _CHIP_CLASSES is None:
+        _CHIP_CLASSES = []
+        for name, modulus, a_coef, add_code, double_code, nw in CURVES:
+            _CHIP_CLASSES.append(_make_add_chip(name, modulus, add_code, nw=nw))
+            _CHIP_CLASSES.append(
+                _make_double_chip(name, modulus, a_coef, double_code, nw=nw)
+            )
+    return [cls() for cls in _CHIP_CLASSES]
 
 
 # Backwards-compatible names for the secp256k1 chips

@@ -55,6 +55,9 @@ class Air:
         return True
 
 
+_META_CACHE: dict = {}
+
+
 class Chip:
     def __init__(self, air: Air, num_public_values: int = 0):
         self.air = air
@@ -65,18 +68,30 @@ class Chip:
         self.commit_scope = air.commit_scope
         self.batch_size = BATCH_SIZE
 
-        fl = SymbolicFolder(air.preprocessed_width, air.width, num_public_values)
-        air.eval(fl)
-        self.num_lookups = len(fl.sends) + len(fl.receives)
-        self.perm_width = perm_trace_width(self.num_lookups, BATCH_SIZE)
-        if self.perm_width:
-            fl.perm_columns(self.perm_width)
-            eval_permutation_constraints(
-                fl, fl.sends, fl.receives, BATCH_SIZE,
-                commit_scope=air.commit_scope, main_width=air.width,
+        # the symbolic pass depends only on the Air class (eval is pure over
+        # the column layout), so its metadata is cached per class
+        key = (type(air), num_public_values)
+        meta = _META_CACHE.get(key)
+        if meta is None:
+            fl = SymbolicFolder(
+                air.preprocessed_width, air.width, num_public_values
             )
-        self.num_constraints = fl.num_constraints
-        self.max_constraint_degree = max(fl.max_degree, 2)
+            air.eval(fl)
+            num_lookups = len(fl.sends) + len(fl.receives)
+            perm_width = perm_trace_width(num_lookups, BATCH_SIZE)
+            if perm_width:
+                fl.perm_columns(perm_width)
+                eval_permutation_constraints(
+                    fl, fl.sends, fl.receives, BATCH_SIZE,
+                    commit_scope=air.commit_scope, main_width=air.width,
+                )
+            meta = (num_lookups, perm_width, fl.num_constraints,
+                    max(fl.max_degree, 2))
+            if len(_META_CACHE) > 512:
+                _META_CACHE.clear()
+            _META_CACHE[key] = meta
+        (self.num_lookups, self.perm_width, self.num_constraints,
+         self.max_constraint_degree) = meta
         self.log_quotient_degree = max(self.max_constraint_degree - 1, 1).bit_length() - 1
         if (1 << self.log_quotient_degree) < self.max_constraint_degree - 1:
             self.log_quotient_degree += 1
