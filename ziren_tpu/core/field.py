@@ -98,14 +98,31 @@ def from_wrapped_u32(x) -> np.uint32:
     return np.uint32(int(x) % P_INT)
 
 
+_POWERS_CACHE: dict = {}
+
+
 def powers(base: int, n: int) -> np.ndarray:
-    """[1, base, base^2, ..., base^(n-1)] as uint32."""
-    out = np.empty(n, dtype=np.uint32)
-    acc = 1
-    for i in range(n):
-        out[i] = acc
-        acc = (acc * int(base)) % P_INT
-    return out
+    """[1, base, base^2, ..., base^(n-1)] as uint32. Cached per base and
+    grown by doubling (hot in LDE shifts and reduced openings)."""
+    key = int(base) % P_INT
+    cached = _POWERS_CACHE.get(key)
+    if cached is None or cached.shape[0] < n:
+        m = max(16, 1 << (max(n, 1) - 1).bit_length())
+        out = np.empty(m, dtype=np.uint32)
+        out[0] = 1
+        k = 1
+        while k < m:
+            step = (int(out[k - 1]) * key) % P_INT  # base^k
+            take = min(k, m - k)
+            out[k : k + take] = (
+                out[:take].astype(np.uint64) * np.uint64(step)
+            ) % np.uint64(P_INT)
+            k += take
+        if len(_POWERS_CACHE) > 128:
+            _POWERS_CACHE.clear()
+        _POWERS_CACHE[key] = out
+        cached = out
+    return cached[:n].copy()
 
 
 def bit_reverse_indices(log_n: int) -> np.ndarray:

@@ -162,6 +162,7 @@ class TwoAdicFriPcs:
         # reduced openings per LDE log-height, natural order
         ro: dict[int, np.ndarray] = {}
         cnt: dict[int, int] = {}
+        inv_cache: dict = {}  # (l, z bytes) -> inv(z - x) over the domain
         for (data, points_per_mat), round_vals in zip(rounds, opened_values):
             for i, (pts, mat_vals) in enumerate(zip(points_per_mat, round_vals)):
                 lde = data.ldes[i]
@@ -169,17 +170,22 @@ class TwoAdicFriPcs:
                 if l not in ro:
                     ro[l] = E.ezero((1 << l,))
                     cnt[l] = 0
-                xs = F.fmul(
-                    np.uint32(F.GENERATOR),
-                    F.powers(F.two_adic_generator(l), 1 << l),
-                )
                 w = lde.shape[1]
                 for z, ys in zip(pts, mat_vals):
-                    # inv(z - x) vectorized over the domain
-                    zmx = E.esub(
-                        np.broadcast_to(z, (1 << l, 4)), E.from_base(xs)
-                    )
-                    inv_zmx = E.einv(zmx)
+                    # inv(z - x) vectorized over the domain (shared across
+                    # every matrix of this height opened at the same point)
+                    key = (l, np.asarray(z, np.uint32).tobytes())
+                    inv_zmx = inv_cache.get(key)
+                    if inv_zmx is None:
+                        xs = F.fmul(
+                            np.uint32(F.GENERATOR),
+                            F.powers(F.two_adic_generator(l), 1 << l),
+                        )
+                        zmx = E.esub(
+                            np.broadcast_to(z, (1 << l, 4)), E.from_base(xs)
+                        )
+                        inv_zmx = E.einv(zmx)
+                        inv_cache[key] = inv_zmx
                     alpha_pows = E.epowers(alpha, cnt[l] + w)[cnt[l] :]  # (w,4)
                     # sum_c alpha^{cnt+c} (y_c - m_c(x)) =
                     #   (sum_c alpha^c y_c) - lde @ alpha_pows  (mod-matmul)
