@@ -1,0 +1,27 @@
+"""`python -m ziren_tpu` CLI: execute / prove / verify / vkey."""
+
+import os
+
+from ziren_tpu.__main__ import main
+
+ELF = "/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf"
+
+
+def test_execute(capsys):
+    assert main(["execute", ELF, "--stdin-hex", "0a000000"]) == 0
+    out = capsys.readouterr().out
+    assert "cycles: 3746" in out and "hello world" in out
+
+
+def test_prove_verify_roundtrip(tmp_path, capsys):
+    proof = str(tmp_path / "p.bin")
+    assert main(["prove", ELF, "--config", "dev",
+                 "--stdin-hex", "0a000000", "-o", proof]) == 0
+    assert os.path.getsize(proof) > 1000
+    assert main(["verify", ELF, proof, "--config", "dev"]) == 0
+    assert "verification: ok" in capsys.readouterr().out
+
+
+def test_vkey(capsys):
+    assert main(["vkey", ELF]) == 0
+    assert capsys.readouterr().out.startswith("vk: ")

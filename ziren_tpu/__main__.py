@@ -1,0 +1,101 @@
+"""`python -m ziren_tpu` — the cargo-ziren-shaped CLI
+(reference: crates/cli/src/bin/cargo-ziren.rs — execute / prove / verify /
+vkey over guest ELFs).
+
+    python -m ziren_tpu execute guest.elf [--stdin-hex AABB...]
+    python -m ziren_tpu prove guest.elf -o proof.bin [--config core|dev]
+    python -m ziren_tpu verify guest.elf proof.bin [--config core|dev]
+    python -m ziren_tpu vkey guest.elf
+
+`verify` re-derives the verifying key from the ELF (vk = commitment over the
+preprocessed traces), so the proof file alone plus the guest binary suffice.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _client(config):
+    from ziren_tpu.sdk import ProverClient
+
+    return ProverClient(config=config)
+
+
+def _stdin(args):
+    from ziren_tpu.sdk import ZirenStdin
+
+    stdin = ZirenStdin()
+    for hx in args.stdin_hex or []:
+        stdin.write_slice(bytes.fromhex(hx))
+    return stdin
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python -m ziren_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("execute", "prove", "verify", "vkey"):
+        p = sub.add_parser(name)
+        p.add_argument("elf")
+        p.add_argument("--config", default="core", choices=["core", "dev"])
+        p.add_argument("--stdin-hex", action="append",
+                       help="hex-encoded input buffer (repeatable)")
+        if name == "prove":
+            p.add_argument("-o", "--output", default="proof.bin")
+            p.add_argument("--shard-size", type=int, default=None)
+        if name == "verify":
+            p.add_argument("proof")
+    args = ap.parse_args(argv)
+
+    elf = open(args.elf, "rb").read()
+    client = _client(args.config)
+
+    if args.cmd == "execute":
+        pv, report = client.execute(elf, _stdin(args))
+        print(f"cycles: {report.total_instruction_count}")
+        print(f"exit_code: {report.exit_code}")
+        if report.stdout:
+            sys.stdout.write(report.stdout.decode("utf-8", "replace"))
+        if pv.words:
+            print(f"committed: {pv.as_bytes().hex()}")
+        return 0
+
+    if args.cmd == "vkey":
+        pk, vk = client.setup(elf)
+        import numpy as np
+
+        print("vk: " + bytes(
+            np.asarray(vk.vk.commit, np.uint32).tobytes()
+        ).hex())
+        return 0
+
+    if args.cmd == "prove":
+        from ziren_tpu.stark.serialize import serialize_machine_proof
+
+        pk, vk = client.setup(elf)
+        proof = client.prove(pk, _stdin(args), shard_size=args.shard_size)
+        blob = serialize_machine_proof(proof.proof)
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        print(f"proof: {args.output} ({len(blob)} bytes, "
+              f"{len(proof.proof.shard_proofs)} shard(s))")
+        if proof.public_values.words:
+            print(f"committed: {proof.public_values.as_bytes().hex()}")
+        return 0
+
+    if args.cmd == "verify":
+        from ziren_tpu.stark.serialize import deserialize_machine_proof
+
+        pk, vk = client.setup(elf)
+        from ziren_tpu.sdk import ZirenProofWithPublicValues, PublicValuesStream
+
+        mp = deserialize_machine_proof(open(args.proof, "rb").read())
+        wrapped = ZirenProofWithPublicValues(mp, PublicValuesStream([]))
+        client.verify(wrapped, vk)
+        print("verification: ok")
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
