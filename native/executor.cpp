@@ -14,6 +14,7 @@
 #include <unordered_map>
 #include <vector>
 #include <string>
+#include <map>
 
 namespace {
 
@@ -198,6 +199,9 @@ struct Executor {
   std::vector<uint32_t> committed;
   std::vector<uint32_t> deferred;
   std::string stdout_buf;
+  std::unordered_map<std::string, uint64_t> tracker_open;
+  std::map<std::string, uint64_t> cycle_tracker;
+  std::map<uint32_t, uint64_t> op_counts, sys_counts;
   std::vector<CycleEvent> events;
   bool trace = true;
   uint32_t pc = 0, next_pc = 0, clk = 0, shard = 1;
@@ -295,6 +299,7 @@ struct Executor {
     uint32_t idx = (pc - pc_base) / 4;
     if (idx >= instructions.size()) { error = "pc out of range"; return true; }
     const Instr& in = instructions[idx];
+    op_counts[in.opcode]++;
     uint32_t op = in.opcode;
     if (trace) memset(cur_acc, 0, sizeof(cur_acc));
 
@@ -383,6 +388,7 @@ struct Executor {
       uint32_t ret = id;
       bool halt = false;
       uint32_t extra_cycles = 0;
+      sys_counts[id]++;
       switch (id) {
         case 0x00:  // HALT
           exited = true;
@@ -392,10 +398,35 @@ struct Executor {
           break;
         case 0x02: {  // WRITE
           uint32_t fd = b, buf = c, n = peek(6);
+          std::string data;
           for (uint32_t k = 0; k < n; k++) {
             uint32_t w = peek((buf + k) & ~3u);
-            char ch = (char)((w >> (((buf + k) & 3) * 8)) & 0xFF);
-            if (fd >= 1 && fd <= 3) stdout_buf.push_back(ch);
+            data.push_back((char)((w >> (((buf + k) & 3) * 8)) & 0xFF));
+          }
+          if (fd >= 1 && fd <= 3) {
+            // cycle-tracker markers are intercepted, not echoed
+            std::string t = data;
+            while (!t.empty() && (t.back() == '\n' || t.back() == ' '))
+              t.pop_back();
+            const std::string S = "cycle-tracker-start:";
+            const std::string E = "cycle-tracker-end:";
+            if (t.rfind(S, 0) == 0) {
+              std::string name = t.substr(S.size());
+              while (!name.empty() && name.front() == ' ') name.erase(0, 1);
+              tracker_open[name] = global_clk;
+            } else if (t.rfind(E, 0) == 0) {
+              std::string name = t.substr(E.size());
+              while (!name.empty() && name.front() == ' ') name.erase(0, 1);
+              auto it = tracker_open.find(name);
+              if (it != tracker_open.end()) {
+                cycle_tracker[name] += global_clk - it->second;
+                tracker_open.erase(it);
+              }
+            } else {
+              stdout_buf += data;
+            }
+          } else if (fd == 4) {
+            input_stream.push_back(data);
           }
           ret = n;
           break;
@@ -932,6 +963,23 @@ void ziren_exec_keccak_events(void* h, uint32_t* out) {
     for (const auto& a : e.reads) put(a);
     for (int i = 0; i < 16; i++) put(e.writes[i]);
   }
+}
+
+static std::string report_blob_cache;
+uint32_t ziren_exec_report_blob_len(void* h) {
+  auto* ex = (Executor*)h;
+  std::string s;
+  for (auto& kv : ex->cycle_tracker)
+    s += "T " + kv.first + " " + std::to_string(kv.second) + "\n";
+  for (auto& kv : ex->op_counts)
+    s += "O " + std::to_string(kv.first) + " " + std::to_string(kv.second) + "\n";
+  for (auto& kv : ex->sys_counts)
+    s += "S " + std::to_string(kv.first) + " " + std::to_string(kv.second) + "\n";
+  report_blob_cache = s;
+  return (uint32_t)s.size();
+}
+void ziren_exec_report_blob(void* h, char* out) {
+  memcpy(out, report_blob_cache.data(), report_blob_cache.size());
 }
 
 uint32_t ziren_exec_num_sha_cmp_events(void* h) {

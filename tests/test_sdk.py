@@ -35,3 +35,35 @@ def test_unimplemented_actions_raise():
     client = ProverClient()
     with pytest.raises(NotImplementedError):
         client.compressed_prove(None, None)
+
+
+def test_cycle_tracker_and_histograms():
+    from ziren_tpu.executor.asm import (Instruction, O, halt_sequence, imm, ri)
+    from ziren_tpu.executor.program import Program
+
+    # guest writes cycle-tracker markers around a small loop via WRITE fd=1
+    def write_str(s, base):
+        insns = [imm(O.ADD, 8, 0, base)]
+        data = s.encode()
+        for i in range(0, len(data), 4):
+            w = int.from_bytes(data[i:i+4].ljust(4, b"\x00"), "little")
+            insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                      ri(O.SW, 9, 8, i)]
+        insns += [imm(O.ADD, 2, 0, 2), imm(O.ADD, 4, 0, 1),
+                  imm(O.ADD, 5, 0, base), imm(O.ADD, 6, 0, len(data)),
+                  Instruction(O.SYSCALL, 2, 4, 5, False, False)]
+        return insns
+
+    insns = write_str("cycle-tracker-start: loop", 0x2000)
+    insns += [imm(O.ADD, 9, 0, 7), rr := Instruction(O.ADD, 10, 10, 9, False, False)]
+    insns += [Instruction(O.ADD, 10, 10, 9, False, False) for _ in range(5)]
+    insns += write_str("cycle-tracker-end: loop", 0x2100)
+    insns += write_str("done", 0x2200)
+    insns += halt_sequence(0)
+    prog = Program.new(insns)
+    client = ProverClient(config="dev")
+    pv, report = client.execute(prog)
+    assert report.cycle_tracker.get("loop", 0) > 5
+    assert report.stdout == b"done"
+    assert report.syscall_counts  # WRITE + HALT counted
+    assert report.opcode_counts

@@ -153,6 +153,9 @@ class Executor:
         self.proof_stream: list = []
         self.proof_stream_ptr = 0
         self.subproof_verifier = None
+        # guest cycle tracking (reference: executor.rs cycle_tracker)
+        self.cycle_tracker: dict[str, int] = {}
+        self._tracker_open: dict[str, int] = {}
 
     # -- memory primitives -------------------------------------------------
     def _touch(self, addr, rec):
@@ -628,7 +631,23 @@ class Executor:
                 w = self.peek_word((write_buf + i) & ~3)
                 data.append((w >> (((write_buf + i) & 3) * 8)) & 0xFF)
             if fd in (1, 2, 3):
-                self.stdout.extend(data)
+                # guest cycle-tracker markers (reference: syscalls/write.rs
+                # "cycle-tracker-start/end: <name>") are intercepted into the
+                # cycle_tracker map instead of stdout
+                text = data.decode("utf-8", "replace").strip()
+                if text.startswith("cycle-tracker-start:"):
+                    name = text.split(":", 1)[1].strip()
+                    self._tracker_open[name] = self.global_clk
+                elif text.startswith("cycle-tracker-end:"):
+                    name = text.split(":", 1)[1].strip()
+                    start = self._tracker_open.pop(name, None)
+                    if start is not None:
+                        self.cycle_tracker[name] = (
+                            self.cycle_tracker.get(name, 0)
+                            + (self.global_clk - start)
+                        )
+                else:
+                    self.stdout.extend(data)
             elif fd == 4:
                 # hint fd: becomes the next HINT_LEN/HINT_READ buffer
                 # (reference: io.rs write_fd FD_HINT)

@@ -52,6 +52,8 @@ def _load():
               "keccak_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.ziren_exec_keccak_blob_len.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_report_blob_len.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_report_blob.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ziren_exec_num_p2_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_ext_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_sha_cmp_events.argtypes = [ctypes.c_void_p]
@@ -240,6 +242,21 @@ class NativeExecutor:
         record.shard_final = {
             int(r[0]): (int(r[2]), int(r[3]), int(r[4])) for r in touched
         }
+        # report blob: cycle tracker + opcode/syscall histograms
+        rb_len = lib.ziren_exec_report_blob_len(h)
+        self.cycle_tracker = {}
+        self.report = {"opcode_counts": {}, "syscall_counts": {}}
+        if rb_len:
+            buf = ctypes.create_string_buffer(rb_len)
+            lib.ziren_exec_report_blob(h, buf)
+            for line in buf.raw.decode().splitlines():
+                kind, key, val = line.split(" ")
+                if kind == "T":
+                    self.cycle_tracker[key] = int(val)
+                elif kind == "O":
+                    self.report["opcode_counts"][int(key)] = int(val)
+                else:
+                    self.report["syscall_counts"][int(key)] = int(val)
         # public values
         pv = record.public_values
         pv.start_pc = self.program.pc_start

@@ -49,7 +49,9 @@ class ExecutionReport:
     total_instruction_count: int
     exit_code: int
     stdout: bytes
+    opcode_counts: dict = field(default_factory=dict)
     syscall_counts: dict = field(default_factory=dict)
+    cycle_tracker: dict = field(default_factory=dict)  # guest markers
 
 
 @dataclass
@@ -97,10 +99,14 @@ class ProverClient:
     def execute(self, elf_or_program, stdin: ZirenStdin | None = None):
         program = _load(elf_or_program)
         ex, record = execute(program, stdin=stdin.buffers if stdin else None)
+        rep = getattr(ex, "report", {}) or {}
         report = ExecutionReport(
             total_instruction_count=int(ex.global_clk),
             exit_code=int(record.public_values.exit_code),
             stdout=bytes(getattr(ex, "stdout", b"") or b""),
+            opcode_counts=dict(rep.get("opcode_counts", {})),
+            syscall_counts=dict(rep.get("syscall_counts", {})),
+            cycle_tracker=dict(getattr(ex, "cycle_tracker", {}) or {}),
         )
         return PublicValuesStream(list(ex.committed_values)), report
 
