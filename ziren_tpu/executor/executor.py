@@ -156,6 +156,9 @@ class Executor:
         # guest cycle tracking (reference: executor.rs cycle_tracker)
         self.cycle_tracker: dict[str, int] = {}
         self._tracker_open: dict[str, int] = {}
+        # shard-boundary checkpoints (reference: Checkpoint executor mode)
+        self.collect_checkpoints = False
+        self.checkpoints: list = []
 
     # -- memory primitives -------------------------------------------------
     def _touch(self, addr, rec):
@@ -429,6 +432,20 @@ class Executor:
             self._bump_shard()
         return done
 
+    def run_shard(self):
+        """Run exactly one shard (until the next shard boundary or program
+        end); returns that shard's record. Used with `recover` to regenerate
+        any shard's trace from its checkpoint."""
+        start = self.shard
+        self.shard_start_pc = self.pc
+        done = False
+        while not done and self.shard == start:
+            done = self.execute_cycle()
+        if done and self.shard == start:
+            self.postprocess()
+            return self.record
+        return self.records[-1]
+
     def _bump_shard(self):
         """Close the current shard record and start the next one."""
         rec = self.record
@@ -449,6 +466,52 @@ class Executor:
         self.clk = 0
         self.shard_cycles = 0
         self.shard_start_pc = self.pc
+        if self.collect_checkpoints:
+            self.checkpoints.append(self.checkpoint())
+
+    # -- checkpoint / resume (reference: executor.rs Checkpoint mode +
+    # Executor::recover — the minimal ExecutionState snapshot from which a
+    # shard's full trace can be regenerated) --------------------------------
+    def checkpoint(self) -> dict:
+        """Minimal resumable state at a shard boundary (picklable)."""
+        return {
+            "pc": self.pc,
+            "next_pc": self.next_pc,
+            "clk": self.clk,
+            "global_clk": self.global_clk,
+            "shard": self.shard,
+            "shard_cycles": self.shard_cycles,
+            "memory": {a: list(r) for a, r in self.memory.items()},
+            "uninitialized_memory": dict(self.uninitialized_memory),
+            "touched": dict(self.touched),
+            "input_stream": list(self.input_stream),
+            "input_stream_ptr": self.input_stream_ptr,
+            "committed_values": list(self.committed_values),
+            "deferred_digest": list(self.deferred_digest),
+            "proof_stream_ptr": self.proof_stream_ptr,
+        }
+
+    @classmethod
+    def recover(cls, program, state: dict, mode="trace", shard_size=None):
+        """Rebuild an executor from a checkpoint; re-running regenerates the
+        exact trace from that point (reference: executor.rs:381-390)."""
+        ex = cls(program, mode=mode, shard_size=shard_size)
+        ex.pc = state["pc"]
+        ex.next_pc = state["next_pc"]
+        ex.clk = state["clk"]
+        ex.global_clk = state["global_clk"]
+        ex.shard = state["shard"]
+        ex.shard_cycles = state["shard_cycles"]
+        ex.memory = {a: list(r) for a, r in state["memory"].items()}
+        ex.uninitialized_memory = dict(state["uninitialized_memory"])
+        ex.touched = dict(state["touched"])
+        ex.input_stream = list(state["input_stream"])
+        ex.input_stream_ptr = state["input_stream_ptr"]
+        ex.committed_values = list(state["committed_values"])
+        ex.deferred_digest = list(state["deferred_digest"])
+        ex.proof_stream_ptr = state["proof_stream_ptr"]
+        ex.shard_start_pc = ex.pc
+        return ex
 
     def run(self):
         self.shard_start_pc = self.pc
@@ -492,11 +555,13 @@ class Executor:
             self.record.mem_init.append((addr, init_value))
             self.record.mem_final.append((addr, rec[2], rec[1], rec[0]))
         pv = self.record.public_values
-        pv.start_pc = self.program.pc_start
+        # a recovered executor finalizes its own (non-first) shard
+        pv.start_pc = getattr(self, "shard_start_pc", self.program.pc_start) \
+            if self.shard > 1 else self.program.pc_start
         pv.next_pc = self.pc
         pv.exit_code = self.exit_code
-        pv.shard = 1
-        pv.execution_shard = 1
+        pv.shard = self.shard
+        pv.execution_shard = self.shard
         digest = list(self.committed_values[:8]) + [0] * max(
             0, 8 - len(self.committed_values)
         )
