@@ -39,3 +39,21 @@ def test_checkpoint_is_picklable():
     ex2 = Executor.recover(prog, state)
     rec = ex2.run_shard()
     assert ex2.exited and ex2.exit_code == 0
+
+
+def test_pipelined_prove_matches_regular():
+    import numpy as np
+
+    from ziren_tpu.machine.mips import (prove_program,
+                                        prove_program_checkpointed,
+                                        verify_mips_proof)
+
+    prog = fibonacci_program(2500)
+    m1, pk1, vk1, proof1, _ = prove_program(prog, shard_size=1024)
+    m2, pk2, vk2, proof2, _ = prove_program_checkpointed(
+        prog, shard_size=1024)
+    assert len(proof1.shard_proofs) == len(proof2.shard_proofs)
+    for a, b in zip(proof1.shard_proofs, proof2.shard_proofs):
+        assert np.array_equal(a.commitment.main, b.commitment.main)
+        assert a.public_values == b.public_values
+    assert verify_mips_proof(m2, vk2, proof2, pc_start=prog.pc_start)

@@ -162,3 +162,51 @@ def prove_program(program, stdin=None, config=None, shard_size=None):
         records = [record]
     proof = machine.prove(pk, records)
     return machine, pk, vk, proof, ex
+
+
+def prove_program_checkpointed(program, stdin=None, config=None,
+                               shard_size=4096, workers=None):
+    """Memory-bounded pipelined prove (reference: utils/prove.rs —
+    checkpoint-exec then parallel trace workers): a fast untraced pass
+    collects shard-boundary checkpoints, then worker threads regenerate each
+    shard's trace from its checkpoint and prove it, so only ~`workers`
+    shards of trace are ever alive at once."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ziren_tpu.stark.prover import prove_shard
+
+    machine = mips_machine(config)
+    pk, vk = machine.setup(program, extra_observations=[program.pc_start])
+
+    scout = Executor(program, stdin=stdin, mode="simple",
+                     shard_size=shard_size)
+    scout.collect_checkpoints = True
+    cps = [scout.checkpoint()]
+    scout.run_sharded()
+    cps += scout.checkpoints[:-1]  # the last bump closes the final shard
+    digest = list(scout.committed_values[:8]) + [0] * max(
+        0, 8 - len(scout.committed_values)
+    )
+    exit_code = scout.exit_code
+
+    base = machine.config.challenger()
+    pk.vk.observe_into(base)
+
+    def prove_one(k):
+        ex = Executor.recover(program, cps[k], shard_size=shard_size)
+        rec = ex.run_shard()
+        rec.public_values.committed_value_digest = list(digest)
+        rec.public_values.exit_code = exit_code
+        return prove_shard(machine, pk, rec, base.clone())
+
+    from ziren_tpu.stark.proof import MachineProof
+
+    n = len(cps)
+    workers = workers or min(n, os.cpu_count() or 4)
+    if n == 1:
+        proofs = [prove_one(0)]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            proofs = list(pool.map(prove_one, range(n)))
+    return machine, pk, vk, MachineProof(proofs), scout
