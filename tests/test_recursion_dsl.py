@@ -1,0 +1,51 @@
+"""Recursion DSL tracer + interpreter (round-2 groundwork, see
+docs/recursion_design.md)."""
+
+import numpy as np
+
+from ziren_tpu.core import ext as E
+from ziren_tpu.core.challenger import DuplexChallenger
+from ziren_tpu.recursion.dsl import Ext, Felt, TracedChallenger, Tracer, interpret
+
+
+def test_felt_arithmetic():
+    t = Tracer(num_inputs=2)
+    a, b = t.input(0), t.input(1)
+    c = (a + b) * a - 3
+    t.output(c)
+    t.output(c.inv() * c)  # == 1
+    out = interpret(t.program(), [10, 20])
+    assert out[0] == (30 * 10 - 3) % 2130706433
+    assert out[1] == 1
+
+
+def test_ext_arithmetic():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2130706433, 4, dtype=np.uint32)
+    y = rng.integers(0, 2130706433, 4, dtype=np.uint32)
+    t = Tracer()
+    ex, ey = t.ext_const(x), t.ext_const(y)
+    for f_handle in [(ex * ey + ex).inv() * (ex * ey + ex)]:
+        for i in range(4):
+            t.output(Felt(t, f_handle.r + i))
+    out = interpret(t.program())
+    assert out == [1, 0, 0, 0]
+
+
+def test_traced_challenger_matches_host():
+    """The Fiat-Shamir core of the recursion verifier: a traced transcript
+    replay produces bit-identical challenges to the host challenger."""
+    values = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+    host = DuplexChallenger()
+    for v in values:
+        host.observe(v)
+    expect = [host.sample() for _ in range(10)]
+
+    t = Tracer(num_inputs=len(values))
+    ch = TracedChallenger(t)
+    for i in range(len(values)):
+        ch.observe(t.input(i))
+    for _ in range(10):
+        t.output(ch.sample())
+    got = interpret(t.program(), values)
+    assert got == expect

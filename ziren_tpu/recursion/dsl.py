@@ -1,0 +1,259 @@
+"""Recursion DSL: a Python tracer that records straight-line field programs
+(reference: crates/recursion/compiler — `Felt`/`Ext` value DSL compiled to
+recursion-VM instructions; see docs/recursion_design.md).
+
+The verifier is written once against `Felt`/`Ext` handles; tracing it emits
+a columnar instruction stream that (round 2) the recursion chip set proves.
+`interpret` is the host oracle: it executes the stream over numpy and is the
+differential reference for both the tracer and the future chips.
+
+Ops (SoA: op, a, b, out; Poseidon2 uses 16-wide register windows):
+    CONST            out <- imm
+    ADD/SUB/MUL/INV  felt arithmetic mod p
+    EADD/ESUB/EMUL/EINV  ext4 arithmetic (handles are 4 consecutive regs)
+    POSEIDON2        regs[out:out+16] <- perm(regs[a:a+16])
+    SELECT           out <- b if regs[cond] else c   (cond boolean felt)
+    ASSERT_EQ        constrain regs[a] == regs[b]
+    INPUT            out <- runtime input vector slot a
+    OUTPUT           append regs[a] to the output stream
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+import numpy as np
+
+from ziren_tpu.core import ext as E
+from ziren_tpu.core import field as F
+from ziren_tpu.core import poseidon2 as p2
+
+P = F.P_INT
+
+
+class Op(IntEnum):
+    CONST = 0
+    ADD = 1
+    SUB = 2
+    MUL = 3
+    INV = 4
+    EADD = 5
+    ESUB = 6
+    EMUL = 7
+    EINV = 8
+    POSEIDON2 = 9
+    SELECT = 10
+    ASSERT_EQ = 11
+    INPUT = 12
+    OUTPUT = 13
+
+
+@dataclass
+class RecursionProgram:
+    ops: list  # (op, a, b, c, out)
+    num_regs: int
+    num_inputs: int
+
+
+class Felt:
+    __slots__ = ("r", "t")
+
+    def __init__(self, tracer, reg):
+        self.t = tracer
+        self.r = reg
+
+    def __add__(self, o):
+        return self.t._bin(Op.ADD, self, self.t.lift(o))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self.t._bin(Op.SUB, self, self.t.lift(o))
+
+    def __rsub__(self, o):
+        return self.t._bin(Op.SUB, self.t.lift(o), self)
+
+    def __mul__(self, o):
+        return self.t._bin(Op.MUL, self, self.t.lift(o))
+
+    __rmul__ = __mul__
+
+    def inv(self):
+        out = self.t._reg()
+        self.t.ops.append((Op.INV, self.r, 0, 0, out))
+        return Felt(self.t, out)
+
+
+class Ext:
+    """Handle to 4 consecutive registers (ext4 coefficients)."""
+
+    __slots__ = ("r", "t")
+
+    def __init__(self, tracer, reg):
+        self.t = tracer
+        self.r = reg
+
+    def _bin(self, op, o):
+        out = self.t._reg(4)
+        self.t.ops.append((op, self.r, o.r, 0, out))
+        return Ext(self.t, out)
+
+    def __add__(self, o):
+        return self._bin(Op.EADD, o)
+
+    def __sub__(self, o):
+        return self._bin(Op.ESUB, o)
+
+    def __mul__(self, o):
+        return self._bin(Op.EMUL, o)
+
+    def inv(self):
+        out = self.t._reg(4)
+        self.t.ops.append((Op.EINV, self.r, 0, 0, out))
+        return Ext(self.t, out)
+
+
+class Tracer:
+    def __init__(self, num_inputs: int = 0):
+        self.ops: list = []
+        self.n = 0
+        self.num_inputs = num_inputs
+
+    def _reg(self, k: int = 1) -> int:
+        r = self.n
+        self.n += k
+        return r
+
+    def lift(self, v):
+        if isinstance(v, Felt):
+            return v
+        return self.const(int(v) % P)
+
+    def const(self, v: int) -> Felt:
+        out = self._reg()
+        self.ops.append((Op.CONST, int(v) % P, 0, 0, out))
+        return Felt(self, out)
+
+    def ext_const(self, coeffs) -> Ext:
+        out = self._reg(4)
+        for i, c in enumerate(np.asarray(coeffs, np.uint32)):
+            self.ops.append((Op.CONST, int(c), 0, 0, out + i))
+        return Ext(self, out)
+
+    def ext_from(self, felts) -> Ext:
+        """Pack 4 Felt handles into an Ext (copies into a fresh window)."""
+        out = self._reg(4)
+        zero = None
+        for i, f in enumerate(felts):
+            self.ops.append((Op.ADD, f.r, self._zero().r, 0, out + i))
+        return Ext(self, out)
+
+    def _zero(self):
+        z = getattr(self, "_z", None)
+        if z is None:
+            z = self._z = self.const(0)
+        return z
+
+    def _bin(self, op, a, b) -> Felt:
+        out = self._reg()
+        self.ops.append((op, a.r, b.r, 0, out))
+        return Felt(self, out)
+
+    def input(self, slot: int) -> Felt:
+        out = self._reg()
+        self.ops.append((Op.INPUT, slot, 0, 0, out))
+        return Felt(self, out)
+
+    def poseidon2(self, state16) -> list:
+        """state16: 16 Felt handles in consecutive registers NOT required —
+        they are copied into a fresh contiguous window first."""
+        base = self._reg(16)
+        for i, f in enumerate(state16):
+            self.ops.append((Op.ADD, f.r, self._zero().r, 0, base + i))
+        out = self._reg(16)
+        self.ops.append((Op.POSEIDON2, base, 0, 0, out))
+        return [Felt(self, out + i) for i in range(16)]
+
+    def select(self, cond: Felt, a: Felt, b: Felt) -> Felt:
+        out = self._reg()
+        self.ops.append((Op.SELECT, cond.r, a.r, b.r, out))
+        return Felt(self, out)
+
+    def assert_eq(self, a: Felt, b: Felt):
+        self.ops.append((Op.ASSERT_EQ, a.r, self.lift(b).r, 0, 0))
+
+    def output(self, f: Felt):
+        self.ops.append((Op.OUTPUT, f.r, 0, 0, 0))
+
+    def program(self) -> RecursionProgram:
+        return RecursionProgram(list(self.ops), self.n, self.num_inputs)
+
+
+def interpret(program: RecursionProgram, inputs=()) -> list:
+    """Host oracle: run the instruction stream, return the output values."""
+    regs = np.zeros(max(program.num_regs, 1), dtype=np.uint32)
+    inputs = np.asarray(list(inputs), dtype=np.uint32)
+    out = []
+    for op, a, b, c, dst in program.ops:
+        if op == Op.CONST:
+            regs[dst] = a
+        elif op == Op.ADD:
+            regs[dst] = (int(regs[a]) + int(regs[b])) % P
+        elif op == Op.SUB:
+            regs[dst] = (int(regs[a]) - int(regs[b])) % P
+        elif op == Op.MUL:
+            regs[dst] = (int(regs[a]) * int(regs[b])) % P
+        elif op == Op.INV:
+            regs[dst] = pow(int(regs[a]), P - 2, P)
+        elif op == Op.EADD:
+            regs[dst : dst + 4] = E.eadd(regs[a : a + 4], regs[b : b + 4])
+        elif op == Op.ESUB:
+            regs[dst : dst + 4] = E.esub(regs[a : a + 4], regs[b : b + 4])
+        elif op == Op.EMUL:
+            regs[dst : dst + 4] = E.emul(regs[a : a + 4], regs[b : b + 4])
+        elif op == Op.EINV:
+            regs[dst : dst + 4] = E.einv(regs[a : a + 4])
+        elif op == Op.POSEIDON2:
+            regs[dst : dst + 16] = p2.permute(regs[a : a + 16])
+        elif op == Op.SELECT:
+            regs[dst] = regs[b] if regs[a] else regs[c]
+        elif op == Op.ASSERT_EQ:
+            assert regs[a] == regs[b], f"assert_eq failed: {regs[a]} != {regs[b]}"
+        elif op == Op.INPUT:
+            regs[dst] = inputs[a]
+        elif op == Op.OUTPUT:
+            out.append(int(regs[a]))
+    return out
+
+
+class TracedChallenger:
+    """The duplex challenger written against the DSL (the Fiat-Shamir core
+    of the recursion verifier; mirrors core/challenger.py observe/sample)."""
+
+    def __init__(self, tracer: Tracer):
+        self.t = tracer
+        self.state = [tracer.const(0) for _ in range(16)]
+        self.input_buffer: list = []
+        self.output_buffer: list = []
+
+    def observe(self, f: Felt):
+        self.output_buffer = []
+        self.input_buffer.append(f)
+        if len(self.input_buffer) == 8:
+            self._duplex()
+
+    def _duplex(self):
+        for i, f in enumerate(self.input_buffer):
+            self.state[i] = f
+        self.input_buffer = []
+        self.state = self.t.poseidon2(self.state)
+        self.output_buffer = list(self.state[:8])
+
+    def sample(self) -> Felt:
+        if self.input_buffer or not self.output_buffer:
+            self._duplex()
+        return self.output_buffer.pop()
+
+    def sample_ext(self) -> list:
+        return [self.sample() for _ in range(4)]
