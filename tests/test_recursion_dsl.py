@@ -49,3 +49,47 @@ def test_traced_challenger_matches_host():
         t.output(ch.sample())
     got = interpret(t.program(), values)
     assert got == expect
+
+
+def _demo_program():
+    t = Tracer(num_inputs=3)
+    a, b, c = t.input(0), t.input(1), t.input(2)
+    d = (a + b) * c - 5
+    t.assert_eq(d * d.inv(), t.const(1))
+    e1 = t.ext_const([1, 2, 3, 4])
+    e2 = t.ext_from([a, b, c, d])
+    e3 = (e1 * e2).inv() * (e1 * e2)
+    t.assert_eq(Felt(t, e3.r), t.const(1))
+    ch = TracedChallenger(t)
+    for v in (a, b, c, d):
+        ch.observe(v)
+    s = ch.sample()
+    t.output(d)
+    t.output(s)
+    t.output(t.select(t.const(1), s, a))
+    return t.program()
+
+
+def test_recursion_machine_proves():
+    from ziren_tpu.recursion.machine import prove_recursion
+
+    prog = _demo_program()
+    inputs = [3, 4, 5]
+    expected = interpret(prog, inputs)
+    machine, pk, vk, proof, outputs = prove_recursion(prog, inputs)
+    assert outputs == expected
+    assert machine.verify(vk, proof)
+
+
+def test_recursion_machine_rejects_wrong_outputs():
+    import pytest
+
+    from ziren_tpu.recursion.machine import prove_recursion
+    from ziren_tpu.stark.verifier import VerificationError
+
+    prog = _demo_program()
+    machine, pk, vk, proof, outputs = prove_recursion(prog, [3, 4, 5])
+    # claim a different output in the public values
+    proof.shard_proofs[0].public_values[3] = (outputs[0] + 1) % 2130706433
+    with pytest.raises(VerificationError):
+        machine.verify(vk, proof)

@@ -190,8 +190,9 @@ class Tracer:
         return RecursionProgram(list(self.ops), self.n, self.num_inputs)
 
 
-def interpret(program: RecursionProgram, inputs=()) -> list:
-    """Host oracle: run the instruction stream, return the output values."""
+def interpret(program: RecursionProgram, inputs=(), return_regs=False):
+    """Host oracle: run the instruction stream, return the output values
+    (and the full register file when return_regs — used by trace gen)."""
     regs = np.zeros(max(program.num_regs, 1), dtype=np.uint32)
     inputs = np.asarray(list(inputs), dtype=np.uint32)
     out = []
@@ -224,6 +225,8 @@ def interpret(program: RecursionProgram, inputs=()) -> list:
             regs[dst] = inputs[a]
         elif op == Op.OUTPUT:
             out.append(int(regs[a]))
+    if return_regs:
+        return out, regs
     return out
 
 

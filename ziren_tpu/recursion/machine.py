@@ -1,0 +1,456 @@
+"""The recursion machine: chips proving RecursionProgram instruction streams
+on the generic STARK engine (reference: crates/recursion/core — redesigned
+around the DSL's SSA property; see docs/recursion_design.md).
+
+Register argument: the program is SSA (every register written exactly once),
+so registers form a multiset — the writing row SENDS (reg, value) with the
+register's static read count as multiplicity, and every reading row RECEIVES
+(reg, value) once. Program structure (ops, register ids, read counts) is
+PREPROCESSED, so the vk pins the program; only the values are witness.
+
+Chips:
+    Const     preprocessed (reg, val, mult) sends
+    Input     pv-bound runtime inputs (reg from preprocessed, val = pv[slot])
+    BaseAlu   add/sub/mul/inv/select/assert_eq rows (op one-hot preprocessed)
+    ExtAlu    ext4 add/sub/mul/inv over 4-limb register windows
+    Poseidon2 one permutation per row (22-round in-row chain)
+    Output    receives (reg, val), binds val = pv[num_inputs + i]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ziren_tpu.core import ext as E
+from ziren_tpu.core import field as F
+from ziren_tpu.machine.layout import Layout, pad_to_pow2
+from ziren_tpu.machine.poseidon2_chip import (
+    DIAG,
+    M_EXT,
+    NUM_ROUNDS,
+    RC,
+    _zero_chain,
+)
+from ziren_tpu.stark.chip import Air
+from ziren_tpu.stark.lookup import LookupKind
+from ziren_tpu.stark.machine import StarkMachine
+
+from .dsl import Op, RecursionProgram, interpret
+
+P = F.P_INT
+REG = LookupKind.Register
+
+
+def _send(b, reg, val, mult):
+    b.send(REG, [reg, val], mult)
+
+
+def _recv(b, reg, val, mult):
+    b.receive(REG, [reg, val], mult)
+
+
+class _Compiled:
+    """Per-chip row streams + static read counts for one program."""
+
+    def __init__(self, program: RecursionProgram):
+        self.program = program
+        reads: dict[int, int] = {}
+
+        def rd(r, k=1):
+            for i in range(k):
+                reads[r + i] = reads.get(r + i, 0) + 1
+
+        self.const_rows = []   # (reg, val)
+        self.input_rows = []   # (reg, slot)
+        self.alu_rows = []     # (op, a, b, c, out)
+        self.ext_rows = []     # (op, a, b, out)
+        self.p2_rows = []      # (a, out)
+        self.output_rows = []  # (reg, slot)
+        n_out = 0
+        for op, a, b, c, out in program.ops:
+            if op == Op.CONST:
+                self.const_rows.append((out, a))
+            elif op == Op.INPUT:
+                self.input_rows.append((out, a))
+            elif op in (Op.ADD, Op.SUB, Op.MUL):
+                rd(a), rd(b)
+                self.alu_rows.append((op, a, b, 0, out))
+            elif op == Op.INV:
+                rd(a)
+                self.alu_rows.append((op, a, 0, 0, out))
+            elif op == Op.SELECT:
+                rd(a), rd(b), rd(c)
+                self.alu_rows.append((op, a, b, c, out))
+            elif op == Op.ASSERT_EQ:
+                rd(a), rd(b)
+                self.alu_rows.append((op, a, b, 0, 0))
+            elif op in (Op.EADD, Op.ESUB, Op.EMUL):
+                rd(a, 4), rd(b, 4)
+                self.ext_rows.append((op, a, b, out))
+            elif op == Op.EINV:
+                rd(a, 4)
+                self.ext_rows.append((op, a, 0, out))
+            elif op == Op.POSEIDON2:
+                rd(a, 16)
+                self.p2_rows.append((a, out))
+            elif op == Op.OUTPUT:
+                rd(a)
+                self.output_rows.append((a, n_out))
+                n_out += 1
+        self.num_outputs = n_out
+        self.reads = reads
+
+    def mult(self, reg: int) -> int:
+        return self.reads.get(reg, 0)
+
+
+class _RecAir(Air):
+    # eval depends on per-program instance state (compiled rows, pv widths)
+    # so the per-class symbolic metadata cache must not apply
+    _no_meta_cache = True
+
+    def __init__(self, compiled: _Compiled):
+        self.c = compiled
+
+
+def _writer_mult_cols(l: Layout, prefix: str, k: int):
+    for i in range(k):
+        l.add(f"{prefix}{i}")
+
+
+class ConstChip(_RecAir):
+    name = "RecConst"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.const_rows
+        self.preprocessed_width = 3
+
+    width = 1  # engine requires a main trace; a single is_real column
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, 3), dtype=np.uint32)
+        for i, (reg, val) in enumerate(rows):
+            prep[i] = (reg, val, self.c.mult(reg))
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        n = max(1, len(self.rows))
+        return pad_to_pow2(np.ones((n, 1), dtype=np.uint32))
+
+    def eval(self, b):
+        reg, val, mult = b.prep_local
+        _send(b, reg, val, mult)
+
+
+class InputChip(_RecAir):
+    name = "RecInput"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.input_rows
+        self.preprocessed_width = 3 + max(
+            1, compiled.program.num_inputs
+        )  # reg, mult, + slot one-hot
+
+    width = 1
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        ni = max(1, self.c.program.num_inputs)
+        n = max(1, len(rows))
+        prep = np.zeros((n, 3 + ni), dtype=np.uint32)
+        for i, (reg, slot) in enumerate(rows):
+            prep[i, 0] = reg
+            prep[i, 1] = self.c.mult(reg)
+            prep[i, 2] = 1  # is_real
+            prep[i, 3 + slot] = 1
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, 1), dtype=np.uint32)
+        for i, (reg, slot) in enumerate(rows):
+            mat[i, 0] = record.inputs[slot]
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        reg, mult, is_real = prep[0], prep[1], prep[2]
+        (val,) = b.main_local
+        ni = max(1, self.c.program.num_inputs)
+        # val = pv[slot] via the preprocessed one-hot
+        sel = 0
+        for s in range(ni):
+            sel = prep[3 + s] * b.public_values[s] + sel
+        b.when(is_real).assert_eq(val, sel)
+        _send(b, reg, val, mult)
+
+
+class OutputChip(_RecAir):
+    name = "RecOutput"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.output_rows
+        self.no = max(1, compiled.num_outputs)
+        self.preprocessed_width = 2 + self.no
+
+    width = 1
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, 2 + self.no), dtype=np.uint32)
+        for i, (reg, slot) in enumerate(rows):
+            prep[i, 0] = reg
+            prep[i, 1] = 1
+            prep[i, 2 + slot] = 1
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, 1), dtype=np.uint32)
+        for i, (reg, slot) in enumerate(rows):
+            mat[i, 0] = record.regs[reg]
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        reg, is_real = prep[0], prep[1]
+        (val,) = b.main_local
+        ni = self.c.program.num_inputs
+        sel = 0
+        for s in range(self.no):
+            sel = prep[2 + s] * b.public_values[ni + s] + sel
+        b.when(is_real).assert_eq(val, sel)
+        _recv(b, reg, val, is_real)
+
+
+class BaseAluChip(_RecAir):
+    name = "RecBaseAlu"
+    OPS = [Op.ADD, Op.SUB, Op.MUL, Op.INV, Op.SELECT, Op.ASSERT_EQ]
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.alu_rows
+        # preprocessed: op one-hot (6) + a,b,c,out regs + out mult + b_used,
+        # c_used flags (receive multiplicities)
+        self.preprocessed_width = 6 + 4 + 1 + 2
+
+    width = 4  # va, vb, vc, vout
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
+        for i, (op, a, b_, c, out) in enumerate(rows):
+            prep[i, self.OPS.index(op)] = 1
+            prep[i, 6:10] = (a, b_, c, out)
+            prep[i, 10] = self.c.mult(out) if op != Op.ASSERT_EQ else 0
+            prep[i, 11] = int(op not in (Op.INV,))
+            prep[i, 12] = int(op == Op.SELECT)
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, 4), dtype=np.uint32)
+        regs = record.regs
+        for i, (op, a, b_, c, out) in enumerate(rows):
+            mat[i] = (regs[a], regs[b_], regs[c], regs[out] if op != Op.ASSERT_EQ else 0)
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        f = {op: prep[j] for j, op in enumerate(self.OPS)}
+        ra, rb, rc, rout = prep[6], prep[7], prep[8], prep[9]
+        out_mult, b_used, c_used = prep[10], prep[11], prep[12]
+        va, vb, vc, vout = b.main_local
+        is_real = sum(f.values())
+        _recv(b, ra, va, is_real)
+        _recv(b, rb, vb, b_used)
+        _recv(b, rc, vc, c_used)
+        _send(b, rout, vout, out_mult)
+        b.when(f[Op.ADD]).assert_eq(vout, va + vb)
+        b.when(f[Op.SUB]).assert_eq(vout, va - vb)
+        b.when(f[Op.MUL]).assert_eq(vout, va * vb)
+        b.when(f[Op.INV]).assert_eq(va * vout, 1)
+        b.when(f[Op.SELECT]).assert_zero(va * (1 - va))
+        b.when(f[Op.SELECT]).assert_eq(vout, va * vb + (1 - va) * vc)
+        b.when(f[Op.ASSERT_EQ]).assert_eq(va, vb)
+
+
+class ExtAluChip(_RecAir):
+    name = "RecExtAlu"
+    OPS = [Op.EADD, Op.ESUB, Op.EMUL, Op.EINV]
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.ext_rows
+        # op one-hot (4) + a,b,out base regs + per-limb out mults (4) + b_used
+        self.preprocessed_width = 4 + 3 + 4 + 1
+
+    width = 12  # va[4], vb[4], vout[4]
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
+        for i, (op, a, b_, out) in enumerate(rows):
+            prep[i, self.OPS.index(op)] = 1
+            prep[i, 4:7] = (a, b_, out)
+            for k in range(4):
+                prep[i, 7 + k] = self.c.mult(out + k)
+            prep[i, 11] = int(op != Op.EINV)
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, 12), dtype=np.uint32)
+        regs = record.regs
+        for i, (op, a, b_, out) in enumerate(rows):
+            mat[i, 0:4] = regs[a : a + 4]
+            mat[i, 4:8] = regs[b_ : b_ + 4]
+            mat[i, 8:12] = regs[out : out + 4]
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        f = {op: prep[j] for j, op in enumerate(self.OPS)}
+        ra, rb, rout = prep[4], prep[5], prep[6]
+        va = b.main_local[0:4]
+        vb = b.main_local[4:8]
+        vo = b.main_local[8:12]
+        is_real = sum(f.values())
+        for k in range(4):
+            _recv(b, ra + k, va[k], is_real)
+            _recv(b, rb + k, vb[k], prep[11])
+            _send(b, rout + k, vo[k], prep[7 + k])
+        for k in range(4):
+            b.when(f[Op.EADD]).assert_eq(vo[k], va[k] + vb[k])
+            b.when(f[Op.ESUB]).assert_eq(vo[k], va[k] - vb[k])
+        # schoolbook ext4 product with x^4 = 3 (shared by EMUL / EINV)
+        def prod(x, y):
+            c0 = x[0] * y[0] + 3 * (x[1] * y[3] + x[2] * y[2] + x[3] * y[1])
+            c1 = x[0] * y[1] + x[1] * y[0] + 3 * (x[2] * y[3] + x[3] * y[2])
+            c2 = x[0] * y[2] + x[1] * y[1] + x[2] * y[0] + 3 * (x[3] * y[3])
+            c3 = x[0] * y[3] + x[1] * y[2] + x[2] * y[1] + x[3] * y[0]
+            return (c0, c1, c2, c3)
+
+        pm = prod(va, vb)
+        po = prod(va, vo)
+        for k in range(4):
+            b.when(f[Op.EMUL]).assert_eq(vo[k], pm[k])
+            b.when(f[Op.EINV]).assert_eq(po[k], 1 if k == 0 else 0)
+
+
+class RecPoseidon2Chip(_RecAir):
+    name = "RecPoseidon2"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.p2_rows
+        # in reg base, out reg base, is_real, per-limb out mults (16)
+        self.preprocessed_width = 3 + 16
+
+    COLS = Layout()
+    for r in range(NUM_ROUNDS + 2):
+        COLS.add(f"s{r}", 16)
+    width = COLS.width
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
+        for i, (a, out) in enumerate(rows):
+            prep[i, 0] = a
+            prep[i, 1] = out
+            prep[i, 2] = 1
+            for k in range(16):
+                prep[i, 3 + k] = self.c.mult(out + k)
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        from ziren_tpu.machine.poseidon2_chip import Poseidon2PermuteChip as PC
+
+        rows = self.rows
+        n = max(1, len(rows))
+        height = max(4, 1 << (n - 1).bit_length())
+        mat = np.zeros((height, self.width), dtype=np.uint32)
+        regs = record.regs
+        for i, (a, out) in enumerate(rows):
+            s = regs[a : a + 16].astype(np.int64)
+            states = [s, PC._apply_ext_layer(s)]
+            cur = states[1]
+            for r in range(4):
+                cur = PC._apply_ext_layer(PC._sbox_all(cur + RC[r]))
+                states.append(cur)
+            for r in range(13):
+                t = cur.copy()
+                t[0] = PC._sbox(cur[0] + RC[4 + r][0])
+                cur = (DIAG * t + t.sum() % P) % P
+                states.append(cur)
+            for r in range(4):
+                cur = PC._apply_ext_layer(PC._sbox_all(cur + RC[17 + r]))
+                states.append(cur)
+            for r in range(NUM_ROUNDS + 2):
+                mat[i, self.COLS.slc(f"s{r}")] = states[r] % P
+        chain = _zero_chain()
+        for r in range(NUM_ROUNDS + 2):
+            mat[n:, self.COLS.slc(f"s{r}")] = chain[r]
+        return mat
+
+    def eval(self, b):
+        from ziren_tpu.machine.poseidon2_chip import Poseidon2PermuteChip as PC
+
+        prep = b.prep_local
+        ra, rout, is_real = prep[0], prep[1], prep[2]
+        L = self.COLS.view(b.main_local)
+        s0 = L["s0"]
+        s_out = L[f"s{NUM_ROUNDS + 1}"]
+        for k in range(16):
+            _recv(b, ra + k, s0[k], is_real)
+            _send(b, rout + k, s_out[k], prep[3 + k])
+        PC._eval_rounds(PC, b, L, is_real)
+
+
+class _Record:
+    def __init__(self, inputs, regs):
+        self.inputs = list(inputs)
+        self.regs = regs
+        self.public_values = None  # set by prove_recursion
+
+
+def recursion_machine(program: RecursionProgram, config=None) -> tuple:
+    """Build the per-shape machine for a program; returns (machine, compiled)."""
+    from ziren_tpu.stark.config import dev_config
+
+    comp = _Compiled(program)
+    chips = [
+        ConstChip(comp),
+        InputChip(comp),
+        BaseAluChip(comp),
+        ExtAluChip(comp),
+        RecPoseidon2Chip(comp),
+        OutputChip(comp),
+    ]
+    npv = program.num_inputs + comp.num_outputs
+    machine = StarkMachine(config or dev_config(), chips, num_public_values=npv)
+    return machine, comp
+
+
+def prove_recursion(program: RecursionProgram, inputs=(), config=None):
+    """Prove one DSL program execution; pv = inputs ++ outputs."""
+    machine, comp = recursion_machine(program, config)
+    pk, vk = machine.setup(program)
+    outputs, regs = interpret(program, inputs, return_regs=True)
+    record = _Record(inputs, regs)
+    record.public_values = list(inputs) + list(outputs)
+    proof = machine.prove(pk, [record])
+    return machine, pk, vk, proof, outputs

@@ -69,8 +69,11 @@ class Chip:
         self.batch_size = BATCH_SIZE
 
         # the symbolic pass depends only on the Air class (eval is pure over
-        # the column layout), so its metadata is cached per class
+        # the column layout), so its metadata is cached per class — except
+        # for airs whose eval reads instance state (_no_meta_cache)
         key = (type(air), num_public_values)
+        if getattr(air, "_no_meta_cache", False):
+            key = (air, num_public_values)
         meta = _META_CACHE.get(key)
         if meta is None:
             fl = SymbolicFolder(

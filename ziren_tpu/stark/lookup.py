@@ -25,6 +25,7 @@ class LookupKind(IntEnum):
     Syscall = 6
     Global = 7
     SyscallResult = 8
+    Register = 9  # recursion machine: SSA register multiset
 
 
 class LookupScope(IntEnum):
