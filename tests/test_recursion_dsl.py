@@ -93,3 +93,38 @@ def test_recursion_machine_rejects_wrong_outputs():
     proof.shard_proofs[0].public_values[3] = (outputs[0] + 1) % 2130706433
     with pytest.raises(VerificationError):
         machine.verify(vk, proof)
+
+
+def test_sample_bits_with_hints():
+    """Traced sample_bits (hinted canonical bit decomposition) matches the
+    host challenger and proves in-circuit."""
+    from ziren_tpu.recursion.machine import prove_recursion
+
+    values = [5, 9, 14, 32, 77, 100, 1, 2]
+    host = DuplexChallenger()
+    for v in values:
+        host.observe(v)
+    s_host = host.sample()
+    expect_bits = s_host & 0x3FF
+
+    t = Tracer(num_inputs=len(values))
+    ch = TracedChallenger(t)
+    for i in range(len(values)):
+        ch.observe(t.input(i))
+    low = ch.sample_bits(10)
+    t.output(low)
+    prog = t.program()
+    hints = [(s_host >> i) & 1 for i in range(31)]
+    out = interpret(prog, values, hints=hints)
+    assert out == [expect_bits]
+    machine, pk, vk, proof, outputs = prove_recursion(
+        prog, values, hints=hints)
+    assert outputs == [expect_bits]
+    assert machine.verify(vk, proof)
+
+    # a tampered bit decomposition must fail witness generation constraints
+    bad = list(hints)
+    bad[0] ^= 1
+    import pytest
+    with pytest.raises(AssertionError):
+        interpret(prog, values, hints=bad)

@@ -47,6 +47,7 @@ class Op(IntEnum):
     ASSERT_EQ = 11
     INPUT = 12
     OUTPUT = 13
+    HINT = 14
 
 
 @dataclass
@@ -54,6 +55,7 @@ class RecursionProgram:
     ops: list  # (op, a, b, c, out)
     num_regs: int
     num_inputs: int
+    num_hints: int = 0
 
 
 class Felt:
@@ -119,6 +121,7 @@ class Tracer:
         self.ops: list = []
         self.n = 0
         self.num_inputs = num_inputs
+        self.num_hints = 0
 
     def _reg(self, k: int = 1) -> int:
         r = self.n
@@ -165,6 +168,14 @@ class Tracer:
         self.ops.append((Op.INPUT, slot, 0, 0, out))
         return Felt(self, out)
 
+    def hint(self) -> Felt:
+        """Unconstrained witness value supplied at proving time; callers
+        must pin it down with constraints (reference: compiler hint ops)."""
+        out = self._reg()
+        self.ops.append((Op.HINT, self.num_hints, 0, 0, out))
+        self.num_hints += 1
+        return Felt(self, out)
+
     def poseidon2(self, state16) -> list:
         """state16: 16 Felt handles in consecutive registers NOT required —
         they are copied into a fresh contiguous window first."""
@@ -187,14 +198,18 @@ class Tracer:
         self.ops.append((Op.OUTPUT, f.r, 0, 0, 0))
 
     def program(self) -> RecursionProgram:
-        return RecursionProgram(list(self.ops), self.n, self.num_inputs)
+        return RecursionProgram(
+            list(self.ops), self.n, self.num_inputs, self.num_hints
+        )
 
 
-def interpret(program: RecursionProgram, inputs=(), return_regs=False):
+def interpret(program: RecursionProgram, inputs=(), return_regs=False,
+              hints=()):
     """Host oracle: run the instruction stream, return the output values
     (and the full register file when return_regs — used by trace gen)."""
     regs = np.zeros(max(program.num_regs, 1), dtype=np.uint32)
     inputs = np.asarray(list(inputs), dtype=np.uint32)
+    hints = list(hints)
     out = []
     for op, a, b, c, dst in program.ops:
         if op == Op.CONST:
@@ -223,6 +238,8 @@ def interpret(program: RecursionProgram, inputs=(), return_regs=False):
             assert regs[a] == regs[b], f"assert_eq failed: {regs[a]} != {regs[b]}"
         elif op == Op.INPUT:
             regs[dst] = inputs[a]
+        elif op == Op.HINT:
+            regs[dst] = int(hints[a]) % P
         elif op == Op.OUTPUT:
             out.append(int(regs[a]))
     if return_regs:
@@ -260,3 +277,27 @@ class TracedChallenger:
 
     def sample_ext(self) -> list:
         return [self.sample() for _ in range(4)]
+
+    def sample_bits(self, nb: int) -> Felt:
+        """Low nb bits of a sample, via a hinted CANONICAL 31-bit
+        decomposition (if bits 30..24 are all set the low 24 must be zero,
+        so values never alias mod p = 2^31 - 2^24 + 1)."""
+        t = self.t
+        s = self.sample()
+        bits = [t.hint() for _ in range(31)]
+        acc = t.const(0)
+        for i, bit in enumerate(bits):
+            t.assert_eq(bit * bit, bit)
+            acc = acc + bit * (1 << i)
+        t.assert_eq(acc, s)
+        top = t.const(1)
+        for i in range(24, 31):
+            top = top * bits[i]
+        low_sum = t.const(0)
+        for i in range(24):
+            low_sum = low_sum + bits[i]
+        t.assert_eq(top * low_sum, t.const(0))
+        out = t.const(0)
+        for i in range(nb):
+            out = out + bits[i] * (1 << i)
+        return out

@@ -62,6 +62,7 @@ class _Compiled:
 
         self.const_rows = []   # (reg, val)
         self.input_rows = []   # (reg, slot)
+        self.hint_rows = []    # (reg, slot)
         self.alu_rows = []     # (op, a, b, c, out)
         self.ext_rows = []     # (op, a, b, out)
         self.p2_rows = []      # (a, out)
@@ -72,6 +73,8 @@ class _Compiled:
                 self.const_rows.append((out, a))
             elif op == Op.INPUT:
                 self.input_rows.append((out, a))
+            elif op == Op.HINT:
+                self.hint_rows.append((out, a))
             elif op in (Op.ADD, Op.SUB, Op.MUL):
                 rd(a), rd(b)
                 self.alu_rows.append((op, a, b, 0, out))
@@ -187,6 +190,41 @@ class InputChip(_RecAir):
         for s in range(ni):
             sel = prep[3 + s] * b.public_values[s] + sel
         b.when(is_real).assert_eq(val, sel)
+        _send(b, reg, val, mult)
+
+
+class HintChip(_RecAir):
+    """Unconstrained witness registers: the value column is free; the
+    program's own constraints pin hints down (e.g. bit decompositions)."""
+
+    name = "RecHint"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.hint_rows
+        self.preprocessed_width = 2
+
+    width = 1
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, 2), dtype=np.uint32)
+        for i, (reg, slot) in enumerate(rows):
+            prep[i] = (reg, self.c.mult(reg))
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, 1), dtype=np.uint32)
+        for i, (reg, slot) in enumerate(rows):
+            mat[i, 0] = record.regs[reg]
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        reg, mult = b.prep_local
+        (val,) = b.main_local
         _send(b, reg, val, mult)
 
 
@@ -435,6 +473,7 @@ def recursion_machine(program: RecursionProgram, config=None) -> tuple:
     chips = [
         ConstChip(comp),
         InputChip(comp),
+        HintChip(comp),
         BaseAluChip(comp),
         ExtAluChip(comp),
         RecPoseidon2Chip(comp),
@@ -445,11 +484,12 @@ def recursion_machine(program: RecursionProgram, config=None) -> tuple:
     return machine, comp
 
 
-def prove_recursion(program: RecursionProgram, inputs=(), config=None):
+def prove_recursion(program: RecursionProgram, inputs=(), config=None,
+                    hints=()):
     """Prove one DSL program execution; pv = inputs ++ outputs."""
     machine, comp = recursion_machine(program, config)
     pk, vk = machine.setup(program)
-    outputs, regs = interpret(program, inputs, return_regs=True)
+    outputs, regs = interpret(program, inputs, return_regs=True, hints=hints)
     record = _Record(inputs, regs)
     record.public_values = list(inputs) + list(outputs)
     proof = machine.prove(pk, [record])
