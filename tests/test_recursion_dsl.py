@@ -128,3 +128,46 @@ def test_sample_bits_with_hints():
     import pytest
     with pytest.raises(AssertionError):
         interpret(prog, values, hints=bad)
+
+
+def test_traced_merkle_verify_proves():
+    """A real Merkle opening from core/merkle.py verifies inside a traced
+    recursion program (leaf + path + index bits as hints, root as input)."""
+    from ziren_tpu.core import merkle
+    from ziren_tpu.recursion.machine import prove_recursion
+    from ziren_tpu.recursion.verifier import traced_merkle_verify
+
+    rng = np.random.default_rng(3)
+    mat = rng.integers(0, 2130706433, size=(16, 5), dtype=np.uint32)
+    tree = merkle.commit([mat])
+    index = 11
+    rows, path = merkle.open_at(tree, index)
+    assert merkle.verify_opening(tree.root, [(16, 5)], index, rows, path)
+
+    t = Tracer(num_inputs=8)
+    root = [t.input(i) for i in range(8)]
+    leaf = [t.hint() for _ in range(5)]
+    bits = []
+    for lvl in range(4):
+        b = t.hint()
+        t.assert_eq(b * b, b)
+        bits.append(b)
+    path_h = [[t.hint() for _ in range(8)] for _ in range(4)]
+    traced_merkle_verify(t, leaf, bits, path_h, root)
+    prog = t.program()
+
+    hints = [int(v) for v in rows[0]]
+    hints += [(index >> lvl) & 1 for lvl in range(4)]
+    for lvl in range(4):
+        hints += [int(x) for x in path[lvl]]
+    inputs = [int(x) for x in tree.root]
+    interpret(prog, inputs, hints=hints)  # asserts pass
+    machine, pk, vk, proof, _ = prove_recursion(prog, inputs, hints=hints)
+    assert machine.verify(vk, proof)
+
+    # wrong root -> the traced assertion fails at witness time
+    import pytest
+    bad = list(inputs)
+    bad[0] = (bad[0] + 1) % 2130706433
+    with pytest.raises(AssertionError):
+        interpret(prog, bad, hints=hints)

@@ -262,10 +262,11 @@ class OutputChip(_RecAir):
         reg, is_real = prep[0], prep[1]
         (val,) = b.main_local
         ni = self.c.program.num_inputs
-        sel = 0
-        for s in range(self.no):
-            sel = prep[2 + s] * b.public_values[ni + s] + sel
-        b.when(is_real).assert_eq(val, sel)
+        if self.c.num_outputs:
+            sel = 0
+            for s in range(self.c.num_outputs):
+                sel = prep[2 + s] * b.public_values[ni + s] + sel
+            b.when(is_real).assert_eq(val, sel)
         _recv(b, reg, val, is_real)
 
 
