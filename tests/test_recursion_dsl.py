@@ -171,3 +171,50 @@ def test_traced_merkle_verify_proves():
     bad[0] = (bad[0] + 1) % 2130706433
     with pytest.raises(AssertionError):
         interpret(prog, bad, hints=hints)
+
+
+def test_traced_fri_verify_real_proof():
+    """A REAL TwoAdicFriPcs proof (single matrix, 2 queries, PoW) verifies
+    inside a traced recursion program, which itself proves on the recursion
+    machine — the FRI core of the lift."""
+    from ziren_tpu.core import field as F
+    from ziren_tpu.recursion.machine import prove_recursion
+    from ziren_tpu.recursion.verifier import traced_fri_verify_single
+    from ziren_tpu.stark.domain import natural_domain_for_degree
+    from ziren_tpu.stark.pcs import FriConfig, TwoAdicFriPcs
+
+    pcs = TwoAdicFriPcs(FriConfig(log_blowup=1, num_queries=2,
+                                  proof_of_work_bits=4))
+    rng = np.random.default_rng(9)
+    mat = rng.integers(0, F.P_INT, size=(16, 3), dtype=np.uint32)
+    dom = natural_domain_for_degree(16)
+    commit, data = pcs.commit([(dom, mat)])
+    zeta = np.array([5, 6, 7, 8], dtype=np.uint32)
+    ch = DuplexChallenger()
+    ch.observe_slice(commit)
+    opened, proof = pcs.open([(data, [[zeta]])], ch)
+    ys = opened[0][0][0]  # (w, 4)
+    ch2 = DuplexChallenger()
+    ch2.observe_slice(commit)
+    assert pcs.verify([(commit, [(dom, [(zeta, ys)])])], proof, ch2)
+
+    inputs = ([int(v) for v in commit] + [int(v) for v in zeta]
+              + [int(v) for v in np.asarray(ys).reshape(-1)])
+    t = Tracer(num_inputs=len(inputs), input_values=inputs)
+    commit_h = [t.input(i) for i in range(8)]
+    zeta_h = [t.input(8 + i) for i in range(4)]
+    ys_h = [t.input(12 + i) for i in range(12)]
+    traced_fri_verify_single(t, pcs, proof, commit_h, zeta_h, ys_h,
+                             log_n=4, width=3)
+    prog = t.program()
+    interpret(prog, inputs, hints=t.hint_values)  # assertions hold
+    machine, pk, vk, pf, _ = prove_recursion(prog, inputs,
+                                             hints=t.hint_values)
+    assert machine.verify(vk, pf)
+
+    # corrupting the claimed opened value must break the traced transcript
+    import pytest
+    bad = list(inputs)
+    bad[12] = (bad[12] + 1) % F.P_INT
+    with pytest.raises(AssertionError):
+        interpret(prog, bad, hints=t.hint_values)

@@ -83,7 +83,7 @@ class Felt:
 
     def inv(self):
         out = self.t._reg()
-        self.t.ops.append((Op.INV, self.r, 0, 0, out))
+        self.t._emit((Op.INV, self.r, 0, 0, out))
         return Felt(self.t, out)
 
 
@@ -98,7 +98,7 @@ class Ext:
 
     def _bin(self, op, o):
         out = self.t._reg(4)
-        self.t.ops.append((op, self.r, o.r, 0, out))
+        self.t._emit((op, self.r, o.r, 0, out))
         return Ext(self.t, out)
 
     def __add__(self, o):
@@ -112,16 +112,69 @@ class Ext:
 
     def inv(self):
         out = self.t._reg(4)
-        self.t.ops.append((Op.EINV, self.r, 0, 0, out))
+        self.t._emit((Op.EINV, self.r, 0, 0, out))
         return Ext(self.t, out)
 
 
 class Tracer:
-    def __init__(self, num_inputs: int = 0):
+    """Records ops AND evaluates them concretely as it goes (when
+    input_values are supplied), so witness hints — which depend on runtime
+    values like sampled challenges — can be generated inline during tracing
+    (the reference compiler's witness-stream generation)."""
+
+    def __init__(self, num_inputs: int = 0, input_values=None):
         self.ops: list = []
         self.n = 0
         self.num_inputs = num_inputs
         self.num_hints = 0
+        self.hint_values: list = []
+        self.input_values = (
+            [int(v) % P for v in input_values] if input_values is not None
+            else None
+        )
+        self.vals: list = []
+
+    def _emit(self, op_tuple):
+        self.ops.append(op_tuple)
+        if self.input_values is None:
+            return
+        op, a, b, c, dst = op_tuple
+        v = self.vals
+        while len(v) < self.n:
+            v.append(0)
+        if op == Op.CONST:
+            v[dst] = a
+        elif op == Op.ADD:
+            v[dst] = (v[a] + v[b]) % P
+        elif op == Op.SUB:
+            v[dst] = (v[a] - v[b]) % P
+        elif op == Op.MUL:
+            v[dst] = (v[a] * v[b]) % P
+        elif op == Op.INV:
+            v[dst] = pow(v[a], P - 2, P)
+        elif op in (Op.EADD, Op.ESUB, Op.EMUL, Op.EINV):
+            fn = {Op.EADD: E.eadd, Op.ESUB: E.esub, Op.EMUL: E.emul}.get(op)
+            x = np.array(v[a : a + 4], dtype=np.uint32)
+            if op == Op.EINV:
+                r = E.einv(x)
+            else:
+                r = fn(x, np.array(v[b : b + 4], dtype=np.uint32))
+            v[dst : dst + 4] = [int(q) for q in r]
+        elif op == Op.POSEIDON2:
+            r = p2.permute(np.array(v[a : a + 16], dtype=np.uint32))
+            v[dst : dst + 16] = [int(q) for q in r]
+        elif op == Op.SELECT:
+            v[dst] = v[b] if v[a] else v[c]
+        elif op == Op.ASSERT_EQ:
+            assert v[a] == v[b], f"trace-time assert_eq: {v[a]} != {v[b]}"
+        elif op == Op.INPUT:
+            v[dst] = self.input_values[a]
+        elif op == Op.HINT:
+            v[dst] = self.hint_values[a]
+
+    def value(self, f) -> int:
+        """Concrete value of a Felt (requires input_values tracing)."""
+        return self.vals[f.r]
 
     def _reg(self, k: int = 1) -> int:
         r = self.n
@@ -135,13 +188,13 @@ class Tracer:
 
     def const(self, v: int) -> Felt:
         out = self._reg()
-        self.ops.append((Op.CONST, int(v) % P, 0, 0, out))
+        self._emit((Op.CONST, int(v) % P, 0, 0, out))
         return Felt(self, out)
 
     def ext_const(self, coeffs) -> Ext:
         out = self._reg(4)
         for i, c in enumerate(np.asarray(coeffs, np.uint32)):
-            self.ops.append((Op.CONST, int(c), 0, 0, out + i))
+            self._emit((Op.CONST, int(c), 0, 0, out + i))
         return Ext(self, out)
 
     def ext_from(self, felts) -> Ext:
@@ -149,7 +202,7 @@ class Tracer:
         out = self._reg(4)
         zero = None
         for i, f in enumerate(felts):
-            self.ops.append((Op.ADD, f.r, self._zero().r, 0, out + i))
+            self._emit((Op.ADD, f.r, self._zero().r, 0, out + i))
         return Ext(self, out)
 
     def _zero(self):
@@ -160,19 +213,21 @@ class Tracer:
 
     def _bin(self, op, a, b) -> Felt:
         out = self._reg()
-        self.ops.append((op, a.r, b.r, 0, out))
+        self._emit((op, a.r, b.r, 0, out))
         return Felt(self, out)
 
     def input(self, slot: int) -> Felt:
         out = self._reg()
-        self.ops.append((Op.INPUT, slot, 0, 0, out))
+        self._emit((Op.INPUT, slot, 0, 0, out))
         return Felt(self, out)
 
-    def hint(self) -> Felt:
+    def hint(self, value: int = 0) -> Felt:
         """Unconstrained witness value supplied at proving time; callers
-        must pin it down with constraints (reference: compiler hint ops)."""
+        must pin it down with constraints (reference: compiler hint ops).
+        When tracing concretely, `value` is recorded as the hint stream."""
         out = self._reg()
-        self.ops.append((Op.HINT, self.num_hints, 0, 0, out))
+        self.hint_values.append(int(value) % P)
+        self._emit((Op.HINT, self.num_hints, 0, 0, out))
         self.num_hints += 1
         return Felt(self, out)
 
@@ -181,21 +236,21 @@ class Tracer:
         they are copied into a fresh contiguous window first."""
         base = self._reg(16)
         for i, f in enumerate(state16):
-            self.ops.append((Op.ADD, f.r, self._zero().r, 0, base + i))
+            self._emit((Op.ADD, f.r, self._zero().r, 0, base + i))
         out = self._reg(16)
-        self.ops.append((Op.POSEIDON2, base, 0, 0, out))
+        self._emit((Op.POSEIDON2, base, 0, 0, out))
         return [Felt(self, out + i) for i in range(16)]
 
     def select(self, cond: Felt, a: Felt, b: Felt) -> Felt:
         out = self._reg()
-        self.ops.append((Op.SELECT, cond.r, a.r, b.r, out))
+        self._emit((Op.SELECT, cond.r, a.r, b.r, out))
         return Felt(self, out)
 
     def assert_eq(self, a: Felt, b: Felt):
-        self.ops.append((Op.ASSERT_EQ, a.r, self.lift(b).r, 0, 0))
+        self._emit((Op.ASSERT_EQ, a.r, self.lift(b).r, 0, 0))
 
     def output(self, f: Felt):
-        self.ops.append((Op.OUTPUT, f.r, 0, 0, 0))
+        self._emit((Op.OUTPUT, f.r, 0, 0, 0))
 
     def program(self) -> RecursionProgram:
         return RecursionProgram(
@@ -278,13 +333,15 @@ class TracedChallenger:
     def sample_ext(self) -> list:
         return [self.sample() for _ in range(4)]
 
-    def sample_bits(self, nb: int) -> Felt:
-        """Low nb bits of a sample, via a hinted CANONICAL 31-bit
+    def sample_bits_list(self, nb: int) -> list:
+        """nb low-bit handles of a sample, via a hinted CANONICAL 31-bit
         decomposition (if bits 30..24 are all set the low 24 must be zero,
-        so values never alias mod p = 2^31 - 2^24 + 1)."""
+        so values never alias mod p = 2^31 - 2^24 + 1). When tracing
+        concretely the bit hints are generated inline."""
         t = self.t
         s = self.sample()
-        bits = [t.hint() for _ in range(31)]
+        s_val = t.vals[s.r] if t.input_values is not None else 0
+        bits = [t.hint((s_val >> i) & 1) for i in range(31)]
         acc = t.const(0)
         for i, bit in enumerate(bits):
             t.assert_eq(bit * bit, bit)
@@ -297,7 +354,12 @@ class TracedChallenger:
         for i in range(24):
             low_sum = low_sum + bits[i]
         t.assert_eq(top * low_sum, t.const(0))
+        return bits[:nb]
+
+    def sample_bits(self, nb: int) -> Felt:
+        bits = self.sample_bits_list(nb)
+        t = self.t
         out = t.const(0)
-        for i in range(nb):
-            out = out + bits[i] * (1 << i)
+        for i, bit in enumerate(bits):
+            out = out + bit * (1 << i)
         return out

@@ -34,3 +34,134 @@ def traced_merkle_verify(t: Tracer, leaf_felts, index_bits, path, root8):
     for d, r in zip(digest, root8):
         t.assert_eq(d, r)
     return digest
+
+
+def _ext(t, felts4):
+    return t.ext_from(felts4)
+
+
+def _ext_from_base(t, felt):
+    z = t.const(0)
+    return t.ext_from([felt, z, z, z])
+
+
+def _assert_ext_eq(t, a, b):
+    from .dsl import Felt
+
+    for i in range(4):
+        t.assert_eq(Felt(t, a.r + i), Felt(t, b.r + i))
+
+
+def traced_pow_by_bits(t: Tracer, base: int, bits, reverse: bool):
+    """g^rev(i) (reverse=True) or g^i as a Felt, from index bit handles:
+    product of select(bit_j, g^(2^k_j), 1) with constant squares of g."""
+    from ziren_tpu.core import field as F
+
+    acc = t.const(1)
+    n = len(bits)
+    for j, bit in enumerate(bits):
+        k = (n - 1 - j) if reverse else j
+        c = pow(int(base), 1 << k, F.P_INT)
+        acc = acc * t.select(bit, t.const(c), t.const(1))
+    return acc
+
+
+def _ext(t, felts4):
+    return t.ext_from(felts4)
+
+
+def _ext_from_base(t, felt):
+    z = t.const(0)
+    return t.ext_from([felt, z, z, z])
+
+
+def _assert_ext_eq(t, a, b):
+    from .dsl import Felt
+
+    for i in range(4):
+        t.assert_eq(Felt(t, a.r + i), Felt(t, b.r + i))
+
+
+def traced_fri_verify_single(t: Tracer, pcs, proof, commit8, zeta4, ys,
+                             log_n, width):
+    """Traced verification of a TwoAdicFriPcs proof for ONE committed matrix
+    opened at one point (the lift's FRI core: transcript replay, reduced
+    opening at each queried index, fold chain, final-poly check, Merkle
+    openings — mirrors stark/pcs.py verify for this shape).
+
+    `t` must be a CONCRETE tracer (input_values set): the proof body enters
+    as inline hints whose values come from `proof`, and the emitted program
+    re-verifies it under the recursion machine's constraints."""
+    from ziren_tpu.core import field as F
+    from .dsl import Felt, TracedChallenger
+
+    log_blowup = pcs.fri.log_blowup
+    l = log_n + log_blowup
+    ch = TracedChallenger(t)
+    for f in commit8:
+        ch.observe(f)
+    alpha = _ext(t, ch.sample_ext())
+    cp_commits = []
+    betas = []
+    for c in proof.commit_phase_commits:
+        c8 = [t.hint(int(v)) for v in c]
+        for f in c8:
+            ch.observe(f)
+        cp_commits.append(c8)
+        betas.append(_ext(t, ch.sample_ext()))
+    assert len(cp_commits) == l - log_blowup
+    final_poly = [t.hint(int(v)) for v in proof.final_poly]
+    for f in final_poly:
+        ch.observe(f)
+    if pcs.fri.proof_of_work_bits:
+        pw = t.hint(int(proof.pow_witness))
+        ch.observe(pw)
+        pow_low = ch.sample_bits(pcs.fri.proof_of_work_bits)
+        t.assert_eq(pow_low, t.const(0))
+    half = (F.P_INT + 1) // 2
+    for qp in proof.query_proofs:
+        bits = ch.sample_bits_list(l)
+        rows, path = qp.input_openings[0]
+        row = [t.hint(int(v)) for v in rows[0]]
+        path_h = [[t.hint(int(x)) for x in lvl] for lvl in path]
+        traced_merkle_verify(t, row, bits, path_h, commit8)
+        # reduced opening at x = GENERATOR * g_l^rev(index)
+        g = F.two_adic_generator(l)
+        x = t.const(F.GENERATOR % F.P_INT) * traced_pow_by_bits(
+            t, g, bits, reverse=True)
+        inv_zx = (_ext(t, zeta4) - _ext_from_base(t, x)).inv()
+        acc = None
+        apow = None
+        for c in range(width):
+            diff = _ext(t, ys[4 * c : 4 * c + 4]) - _ext_from_base(t, row[c])
+            term = diff if apow is None else apow * diff
+            acc = term if acc is None else acc + term
+            apow = alpha if apow is None else apow * alpha
+        folded = acc * inv_zx
+        cur_bits = bits
+        shift = F.GENERATOR % F.P_INT
+        cur_l = l
+        for (pair_np, ppath), beta, c8 in zip(
+            qp.commit_phase_openings, betas, cp_commits
+        ):
+            pair = [t.hint(int(v)) for v in pair_np.reshape(-1)]
+            ppath_h = [[t.hint(int(x)) for x in lvl] for lvl in ppath]
+            traced_merkle_verify(t, pair, cur_bits[1:], ppath_h, c8)
+            b0 = cur_bits[0]
+            sel = [t.select(b0, pair[4 + i], pair[i]) for i in range(4)]
+            _assert_ext_eq(t, _ext(t, sel), folded)
+            e0 = _ext(t, pair[:4])
+            e1 = _ext(t, pair[4:])
+            gl = F.two_adic_generator(cur_l)
+            zero = t.const(0)
+            xk = t.const(shift) * traced_pow_by_bits(
+                t, gl, [zero] + cur_bits[1:], reverse=True)
+            xk_inv = xk.inv()
+            even = (e0 + e1) * _ext_from_base(t, t.const(half))
+            odd = ((e0 - e1) * _ext_from_base(t, t.const(half))
+                   * _ext_from_base(t, xk_inv))
+            folded = even + odd * beta
+            cur_bits = cur_bits[1:]
+            shift = (shift * shift) % F.P_INT
+            cur_l -= 1
+        _assert_ext_eq(t, folded, _ext(t, final_poly))
