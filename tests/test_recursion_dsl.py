@@ -218,3 +218,91 @@ def test_traced_fri_verify_real_proof():
     bad[12] = (bad[12] + 1) % F.P_INT
     with pytest.raises(AssertionError):
         interpret(prog, bad, hints=t.hint_values)
+
+
+def test_traced_chip_constraint_eval():
+    """The 6th folder pass: a real MIPS chip's full constraint evaluation at
+    zeta (including the permutation argument) traced in the DSL matches the
+    host VerifierFolder accumulator exactly."""
+    from ziren_tpu.executor.asm import fibonacci_program
+    from ziren_tpu.machine.mips import prove_program
+    from ziren_tpu.recursion.verifier import TracedVerifierFolder
+    from ziren_tpu.stark.domain import natural_domain_for_degree
+    from ziren_tpu.stark.folder import VerifierFolder
+    from ziren_tpu.stark.verifier import _unflatten
+
+    prog = fibonacci_program(30)
+    machine, pk, vk, proof, ex = prove_program(prog)
+    sp = proof.shard_proofs[0]
+    name = "AddSub"
+    chip = machine.chip_by_name[name]
+    vals = sp.opened_values[sp.chip_names.index(name)]
+    dom = natural_domain_for_degree(1 << vals.log_degree)
+    rng = np.random.default_rng(0)
+    zeta, alpha, pc1, pc2 = (
+        rng.integers(0, 2130706433, 4, dtype=np.uint32) for _ in range(4)
+    )
+    sels = dom.selectors_at_point(zeta)
+    host = VerifierFolder(
+        prep_local=[], prep_next=[],
+        main_local=vals.main.local, main_next=vals.main.next,
+        sels=sels, public_values=sp.public_values, alpha=alpha,
+        perm_challenges=(pc1, pc2),
+        local_cumulative_sum=vals.local_cumulative_sum,
+        perm_local=_unflatten(vals.permutation.local),
+        perm_next=_unflatten(vals.permutation.next),
+        global_cumulative_sum=vals.global_cumulative_sum,
+    )
+    chip.eval_with_perm(host)
+    expect = [int(v) for v in host.acc]
+
+    flat = []
+
+    def push_ext(v):
+        flat.extend(int(x) for x in np.asarray(v, np.uint32))
+
+    for v in vals.main.local:
+        push_ext(v)
+    for v in vals.main.next:
+        push_ext(v)
+    for nm in ("is_first_row", "is_last_row", "is_transition"):
+        push_ext(sels[nm])
+    push_ext(alpha)
+    push_ext(pc1)
+    push_ext(pc2)
+    push_ext(vals.local_cumulative_sum)
+    perm_l = _unflatten(vals.permutation.local)
+    perm_n = _unflatten(vals.permutation.next)
+    for v in perm_l:
+        push_ext(v)
+    for v in perm_n:
+        push_ext(v)
+    pv_vals = [int(x) for x in sp.public_values]
+    gsum = [int(x) for x in vals.global_cumulative_sum]
+    inputs = flat + pv_vals + gsum
+    t = Tracer(num_inputs=len(inputs), input_values=inputs)
+    pos = [0]
+
+    def take_ext():
+        h = t.ext_from([t.input(pos[0] + k) for k in range(4)])
+        pos[0] += 4
+        return h
+
+    ml = [take_ext() for _ in vals.main.local]
+    mn = [take_ext() for _ in vals.main.next]
+    s_first, s_last, s_trans = take_ext(), take_ext(), take_ext()
+    alpha_h, pc1_h, pc2_h, lcs_h = (take_ext() for _ in range(4))
+    pl = [take_ext() for _ in perm_l]
+    pn = [take_ext() for _ in perm_n]
+    pv_h = [t.input(pos[0] + j) for j in range(len(pv_vals))]
+    gs_h = [t.input(pos[0] + len(pv_vals) + j) for j in range(14)]
+    folder = TracedVerifierFolder(
+        t, [], [], ml, mn,
+        {"is_first_row": s_first, "is_last_row": s_last,
+         "is_transition": s_trans},
+        pv_h, alpha_h, (pc1_h, pc2_h), lcs_h,
+        perm_local=pl, perm_next=pn, global_cumulative_sum=gs_h,
+    )
+    chip.eval_with_perm(folder)
+    got = [t.vals[folder.acc.e.r + k] for k in range(4)]
+    assert got == expect

@@ -165,3 +165,149 @@ def traced_fri_verify_single(t: Tracer, pcs, proof, commit8, zeta4, ys,
             shift = (shift * shift) % F.P_INT
             cur_l -= 1
         _assert_ext_eq(t, folded, _ext(t, final_poly))
+
+
+class TFV:
+    """Traced folder value: a DSL Ext handle with FV operator surface, so
+    chip `eval` runs unchanged as a 6th (traced) pass."""
+
+    __slots__ = ("fl", "e")
+
+    def __init__(self, fl, e):
+        self.fl = fl
+        self.e = e
+
+    def __add__(self, o):
+        return self.fl._add(self, self.fl.lift(o))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self.fl._sub(self, self.fl.lift(o))
+
+    def __rsub__(self, o):
+        return self.fl._sub(self.fl.lift(o), self)
+
+    def __mul__(self, o):
+        return self.fl._mul(self, self.fl.lift(o))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self.fl._neg(self)
+
+
+class TracedVerifierFolder:
+    """VerifierFolder over DSL Ext handles: evaluates a chip's constraints
+    at zeta INSIDE a recursion program (mirrors stark/folder.py
+    VerifierFolder; acc folding acc = acc * alpha + e)."""
+
+    def __init__(self, t: Tracer, prep_local, prep_next, main_local,
+                 main_next, sels, public_values, alpha, perm_challenges,
+                 local_cumulative_sum, perm_local=None, perm_next=None,
+                 global_cumulative_sum=None):
+        from ziren_tpu.stark.folder import _Builder
+
+        _Builder.__init__(self)
+        self.t = t
+        self.sends = []
+        self.receives = []
+        self._cond = None
+        mk = lambda es: [TFV(self, e) for e in es]
+        self.prep_local = mk(prep_local)
+        self.prep_next = mk(prep_next)
+        self.main_local = mk(main_local)
+        self.main_next = mk(main_next)
+        self.public_values = [self._from_felt(f) for f in public_values]
+        self.is_first_row = TFV(self, sels["is_first_row"])
+        self.is_last_row = TFV(self, sels["is_last_row"])
+        self.is_transition = TFV(self, sels["is_transition"])
+        self.alpha = TFV(self, alpha)
+        self.acc = self.lift(0)
+        self.perm_challenges = tuple(TFV(self, c) for c in perm_challenges)
+        self.local_cumulative_sum = TFV(self, local_cumulative_sum)
+        self._perm_local = mk(perm_local) if perm_local is not None else None
+        self._perm_next = mk(perm_next) if perm_next is not None else None
+        if global_cumulative_sum is None:
+            self.global_cumulative_sum = [self.lift(0)] * 14
+        else:
+            self.global_cumulative_sum = [
+                self._from_felt(f) for f in global_cumulative_sum
+            ]
+
+    # builder surface (duplicated from _Builder to avoid MRO surprises)
+    def when(self, cond):
+        from ziren_tpu.stark.folder import _CondBuilder
+
+        return _CondBuilder(self, cond)
+
+    def when_first_row(self):
+        return self.when(self.is_first_row)
+
+    def when_last_row(self):
+        return self.when(self.is_last_row)
+
+    def when_transition(self):
+        return self.when(self.is_transition)
+
+    def assert_zero(self, e):
+        self._fold(self.lift(e))
+
+    def assert_eq(self, a, b):
+        self.assert_zero(self.lift(a) - b)
+
+    def assert_bool(self, e):
+        e = self.lift(e)
+        self.assert_zero(e * (e - 1))
+
+    def assert_one(self, e):
+        self.assert_zero(self.lift(e) - 1)
+
+    def assert_zero_ext(self, e):
+        self._fold(self.lift(e))
+
+    def assert_eq_ext(self, a, b):
+        self.assert_zero_ext(self.lift(a) - b)
+
+    def send(self, kind, values, mult):
+        from ziren_tpu.stark.lookup import Lookup, LookupScope
+
+        self.sends.append(Lookup(kind, values, mult, LookupScope.Local))
+
+    def receive(self, kind, values, mult):
+        from ziren_tpu.stark.lookup import Lookup, LookupScope
+
+        self.receives.append(Lookup(kind, values, mult, LookupScope.Local))
+
+    def _from_felt(self, f):
+        if isinstance(f, TFV):
+            return f
+        if isinstance(f, Felt):
+            z = self.t.const(0)
+            return TFV(self, self.t.ext_from([f, z, z, z]))
+        return self.lift(int(f))
+
+    def lift(self, x):
+        if isinstance(x, TFV):
+            return x
+        return TFV(self, self.t.ext_const(
+            [int(x) % 2130706433, 0, 0, 0]))
+
+    def _add(self, a, b):
+        return TFV(self, a.e + b.e)
+
+    def _sub(self, a, b):
+        return TFV(self, a.e - b.e)
+
+    def _mul(self, a, b):
+        return TFV(self, a.e * b.e)
+
+    def _neg(self, a):
+        return self.lift(0) - a
+
+    def perm_columns(self, width):
+        assert len(self._perm_local) == width
+        return self._perm_local, self._perm_next
+
+    def _fold(self, e):
+        self.acc = self.acc * self.alpha + e
