@@ -306,3 +306,158 @@ def test_traced_chip_constraint_eval():
     chip.eval_with_perm(folder)
     got = [t.vals[folder.acc.e.r + k] for k in range(4)]
     assert got == expect
+
+
+def test_traced_merkle_batch():
+    """Compress-and-inject MMCS opening (mixed heights) verifies in-trace."""
+    from ziren_tpu.core import merkle
+    from ziren_tpu.recursion.verifier import traced_merkle_verify_batch
+
+    rng = np.random.default_rng(4)
+    mats = [rng.integers(0, 2130706433, size=(16, 3), dtype=np.uint32),
+            rng.integers(0, 2130706433, size=(4, 2), dtype=np.uint32)]
+    tree = merkle.commit(mats)
+    dims = [(16, 3), (4, 2)]
+    index = 13
+    rows, path = merkle.open_at(tree, index)
+    assert merkle.verify_opening(tree.root, dims, index, rows, path)
+
+    inputs = [int(v) for v in tree.root]
+    t = Tracer(num_inputs=8, input_values=inputs)
+    root_h = [t.input(i) for i in range(8)]
+    bits = [t.hint((index >> lvl) & 1) for lvl in range(4)]
+    for b in bits:
+        t.assert_eq(b * b, b)
+    rows_h = [[t.hint(int(v)) for v in r] for r in rows]
+    path_h = [[t.hint(int(x)) for x in lvl] for lvl in path]
+    traced_merkle_verify_batch(t, dims, bits, rows_h, path_h, root_h)
+    prog = t.program()
+    interpret(prog, inputs, hints=t.hint_values)
+    from ziren_tpu.recursion.machine import prove_recursion
+    machine, pk, vk, pf, _ = prove_recursion(prog, inputs,
+                                             hints=t.hint_values)
+    assert machine.verify(vk, pf)
+
+
+def test_traced_pcs_verify_multi_round():
+    """Generic traced pcs.verify: 2 rounds, 3 matrices, mixed heights, two
+    opening points — mirrors the shard-proof shape."""
+    from ziren_tpu.core import field as F
+    from ziren_tpu.recursion.machine import prove_recursion
+    from ziren_tpu.recursion.verifier import traced_pcs_verify
+    from ziren_tpu.stark.domain import natural_domain_for_degree
+    from ziren_tpu.stark.pcs import FriConfig, TwoAdicFriPcs
+    from ziren_tpu.recursion.dsl import TracedChallenger
+
+    pcs = TwoAdicFriPcs(FriConfig(log_blowup=1, num_queries=2,
+                                  proof_of_work_bits=4))
+    rng = np.random.default_rng(11)
+    m1 = rng.integers(0, F.P_INT, size=(16, 2), dtype=np.uint32)
+    m2 = rng.integers(0, F.P_INT, size=(4, 3), dtype=np.uint32)
+    m3 = rng.integers(0, F.P_INT, size=(8, 2), dtype=np.uint32)
+    d1, d2, d3 = (natural_domain_for_degree(n) for n in (16, 4, 8))
+    c1, data1 = pcs.commit([(d1, m1), (d2, m2)])
+    c2, data2 = pcs.commit([(d3, m3)])
+    zeta = np.array([9, 8, 7, 6], dtype=np.uint32)
+    zeta2 = d1.next_point(zeta)
+    host_ch = DuplexChallenger()
+    host_ch.observe_slice(c1)
+    host_ch.observe_slice(c2)
+    opened, proof = pcs.open(
+        [(data1, [[zeta, zeta2], [zeta]]), (data2, [[zeta]])], host_ch)
+    vch = DuplexChallenger()
+    vch.observe_slice(c1)
+    vch.observe_slice(c2)
+    assert pcs.verify(
+        [(c1, [(d1, [(zeta, opened[0][0][0]), (zeta2, opened[0][0][1])]),
+               (d2, [(zeta, opened[0][1][0])])]),
+         (c2, [(d3, [(zeta, opened[1][0][0])])])],
+        proof, vch)
+
+    # traced
+    inputs = [int(v) for v in c1] + [int(v) for v in c2]
+    t = Tracer(num_inputs=16, input_values=inputs)
+    c1_h = [t.input(i) for i in range(8)]
+    c2_h = [t.input(8 + i) for i in range(8)]
+    ch = TracedChallenger(t)
+    for f in c1_h + c2_h:
+        ch.observe(f)
+    zeta_h = t.ext_const([int(v) for v in zeta])
+    zeta2_h = t.ext_const([int(v) for v in zeta2])
+
+    def ys_h(arr):
+        return [t.ext_const([int(x) for x in row]) for row in arr]
+
+    rounds = [
+        (c1_h, [(4, 2, [(zeta_h, ys_h(opened[0][0][0])),
+                        (zeta2_h, ys_h(opened[0][0][1]))]),
+                (2, 3, [(zeta_h, ys_h(opened[0][1][0]))])]),
+        (c2_h, [(3, 2, [(zeta_h, ys_h(opened[1][0][0]))])]),
+    ]
+    traced_pcs_verify(t, pcs, ch, rounds, proof)
+    prog = t.program()
+    interpret(prog, inputs, hints=t.hint_values)
+    machine, pk, vk, pf, _ = prove_recursion(prog, inputs,
+                                             hints=t.hint_values)
+    assert machine.verify(vk, pf)
+
+
+def test_lift_core_engine_proof():
+    """Full traced shard verification of a generic-engine proof, itself
+    proved on the recursion machine (the lift core)."""
+    from test_stark_engine import FibonacciAir, Record, fib_pv
+    from ziren_tpu.recursion.machine import prove_recursion
+    from ziren_tpu.recursion.verifier import traced_verify_shard
+    from ziren_tpu.stark.config import dev_config
+    from ziren_tpu.stark.machine import StarkMachine
+
+    machine = StarkMachine(dev_config(), [FibonacciAir()],
+                           num_public_values=3)
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, [Record(n=16, pv=fib_pv(16))])
+    sp = proof.shard_proofs[0]
+    inputs = [int(v) for v in vk.commit] + [int(v) for v in sp.public_values]
+    t = Tracer(num_inputs=len(inputs), input_values=inputs)
+    vk_h = [t.input(i) for i in range(8)]
+    pv_h = [t.input(8 + i) for i in range(len(sp.public_values))]
+    traced_verify_shard(t, machine, vk, sp, pv_h, vk_h)
+    prog = t.program()
+    interpret(prog, inputs, hints=t.hint_values)
+    m2, pk2, vk2, pf2, _ = prove_recursion(prog, inputs,
+                                           hints=t.hint_values)
+    assert m2.verify(vk2, pf2)
+
+    # a corrupted public value must break the traced transcript
+    import pytest
+    bad = list(inputs)
+    bad[9] = (bad[9] + 1) % 2130706433
+    with pytest.raises(AssertionError):
+        interpret(prog, bad, hints=t.hint_values)
+
+
+def test_lift_core_mips_proof():
+    """THE lift milestone: a full 22-chip MIPS shard proof verified inside
+    a recursion proof (traced transcript + FRI + all chip constraints)."""
+    from ziren_tpu.executor.asm import fibonacci_program
+    from ziren_tpu.machine.mips import prove_program
+    from ziren_tpu.recursion.machine import prove_recursion
+    from ziren_tpu.recursion.verifier import traced_verify_shard
+
+    prog_m = fibonacci_program(30)
+    machine, pk, vk, proof, ex = prove_program(prog_m)
+    sp = proof.shard_proofs[0]
+    inputs = ([int(v) for v in vk.commit]
+              + [int(v) for v in sp.public_values]
+              + [int(x) for x in vk.extra_observations])
+    t = Tracer(num_inputs=len(inputs), input_values=inputs)
+    vk_h = [t.input(i) for i in range(8)]
+    npv = len(sp.public_values)
+    pv_h = [t.input(8 + i) for i in range(npv)]
+    extra_h = [t.input(8 + npv + i)
+               for i in range(len(vk.extra_observations))]
+    traced_verify_shard(t, machine, vk, sp, pv_h, vk_h, extra_h)
+    prog = t.program()
+    interpret(prog, inputs, hints=t.hint_values)
+    m2, pk2, vk2, pf2, _ = prove_recursion(prog, inputs,
+                                           hints=t.hint_values)
+    assert m2.verify(vk2, pf2)
