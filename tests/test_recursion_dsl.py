@@ -461,3 +461,25 @@ def test_lift_core_mips_proof():
     m2, pk2, vk2, pf2, _ = prove_recursion(prog, inputs,
                                            hints=t.hint_values)
     assert m2.verify(vk2, pf2)
+
+
+def test_compress_pipeline():
+    """lift + join + compress: two engine shard proofs reduce to ONE
+    recursion proof (the reference's compress tree shape)."""
+    from test_stark_engine import FibonacciAir, Record, fib_pv
+    from ziren_tpu.recursion.pipeline import compress
+    from ziren_tpu.stark.config import dev_config
+    from ziren_tpu.stark.machine import StarkMachine
+
+    machine = StarkMachine(dev_config(), [FibonacciAir()],
+                           num_public_values=3)
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, [Record(n=16, pv=fib_pv(16)),
+                               Record(n=32, pv=fib_pv(32))])
+    assert len(proof.shard_proofs) == 2
+    rm, rvk, final_sp = compress(machine, vk, proof)
+    # the final proof is one recursion shard proof; verify it directly
+    from ziren_tpu.stark.proof import MachineProof
+    assert rm.verify(rvk, MachineProof([final_sp]))
+    # its public values expose both children's (vk, pv) interfaces
+    assert len(final_sp.public_values) == 2 * (8 + 8 + 3)

@@ -34,7 +34,15 @@ def test_reference_elf_executes():
 def test_unimplemented_actions_raise():
     client = ProverClient()
     with pytest.raises(NotImplementedError):
-        client.compressed_prove(None, None)
+        client.groth16_prove(None, None)
+
+
+def test_compressed_prove():
+    client = ProverClient(config="dev")
+    pk, vk = client.setup(fibonacci_program(20))
+    rm, rvk, final_sp = client.compressed_prove(pk)
+    from ziren_tpu.stark.proof import MachineProof
+    assert rm.verify(rvk, MachineProof([final_sp]))
 
 
 def test_cycle_tracker_and_histograms():

@@ -1,0 +1,79 @@
+"""Recursion pipeline drivers: lift / join / compress
+(reference: crates/prover/src/lib.rs — shard proofs are lifted into
+recursion proofs, then reduced pairwise to a single proof).
+
+Public-value convention: a lift proof's inputs (= its public values) are
+[inner vk commit (8) | inner shard public values | vk extra observations];
+a join proof's inputs concatenate both children's inputs, so the final
+compressed proof still exposes every shard's public interface. Cross-shard
+public-value chaining checks on top of this live with the machine-level
+wrapper (verify_mips_proof) for now — see ROADMAP.md.
+"""
+
+from __future__ import annotations
+
+from .dsl import Tracer, interpret
+from .machine import prove_recursion
+from .verifier import traced_verify_shard
+
+
+def lift(machine, vk, shard_proof, config=None):
+    """One recursion proof attesting one shard proof."""
+    extra = [int(x) for x in vk.extra_observations]
+    inputs = ([int(v) for v in vk.commit]
+              + [int(v) for v in shard_proof.public_values] + extra)
+    t = Tracer(num_inputs=len(inputs), input_values=inputs)
+    vk_h = [t.input(i) for i in range(8)]
+    npv = len(shard_proof.public_values)
+    pv_h = [t.input(8 + i) for i in range(npv)]
+    extra_h = [t.input(8 + npv + i) for i in range(len(extra))]
+    traced_verify_shard(t, machine, vk, shard_proof, pv_h, vk_h, extra_h)
+    prog = t.program()
+    rm, rpk, rvk, rproof, _ = prove_recursion(
+        prog, inputs, config=config, hints=t.hint_values)
+    return rm, rvk, rproof, inputs
+
+
+def join(side_a, side_b, config=None):
+    """One recursion proof attesting two recursion proofs. Each side is
+    (rec_machine, rec_vk, rec_shard_proof)."""
+    (ma, vka, spa), (mb, vkb, spb) = side_a, side_b
+    ins_a = [int(v) for v in vka.commit] + [int(v) for v in spa.public_values]
+    ins_b = [int(v) for v in vkb.commit] + [int(v) for v in spb.public_values]
+    inputs = ins_a + ins_b
+    t = Tracer(num_inputs=len(inputs), input_values=inputs)
+    off = 0
+
+    def take(k):
+        nonlocal off
+        hs = [t.input(off + i) for i in range(k)]
+        off += k
+        return hs
+
+    vka_h = take(8)
+    pva_h = take(len(spa.public_values))
+    vkb_h = take(8)
+    pvb_h = take(len(spb.public_values))
+    traced_verify_shard(t, ma, vka, spa, pva_h, vka_h)
+    traced_verify_shard(t, mb, vkb, spb, pvb_h, vkb_h)
+    prog = t.program()
+    rm, rpk, rvk, rproof, _ = prove_recursion(
+        prog, inputs, config=config, hints=t.hint_values)
+    return rm, rvk, rproof, inputs
+
+
+def compress(machine, vk, machine_proof, config=None):
+    """Lift every shard, then reduce pairwise to ONE recursion proof."""
+    layer = []
+    for sp in machine_proof.shard_proofs:
+        rm, rvk, rproof, _ = lift(machine, vk, sp, config=config)
+        layer.append((rm, rvk, rproof.shard_proofs[0]))
+    while len(layer) > 1:
+        nxt = []
+        for i in range(0, len(layer) - 1, 2):
+            rm, rvk, rproof, _ = join(layer[i], layer[i + 1], config=config)
+            nxt.append((rm, rvk, rproof.shard_proofs[0]))
+        if len(layer) % 2:
+            nxt.append(layer[-1])
+        layer = nxt
+    return layer[0]

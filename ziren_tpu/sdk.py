@@ -136,11 +136,21 @@ class ProverClient:
             proof, PublicValuesStream(list(ex.committed_values))
         )
 
-    def compressed_prove(self, *a, **k):
-        raise NotImplementedError("recursion stack lands in a later round")
+    def compressed_prove(self, pk: ZirenProvingKey,
+                         stdin: ZirenStdin | None = None,
+                         shard_size: int | None = None):
+        """Core prove, then lift every shard and reduce to ONE recursion
+        proof (reference compress tree; see ziren_tpu/recursion/pipeline).
+        Returns (rec_machine, rec_vk, final_recursion_shard_proof)."""
+        from ziren_tpu.recursion.pipeline import compress
 
-    groth16_prove = compressed_prove
-    plonk_prove = compressed_prove
+        core = self.prove(pk, stdin, shard_size=shard_size)
+        return compress(pk.machine, pk.vk, core.proof, config=self._config)
+
+    def groth16_prove(self, *a, **k):
+        raise NotImplementedError("BN254 wrap lands with the gnark FFI")
+
+    plonk_prove = groth16_prove
 
     def verify(self, proof: ZirenProofWithPublicValues,
                vk: ZirenVerifyingKey) -> bool:
