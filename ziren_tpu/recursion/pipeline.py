@@ -13,12 +13,48 @@ wrapper (verify_mips_proof) for now — see ROADMAP.md.
 from __future__ import annotations
 
 from .dsl import Tracer, interpret
-from .machine import prove_recursion
+from .machine import prove_recursion, recursion_machine
 from .verifier import traced_verify_shard
+
+# Shape cache (the reference's shape system, emergent form): the traced
+# verifier program depends only on the inner proof's SHAPE (chip set, log
+# degrees, pv length, FRI params) — not its values — so same-shaped proofs
+# share one recursion machine + vk.
+_SHAPE_CACHE: dict = {}
+
+
+def _shape_key(machine, shard_proof):
+    fri = machine.config.fri
+    return (
+        tuple(shard_proof.chip_names),
+        tuple(v.log_degree for v in shard_proof.opened_values),
+        len(shard_proof.public_values),
+        fri.log_blowup, fri.num_queries, fri.proof_of_work_bits,
+    )
+
+
+def _prove_cached(key, prog, inputs, hints, config):
+    from .machine import _Record
+
+    cached = _SHAPE_CACHE.get(key)
+    if cached is None:
+        rm, _comp = recursion_machine(prog, config)
+        rpk, rvk = rm.setup(prog)
+        if len(_SHAPE_CACHE) > 64:
+            _SHAPE_CACHE.clear()
+        _SHAPE_CACHE[key] = (rm, rpk, rvk)
+    else:
+        rm, rpk, rvk = cached
+    outputs, regs = interpret(prog, inputs, return_regs=True, hints=hints)
+    rec = _Record(inputs, regs)
+    rec.public_values = list(inputs) + list(outputs)
+    rproof = rm.prove(rpk, [rec])
+    return rm, rvk, rproof
 
 
 def lift(machine, vk, shard_proof, config=None):
-    """One recursion proof attesting one shard proof."""
+    """One recursion proof attesting one shard proof. Same-shaped inner
+    proofs reuse one recursion machine + vk (the shape system)."""
     extra = [int(x) for x in vk.extra_observations]
     inputs = ([int(v) for v in vk.commit]
               + [int(v) for v in shard_proof.public_values] + extra)
@@ -29,8 +65,8 @@ def lift(machine, vk, shard_proof, config=None):
     extra_h = [t.input(8 + npv + i) for i in range(len(extra))]
     traced_verify_shard(t, machine, vk, shard_proof, pv_h, vk_h, extra_h)
     prog = t.program()
-    rm, rpk, rvk, rproof, _ = prove_recursion(
-        prog, inputs, config=config, hints=t.hint_values)
+    key = ("lift", len(extra)) + _shape_key(machine, shard_proof)
+    rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
     return rm, rvk, rproof, inputs
 
 
@@ -57,8 +93,8 @@ def join(side_a, side_b, config=None):
     traced_verify_shard(t, ma, vka, spa, pva_h, vka_h)
     traced_verify_shard(t, mb, vkb, spb, pvb_h, vkb_h)
     prog = t.program()
-    rm, rpk, rvk, rproof, _ = prove_recursion(
-        prog, inputs, config=config, hints=t.hint_values)
+    key = (("join",) + _shape_key(ma, spa) + _shape_key(mb, spb))
+    rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
     return rm, rvk, rproof, inputs
 
 
