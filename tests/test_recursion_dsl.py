@@ -1,7 +1,10 @@
 """Recursion DSL tracer + interpreter (round-2 groundwork, see
 docs/recursion_design.md)."""
 
+import os
+
 import numpy as np
+import pytest
 
 from ziren_tpu.core import ext as E
 from ziren_tpu.core.challenger import DuplexChallenger
@@ -483,3 +486,19 @@ def test_compress_pipeline():
     assert rm.verify(rvk, MachineProof([final_sp]))
     # its public values expose both children's (vk, pv) interfaces
     assert len(final_sp.public_values) == 2 * (8 + 8 + 3)
+
+
+@pytest.mark.skipif(os.environ.get("ZIREN_SLOW_TESTS") != "1",
+                    reason="multi-minute: set ZIREN_SLOW_TESTS=1")
+def test_compress_multishard_mips():
+    """Full pipeline on a real multi-shard MIPS continuation proof."""
+    from ziren_tpu.executor.asm import fibonacci_program
+    from ziren_tpu.machine.mips import prove_program
+    from ziren_tpu.recursion.pipeline import compress
+    from ziren_tpu.stark.proof import MachineProof
+
+    prog = fibonacci_program(600)
+    machine, pk, vk, proof, ex = prove_program(prog, shard_size=2048)
+    assert len(proof.shard_proofs) >= 2
+    rm, rvk, final_sp = compress(machine, vk, proof)
+    assert rm.verify(rvk, MachineProof([final_sp]))
