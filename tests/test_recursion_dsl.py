@@ -502,3 +502,21 @@ def test_compress_multishard_mips():
     assert len(proof.shard_proofs) >= 2
     rm, rvk, final_sp = compress(machine, vk, proof)
     assert rm.verify(rvk, MachineProof([final_sp]))
+
+
+def test_compact_lift_digest():
+    """Compact lift: the proof's only public values are the Poseidon2
+    digest of (inner vk, pv) — wrap-ready, recomputable host-side."""
+    from test_stark_engine import FibonacciAir, Record, fib_pv
+    from ziren_tpu.recursion.pipeline import lift, lift_digest
+    from ziren_tpu.stark.config import dev_config
+    from ziren_tpu.stark.machine import StarkMachine
+
+    m = StarkMachine(dev_config(), [FibonacciAir()], num_public_values=3)
+    pk, vk = m.setup()
+    proof = m.prove(pk, [Record(n=16, pv=fib_pv(16))])
+    sp = proof.shard_proofs[0]
+    rm, rvk, rproof, inputs = lift(m, vk, sp, compact=True)
+    final = rproof.shard_proofs[0]
+    assert final.public_values == lift_digest(vk, sp)
+    assert rm.verify(rvk, rproof)

@@ -52,20 +52,38 @@ def _prove_cached(key, prog, inputs, hints, config):
     return rm, rvk, rproof
 
 
-def lift(machine, vk, shard_proof, config=None):
+def lift(machine, vk, shard_proof, config=None, compact=False):
     """One recursion proof attesting one shard proof. Same-shaped inner
-    proofs reuse one recursion machine + vk (the shape system)."""
+    proofs reuse one recursion machine + vk (the shape system).
+
+    compact=True: the inner (vk commit, public values, extras) enter as
+    HINTS and the proof exposes only their 8-felt Poseidon2 digest — the
+    reference's RecursionPublicValues digest convention, wrap-ready. The
+    consumer recomputes the digest from the expected vk/pv."""
+    from .verifier import traced_hash_rows
+
     extra = [int(x) for x in vk.extra_observations]
-    inputs = ([int(v) for v in vk.commit]
-              + [int(v) for v in shard_proof.public_values] + extra)
-    t = Tracer(num_inputs=len(inputs), input_values=inputs)
-    vk_h = [t.input(i) for i in range(8)]
+    flat = ([int(v) for v in vk.commit]
+            + [int(v) for v in shard_proof.public_values] + extra)
     npv = len(shard_proof.public_values)
-    pv_h = [t.input(8 + i) for i in range(npv)]
-    extra_h = [t.input(8 + npv + i) for i in range(len(extra))]
+    if compact:
+        t = Tracer(num_inputs=0, input_values=[])
+        handles = [t.hint(v) for v in flat]
+        inputs = []
+    else:
+        t = Tracer(num_inputs=len(flat), input_values=flat)
+        handles = [t.input(i) for i in range(len(flat))]
+        inputs = flat
+    vk_h = handles[:8]
+    pv_h = handles[8 : 8 + npv]
+    extra_h = handles[8 + npv :]
     traced_verify_shard(t, machine, vk, shard_proof, pv_h, vk_h, extra_h)
+    if compact:
+        digest = traced_hash_rows(t, handles)
+        for d in digest:
+            t.output(d)
     prog = t.program()
-    key = ("lift", len(extra)) + _shape_key(machine, shard_proof)
+    key = ("lift", compact, len(extra)) + _shape_key(machine, shard_proof)
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
     return rm, rvk, rproof, inputs
 
@@ -96,6 +114,19 @@ def join(side_a, side_b, config=None):
     key = (("join",) + _shape_key(ma, spa) + _shape_key(mb, spb))
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
     return rm, rvk, rproof, inputs
+
+
+def lift_digest(vk, shard_proof):
+    """The 8-felt digest a compact lift exposes, recomputed host-side."""
+    import numpy as np
+
+    from ziren_tpu.core import poseidon2 as p2
+
+    flat = ([int(v) for v in vk.commit]
+            + [int(v) for v in shard_proof.public_values]
+            + [int(x) for x in vk.extra_observations])
+    return [int(v) for v in p2.hash_rows(
+        np.array([flat], dtype=np.uint32))[0]]
 
 
 def compress(machine, vk, machine_proof, config=None):
