@@ -520,3 +520,19 @@ def test_compact_lift_digest():
     final = rproof.shard_proofs[0]
     assert final.public_values == lift_digest(vk, sp)
     assert rm.verify(rvk, rproof)
+
+
+@pytest.mark.skipif(os.environ.get("ZIREN_SLOW_TESTS") != "1",
+                    reason="~1 min: set ZIREN_SLOW_TESTS=1")
+def test_compress_reference_elf():
+    """The reference repo's real guest ELF: prove + compress + verify."""
+    from ziren_tpu.executor.program import load_elf
+    from ziren_tpu.machine.mips import prove_program
+    from ziren_tpu.recursion.pipeline import compress
+    from ziren_tpu.stark.proof import MachineProof
+
+    elf = open("/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf",
+               "rb").read()
+    machine, pk, vk, proof, ex = prove_program(load_elf(elf))
+    rm, rvk, final_sp = compress(machine, vk, proof)
+    assert rm.verify(rvk, MachineProof([final_sp]))
