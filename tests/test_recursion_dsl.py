@@ -536,3 +536,27 @@ def test_compress_reference_elf():
     machine, pk, vk, proof, ex = prove_program(load_elf(elf))
     rm, rvk, final_sp = compress(machine, vk, proof)
     assert rm.verify(rvk, MachineProof([final_sp]))
+
+
+@pytest.mark.skipif(os.environ.get("ZIREN_SLOW_TESTS") != "1",
+                    reason="multi-minute: set ZIREN_SLOW_TESTS=1")
+def test_chained_compress_mips():
+    """Cross-shard pv chaining (pc / shard index / digest equality) enforced
+    IN-CIRCUIT at the first join layer."""
+    from ziren_tpu.executor.asm import fibonacci_program
+    from ziren_tpu.machine.mips import prove_program
+    from ziren_tpu.recursion.pipeline import (compress, join, lift,
+                                              mips_shard_chain)
+    from ziren_tpu.stark.proof import MachineProof
+
+    prog = fibonacci_program(600)
+    machine, pk, vk, proof, ex = prove_program(prog, shard_size=2048)
+    assert len(proof.shard_proofs) == 2
+    rm, rvk, final_sp = compress(machine, vk, proof, chain=mips_shard_chain)
+    assert rm.verify(rvk, MachineProof([final_sp]))
+
+    # joining the SAME shard twice violates the +1 shard-index chain
+    a = lift(machine, vk, proof.shard_proofs[0])
+    side = (a[0], a[1], a[2].shard_proofs[0])
+    with pytest.raises(AssertionError):
+        join(side, side, chain=mips_shard_chain)

@@ -88,9 +88,11 @@ def lift(machine, vk, shard_proof, config=None, compact=False):
     return rm, rvk, rproof, inputs
 
 
-def join(side_a, side_b, config=None):
+def join(side_a, side_b, config=None, chain=None):
     """One recursion proof attesting two recursion proofs. Each side is
-    (rec_machine, rec_vk, rec_shard_proof)."""
+    (rec_machine, rec_vk, rec_shard_proof). `chain(t, pva_h, pvb_h)` may
+    add cross-child constraints over the children's public-value handles
+    (e.g. MIPS shard pc/digest chaining)."""
     (ma, vka, spa), (mb, vkb, spb) = side_a, side_b
     ins_a = [int(v) for v in vka.commit] + [int(v) for v in spa.public_values]
     ins_b = [int(v) for v in vkb.commit] + [int(v) for v in spb.public_values]
@@ -110,8 +112,11 @@ def join(side_a, side_b, config=None):
     pvb_h = take(len(spb.public_values))
     traced_verify_shard(t, ma, vka, spa, pva_h, vka_h)
     traced_verify_shard(t, mb, vkb, spb, pvb_h, vkb_h)
+    if chain is not None:
+        chain(t, pva_h, pvb_h)
     prog = t.program()
-    key = (("join",) + _shape_key(ma, spa) + _shape_key(mb, spb))
+    key = (("join", chain is not None)
+           + _shape_key(ma, spa) + _shape_key(mb, spb))
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
     return rm, rvk, rproof, inputs
 
@@ -129,18 +134,45 @@ def lift_digest(vk, shard_proof):
         np.array([flat], dtype=np.uint32))[0]]
 
 
-def compress(machine, vk, machine_proof, config=None):
-    """Lift every shard, then reduce pairwise to ONE recursion proof."""
+def compress(machine, vk, machine_proof, config=None, chain=None):
+    """Lift every shard, then reduce pairwise to ONE recursion proof.
+    `chain` applies only at the first join layer, where children are
+    adjacent shard lifts (their pv carry the inner shard pv at a fixed
+    offset)."""
     layer = []
     for sp in machine_proof.shard_proofs:
         rm, rvk, rproof, _ = lift(machine, vk, sp, config=config)
         layer.append((rm, rvk, rproof.shard_proofs[0]))
+    first_layer = True
     while len(layer) > 1:
         nxt = []
         for i in range(0, len(layer) - 1, 2):
-            rm, rvk, rproof, _ = join(layer[i], layer[i + 1], config=config)
+            rm, rvk, rproof, _ = join(
+                layer[i], layer[i + 1], config=config,
+                chain=chain if first_layer else None)
             nxt.append((rm, rvk, rproof.shard_proofs[0]))
         if len(layer) % 2:
             nxt.append(layer[-1])
         layer = nxt
+        first_layer = False
     return layer[0]
+
+
+def mips_shard_chain(t, pva_h, pvb_h):
+    """Cross-shard chaining for adjacent MIPS shard lifts inside a join
+    (mirrors machine/mips.py verify_mips_proof): the lift pv layout is
+    [inner vk (8) | shard pv | extras], and the MIPS shard pv carry the
+    40-word digest, start/next pc and shard index at fixed offsets."""
+    from ziren_tpu.machine.messages import (PV_EXECUTION_SHARD, PV_NEXT_PC,
+                                            PV_SHARD, PV_START_PC)
+
+    off = 8  # skip the inner vk commit
+    a = pva_h[off:]
+    b = pvb_h[off:]
+    # committed/deferred digests agree between adjacent shards
+    for i in range(40):
+        t.assert_eq(a[i], b[i])
+    # pc chaining and consecutive shard numbering
+    t.assert_eq(a[PV_NEXT_PC], b[PV_START_PC])
+    t.assert_eq(b[PV_SHARD], a[PV_SHARD] + 1)
+    t.assert_eq(b[PV_EXECUTION_SHARD], a[PV_EXECUTION_SHARD] + 1)
