@@ -560,3 +560,25 @@ def test_chained_compress_mips():
     side = (a[0], a[1], a[2].shard_proofs[0])
     with pytest.raises(AssertionError):
         join(side, side, chain=mips_shard_chain)
+
+
+def test_shrink_compact_artifact():
+    """compress -> shrink: the final artifact is one recursion proof whose
+    only public values are an 8-felt digest (wrap input shape)."""
+    from test_stark_engine import FibonacciAir, Record, fib_pv
+    from ziren_tpu.recursion.pipeline import compress, lift_digest, shrink
+    from ziren_tpu.stark.config import dev_config
+    from ziren_tpu.stark.machine import StarkMachine
+    from ziren_tpu.stark.proof import MachineProof
+
+    m = StarkMachine(dev_config(), [FibonacciAir()], num_public_values=3)
+    pk, vk = m.setup()
+    proof = m.prove(pk, [Record(n=16, pv=fib_pv(16)),
+                         Record(n=32, pv=fib_pv(32))])
+    rm, rvk, final_sp = compress(m, vk, proof)
+    sm, svk, sproof, _ = shrink(rm, rvk, final_sp)
+    wrapped = sproof.shard_proofs[0]
+    assert len(wrapped.public_values) == 8  # the compact digest
+    assert sm.verify(svk, sproof)
+
+

@@ -176,3 +176,12 @@ def mips_shard_chain(t, pva_h, pvb_h):
     t.assert_eq(a[PV_NEXT_PC], b[PV_START_PC])
     t.assert_eq(b[PV_SHARD], a[PV_SHARD] + 1)
     t.assert_eq(b[PV_EXECUTION_SHARD], a[PV_EXECUTION_SHARD] + 1)
+
+
+def shrink(rec_machine, rec_vk, rec_shard_proof, config=None):
+    """Re-prove a compressed recursion proof (optionally at a smaller
+    config) with compact public values — the artifact the BN254 wrap
+    consumes (reference: shrink/wrap staging). Structurally this is `lift`
+    applied to a recursion proof."""
+    return lift(rec_machine, rec_vk, rec_shard_proof, config=config,
+                compact=True)
