@@ -5,9 +5,15 @@ recursion proofs, then reduced pairwise to a single proof).
 Public-value convention: a lift proof's inputs (= its public values) are
 [inner vk commit (8) | inner shard public values | vk extra observations];
 a join proof's inputs concatenate both children's inputs, so the final
-compressed proof still exposes every shard's public interface. Cross-shard
-public-value chaining checks on top of this live with the machine-level
-wrapper (verify_mips_proof) for now — see ROADMAP.md.
+compressed proof still exposes every shard's public interface. Joins can
+additionally enforce cross-shard chaining in-circuit (`chain=`).
+
+Trust model (reference VERIFY_VK analogue): every layer exposes the vk
+commits it verified against in its public values (or their digest in
+compact mode), so the FINAL consumer must check the expected vk chain —
+the inner machine's vk and the per-layer recursion vks (uniform per shape
+thanks to the shape cache). Embedding an allowed-vk merkle root in-circuit
+is round-2 hardening (reference: prover/lib.rs vk_verification).
 """
 
 from __future__ import annotations
