@@ -116,12 +116,21 @@ def join(side_a, side_b, config=None, chain=None):
     pva_h = take(len(spa.public_values))
     vkb_h = take(8)
     pvb_h = take(len(spb.public_values))
+    # pin the children's recursion vks IN-CIRCUIT (the reference bakes the
+    # allowed recursion vks into the reduce program): the join's own vk now
+    # attests exactly which child verifiers ran
+    for h, v in zip(vka_h, vka.commit):
+        t.assert_eq(h, t.const(int(v)))
+    for h, v in zip(vkb_h, vkb.commit):
+        t.assert_eq(h, t.const(int(v)))
     traced_verify_shard(t, ma, vka, spa, pva_h, vka_h)
     traced_verify_shard(t, mb, vkb, spb, pvb_h, vkb_h)
     if chain is not None:
         chain(t, pva_h, pvb_h)
     prog = t.program()
-    key = (("join", chain is not None)
+    key = (("join", chain is not None,
+            tuple(int(v) for v in vka.commit),
+            tuple(int(v) for v in vkb.commit))
            + _shape_key(ma, spa) + _shape_key(mb, spb))
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
     return rm, rvk, rproof, inputs
