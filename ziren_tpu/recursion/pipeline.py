@@ -8,12 +8,10 @@ a join proof's inputs concatenate both children's inputs, so the final
 compressed proof still exposes every shard's public interface. Joins can
 additionally enforce cross-shard chaining in-circuit (`chain=`).
 
-Trust model (reference VERIFY_VK analogue): every layer exposes the vk
-commits it verified against in its public values (or their digest in
-compact mode), so the FINAL consumer must check the expected vk chain —
-the inner machine's vk and the per-layer recursion vks (uniform per shape
-thanks to the shape cache). Embedding an allowed-vk merkle root in-circuit
-is round-2 hardening (reference: prover/lib.rs vk_verification).
+Trust model (reference VERIFY_VK analogue): joins PIN their children's
+recursion vks in-circuit, so each layer's vk transitively attests the
+whole verifier tree below it — the consumer checks only the TOP recursion
+vk plus the base machine's vk carried in the public values.
 """
 
 from __future__ import annotations
