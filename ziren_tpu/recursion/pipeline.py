@@ -37,8 +37,11 @@ def _shape_key(machine, shard_proof):
     )
 
 
-def _prove_cached(key, prog, inputs, hints, config):
+def _prove_cached(key, prog, inputs, hints, config, tracer=None):
     from .machine import _Record
+    import numpy as np
+
+    from .dsl import Op
 
     cached = _SHAPE_CACHE.get(key)
     if cached is None:
@@ -49,7 +52,15 @@ def _prove_cached(key, prog, inputs, hints, config):
         _SHAPE_CACHE[key] = (rm, rpk, rvk)
     else:
         rm, rpk, rvk = cached
-    outputs, regs = interpret(prog, inputs, return_regs=True, hints=hints)
+    if tracer is not None and tracer.input_values is not None:
+        # the concrete tracer already evaluated every op — reuse its values
+        vals = tracer.vals + [0] * (prog.num_regs - len(tracer.vals))
+        regs = np.asarray(vals, dtype=np.uint32)
+        outputs = [int(regs[a]) for op, a, _b, _c, _d in prog.ops
+                   if op == Op.OUTPUT]
+    else:
+        outputs, regs = interpret(prog, inputs, return_regs=True,
+                                  hints=hints)
     rec = _Record(inputs, regs)
     rec.public_values = list(inputs) + list(outputs)
     rproof = rm.prove(rpk, [rec])
@@ -88,7 +99,8 @@ def lift(machine, vk, shard_proof, config=None, compact=False):
             t.output(d)
     prog = t.program()
     key = ("lift", compact, len(extra)) + _shape_key(machine, shard_proof)
-    rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
+    rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values,
+                                    config, tracer=t)
     return rm, rvk, rproof, inputs
 
 
@@ -130,7 +142,8 @@ def join(side_a, side_b, config=None, chain=None):
             tuple(int(v) for v in vka.commit),
             tuple(int(v) for v in vkb.commit))
            + _shape_key(ma, spa) + _shape_key(mb, spb))
-    rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values, config)
+    rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values,
+                                    config, tracer=t)
     return rm, rvk, rproof, inputs
 
 
