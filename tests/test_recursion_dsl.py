@@ -522,8 +522,6 @@ def test_compact_lift_digest():
     assert rm.verify(rvk, rproof)
 
 
-@pytest.mark.skipif(os.environ.get("ZIREN_SLOW_TESTS") != "1",
-                    reason="~1 min: set ZIREN_SLOW_TESTS=1")
 def test_compress_reference_elf():
     """The reference repo's real guest ELF: prove + compress + verify."""
     from ziren_tpu.executor.program import load_elf

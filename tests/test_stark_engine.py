@@ -108,6 +108,38 @@ def test_fibonacci_rejects_tampered_opened_value():
         machine.verify(vk, proof)
 
 
+def test_rejects_duplicate_chip_instances():
+    """A proof minting a second instance of a chip (e.g. a rogue extra
+    MemoryInit) must be rejected before any crypto work (ADVICE r1)."""
+    import copy
+
+    machine = StarkMachine(dev_config(), [FibonacciAir()], num_public_values=3)
+    pk, vk = machine.setup()
+    rec = Record(n=16, pv=fib_pv(16))
+    proof = machine.prove(pk, [rec])
+    sp = proof.shard_proofs[0]
+    sp.chip_names.append(sp.chip_names[0])
+    sp.opened_values.append(copy.deepcopy(sp.opened_values[0]))
+    with pytest.raises(VerificationError, match="duplicate"):
+        machine.verify(vk, proof)
+
+
+def test_rejects_unknown_chip_and_bad_log_degree():
+    machine = StarkMachine(dev_config(), [FibonacciAir()], num_public_values=3)
+    pk, vk = machine.setup()
+    rec = Record(n=16, pv=fib_pv(16))
+    proof = machine.prove(pk, [rec])
+    sp = proof.shard_proofs[0]
+    orig = sp.chip_names[0]
+    sp.chip_names[0] = "NoSuchChip"
+    with pytest.raises(VerificationError, match="unknown"):
+        machine.verify(vk, proof)
+    sp.chip_names[0] = orig
+    sp.opened_values[0].log_degree = 40
+    with pytest.raises(VerificationError, match="log_degree"):
+        machine.verify(vk, proof)
+
+
 def test_logup_cross_chip():
     machine = StarkMachine(dev_config(), [SenderAir(), TableAir()])
     pk, vk = machine.setup()

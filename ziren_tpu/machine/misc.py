@@ -1,8 +1,6 @@
-"""Misc instruction chips: MiscChip (SEXT/WSBH/TEQ), MovCondChip (MEQ/MNE),
-CloClzChip (CLZ/CLO) (reference: crates/core/machine/src/misc/, alu/clo_clz).
-
-EXT/INS land in a follow-up pass (bitfield extract/insert need the dynamic
-mask machinery)."""
+"""Misc instruction chips: MiscChip (EXT/INS/SEXT/WSBH/TEQ), MovCondChip
+(MEQ/MNE), CloClzChip (CLZ/CLO)
+(reference: crates/core/machine/src/misc/, alu/clo_clz)."""
 
 from __future__ import annotations
 

@@ -27,14 +27,27 @@ from .verifier import traced_verify_shard
 _SHAPE_CACHE: dict = {}
 
 
-def _shape_key(machine, shard_proof):
+def _shape_key(machine, shard_proof, vk=None):
+    """Cache key for the traced verifier program. Includes the inner vk
+    identity (commit + preprocessed chip dims): the traced program bakes
+    vk-dependent constants (prep round dims, Merkle depths), so two guests
+    with equal trace shape but different programs must not collide."""
     fri = machine.config.fri
+    vk_part = ()
+    if vk is not None:
+        vk_part = (
+            tuple(int(v) for v in vk.commit),
+            tuple(
+                (name, dom.log_n, tuple(dims), bool(local_only))
+                for name, dom, dims, local_only in vk.chip_information
+            ),
+        )
     return (
         tuple(shard_proof.chip_names),
         tuple(v.log_degree for v in shard_proof.opened_values),
         len(shard_proof.public_values),
         fri.log_blowup, fri.num_queries, fri.proof_of_work_bits,
-    )
+    ) + vk_part
 
 
 def _prove_cached(key, prog, inputs, hints, config, tracer=None):
@@ -49,9 +62,13 @@ def _prove_cached(key, prog, inputs, hints, config, tracer=None):
         rpk, rvk = rm.setup(prog)
         if len(_SHAPE_CACHE) > 64:
             _SHAPE_CACHE.clear()
-        _SHAPE_CACHE[key] = (rm, rpk, rvk)
+        _SHAPE_CACHE[key] = (rm, rpk, rvk, (len(prog.ops), prog.num_regs))
     else:
-        rm, rpk, rvk = cached
+        rm, rpk, rvk, sig = cached
+        assert sig == (len(prog.ops), prog.num_regs), (
+            "shape-cache collision: cached recursion program does not match "
+            "the freshly traced one"
+        )
     if tracer is not None and tracer.input_values is not None:
         # the concrete tracer already evaluated every op — reuse its values
         vals = tracer.vals + [0] * (prog.num_regs - len(tracer.vals))
@@ -98,7 +115,7 @@ def lift(machine, vk, shard_proof, config=None, compact=False):
         for d in digest:
             t.output(d)
     prog = t.program()
-    key = ("lift", compact, len(extra)) + _shape_key(machine, shard_proof)
+    key = ("lift", compact, len(extra)) + _shape_key(machine, shard_proof, vk)
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values,
                                     config, tracer=t)
     return rm, rvk, rproof, inputs
@@ -138,10 +155,8 @@ def join(side_a, side_b, config=None, chain=None):
     if chain is not None:
         chain(t, pva_h, pvb_h)
     prog = t.program()
-    key = (("join", chain is not None,
-            tuple(int(v) for v in vka.commit),
-            tuple(int(v) for v in vkb.commit))
-           + _shape_key(ma, spa) + _shape_key(mb, spb))
+    key = (("join", chain is not None)
+           + _shape_key(ma, spa, vka) + _shape_key(mb, spb, vkb))
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values,
                                     config, tracer=t)
     return rm, rvk, rproof, inputs

@@ -31,12 +31,38 @@ def _unflatten(vals: list) -> list:
     return out
 
 
+MAX_LOG_DEGREE = 26  # reference caps shard log degree (opts.rs shard sizing)
+
+
 def verify_shard(machine, vk, proof, challenger):
     config = machine.config
     pcs = config.pcs
+    # proof-supplied structure validation BEFORE any use (reference derives
+    # the chip set from the machine; a malicious proof must not mint extra
+    # chip instances, e.g. a second MemoryInit for the same address)
+    if len(set(proof.chip_names)) != len(proof.chip_names):
+        raise VerificationError("duplicate chip names in proof")
+    unknown = [n for n in proof.chip_names if n not in machine.chip_by_name]
+    if unknown:
+        raise VerificationError(f"unknown chips in proof: {unknown}")
     chips = [machine.chip_by_name[n] for n in proof.chip_names]
     if len(chips) != len(proof.opened_values):
         raise VerificationError("chip opening length mismatch")
+    if len(proof.public_values) < machine.num_public_values:
+        raise VerificationError("public values length mismatch")
+    if any(not (0 <= int(v) < F.P_INT) for v in proof.public_values):
+        raise VerificationError("public value out of field range")
+    machine_index = {c.name: i for i, c in enumerate(machine.chips)}
+    prev = None
+    for chip, vals in zip(chips, proof.opened_values):
+        if not (0 <= vals.log_degree <= MAX_LOG_DEGREE):
+            raise VerificationError(f"chip {chip.name}: log_degree out of range")
+        # canonical prover order: height desc, machine order tie-break
+        # (prover.rs sorts stably by height over machine order)
+        key = (-vals.log_degree, machine_index[chip.name])
+        if prev is not None and key < prev:
+            raise VerificationError("chip ordering is not canonical")
+        prev = key
 
     ch = challenger
     ch.observe_slice(np.asarray(proof.public_values, dtype=np.uint32))
