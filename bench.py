@@ -1,54 +1,74 @@
 """Benchmark entry point. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Current benchmark: device Poseidon2-16 permutation throughput (the prover's
-dominating kernel: Merkle leaf hashing + compression; see SURVEY.md §3.2).
-Baseline for the ratio: the reference's CPU prover hashes ~2^21-row LDEs for
-fibonacci(58218) in ~15 s end-to-end; a practical single-socket CPU Poseidon2
-rate is ~2-4 M perm/s (Plonky3 AVX2, 32 cores). We pin vs_baseline against
-3.0 M perm/s until the end-to-end fibonacci prove benchmark lands, at which
-point this switches to proving kHz vs BASELINE.md.
+Metric: **core_prove_khz** — end-to-end MIPS cycles proven per millisecond
+(execute + trace generation + commit + LogUp permutation + quotient + FRI
+open, per shard, core FRI config: log_blowup=1, 84 queries, 16 PoW bits).
+
+Workload: iterative fibonacci n=58218, the reference's headline benchmark
+(BASELINE.md: 14,985 ms on a 32-vCPU r6a.8xlarge, CPU prover). The guest
+loop costs ~6 cycles/iteration (~350k cycles), so the reference's core rate
+is ~25 kHz; we pin the baseline at 25 kHz. BASELINE.md target: >=5x.
+
+The prover backend is selected by stark/backend.py: the device (TPU)
+shard prover (stark/jprover.py) when JAX has an accelerator, the host
+numpy/native prover otherwise. A warmup prove of the first shard triggers
+kernel compilation outside the timed region; the timed region re-runs the
+executor and proves every shard (fresh records), i.e. the full pipeline.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
-
-import numpy as np
-
-
-def bench_poseidon2(batch=1 << 16, width=16, iters=8):
-    import jax
-    from ziren_tpu.ops import jposeidon2 as jp2
-
-    rng = np.random.default_rng(0)
-    import jax.numpy as jnp
-
-    states = jnp.asarray(
-        rng.integers(0, 2130706433, size=(batch, width), dtype=np.uint32)
-    )
-    perm = jax.jit(jp2.permute)
-    perm(states).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    out = states
-    for _ in range(iters):
-        out = perm(out)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
 
 
 def main():
-    perms_per_s = bench_poseidon2()
-    cpu_baseline = 3.0e6  # single-socket CPU Poseidon2 perm/s (see docstring)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/ziren_jax")
+
+    from ziren_tpu.executor.executor import Executor
+    from ziren_tpu.executor.asm import fibonacci_program
+    from ziren_tpu.machine.mips import mips_machine, verify_mips_proof
+    from ziren_tpu.stark.backend import backend_name
+
+    n = int(os.environ.get("ZIREN_BENCH_FIB_N", "58218"))
+    shard_size = int(os.environ.get("ZIREN_BENCH_SHARD_SIZE", str(1 << 16)))
+
+    program = fibonacci_program(n)
+    machine = mips_machine()
+    pk, vk = machine.setup(program)
+
+    # warmup: compile every kernel shape on the first shard
+    warm = Executor(program, shard_size=shard_size)
+    warm_records = warm.run_sharded()
+    machine.prove(pk, warm_records[:1])
+
+    t0 = time.perf_counter()
+    ex = Executor(program, shard_size=shard_size)
+    records = ex.run_sharded()
+    proof = machine.prove(pk, records)
+    dt = time.perf_counter() - t0
+    cycles = int(ex.global_clk)
+
+    assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
+
+    khz = cycles / dt / 1e3
+    baseline_khz = 25.0  # reference CPU core-prove rate (see docstring)
     print(
         json.dumps(
             {
-                "metric": "poseidon2_permutations_per_s",
-                "value": round(perms_per_s),
-                "unit": "perm/s",
-                "vs_baseline": round(perms_per_s / cpu_baseline, 3),
+                "metric": "core_prove_khz",
+                "value": round(khz, 3),
+                "unit": "kHz",
+                "vs_baseline": round(khz / baseline_khz, 3),
+                "detail": {
+                    "workload": f"fibonacci({n})",
+                    "cycles": cycles,
+                    "shards": len(records),
+                    "prove_s": round(dt, 3),
+                    "backend": backend_name(),
+                },
             }
         )
     )

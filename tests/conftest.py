@@ -16,3 +16,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: chip kernels recompile only when their
+# computation fingerprint changes, not on every test run.
+os.makedirs("/root/.cache/ziren_jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/ziren_jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

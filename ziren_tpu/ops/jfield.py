@@ -23,12 +23,30 @@ import numpy as np
 
 from ziren_tpu.core import field as F
 
+
+def _cpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return True
+
+
+# On CPU the REDC is computed with native 64-bit products (~4x fewer XLA ops
+# per mont_mul -> much faster tracing/compilation of chip kernels); on TPU,
+# which has no 64-bit integer mulhi, it is assembled from 16-bit limb
+# multiplies. Both paths compute the identical function bit for bit.
+_U64 = _cpu_backend()
+if _U64:
+    jax.config.update("jax_enable_x64", True)
+
 P = jnp.uint32(F.P_INT)
 MU = jnp.uint32(F.MONTY_MU)
 R1 = jnp.uint32(F.MONTY_R)  # mont(1)
 R2 = jnp.uint32(F.MONTY_R2)  # mont(2^32) — encoding multiplier
 _P_HI16 = jnp.uint32(F.P_INT >> 16)  # 0x7f00
 _MASK16 = jnp.uint32(0xFFFF)
+_P64 = np.uint64(F.P_INT)
+_S32 = np.uint64(32)
 
 
 def _mul_wide(a, b):
@@ -64,6 +82,14 @@ def _mulhi_p(m):
 
 def mont_mul(a, b):
     """Montgomery product on uint32 arrays (mont in -> mont out)."""
+    if _U64:
+        prod = jnp.asarray(a).astype(jnp.uint64) * jnp.asarray(b).astype(jnp.uint64)
+        lo = prod.astype(jnp.uint32)
+        hi = (prod >> _S32).astype(jnp.uint32)
+        m = lo * MU  # wrapping low product
+        mp_hi = ((m.astype(jnp.uint64) * _P64) >> _S32).astype(jnp.uint32)
+        t = hi + mp_hi + (lo != 0).astype(jnp.uint32)
+        return jnp.where(t >= P, t - P, t)
     hi, lo = _mul_wide(a, b)
     m = lo * MU  # wrapping low product
     t = hi + _mulhi_p(m) + (lo != 0).astype(jnp.uint32)
@@ -92,7 +118,11 @@ def mont_encode(x):
 def mont_decode(x):
     """Montgomery form -> canonical uint32 (REDC with hi=0)."""
     m = x * MU
-    t = _mulhi_p(m) + (x != 0).astype(jnp.uint32)
+    if _U64:
+        mp_hi = ((m.astype(jnp.uint64) * _P64) >> _S32).astype(jnp.uint32)
+    else:
+        mp_hi = _mulhi_p(m)
+    t = mp_hi + (x != 0).astype(jnp.uint32)
     return jnp.where(t >= P, t - P, t)
 
 

@@ -82,11 +82,20 @@ class StarkMachine:
 
     def prove(self, pk, records, parallel: bool = True) -> MachineProof:
         """Prove every shard. Shards are transcript-independent (each gets a
-        clone of the post-vk challenger, reference prover.rs), so they prove
-        concurrently in a thread pool — numpy and the native kernels release
-        the GIL, so this scales with cores on multi-shard programs."""
+        clone of the post-vk challenger, reference prover.rs). On the host
+        backend they prove concurrently in a thread pool (numpy and the
+        native kernels release the GIL); on the device backend the TPU is
+        the parallelism and shards stream through it sequentially."""
+        from .backend import backend_name
+
         base = self.config.challenger()
         pk.vk.observe_into(base)
+        if backend_name() == "device":
+            from .jprover import prove_shard_device
+
+            return MachineProof(
+                [prove_shard_device(self, pk, r, base.clone()) for r in records]
+            )
         if len(records) <= 1 or not parallel:
             return MachineProof(
                 [prove_shard(self, pk, r, base.clone()) for r in records]

@@ -28,7 +28,6 @@ import numpy as np
 from ziren_tpu.core import ext as E
 from ziren_tpu.core import field as F
 from ziren_tpu.core import merkle, ntt
-from . import backend
 from .domain import Domain, natural_domain_for_degree
 
 
@@ -123,14 +122,13 @@ class TwoAdicFriPcs:
                 s_inv = pow(int(dom.shift), F.P_INT - 2, F.P_INT)
                 c = F.fmul(c, F.powers(s_inv, c.shape[0])[:, None])
             # coefficients now in plain monomial basis; evaluate over g*H'
-            # (backend dispatches host numpy vs device JAX per ZIREN_DEVICE)
-            lde = backend.coset_lde(c, self.fri.log_blowup, F.GENERATOR)
+            lde = ntt.coset_eval(c, self.fri.log_blowup, F.GENERATOR)
             domains.append(dom)
             mats.append(m)
             coeffs.append(c)
             ldes.append(lde)
             brs.append(_bit_reverse_rows(lde))
-        tree = backend.merkle_commit(brs)
+        tree = merkle.commit(brs)
         data = ProverData(domains, mats, coeffs, ldes, tree)
         return data.commit, data
 
