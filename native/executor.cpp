@@ -199,6 +199,7 @@ struct Executor {
   std::vector<uint32_t> committed;
   std::vector<uint32_t> deferred;
   std::string stdout_buf;
+  std::string public_values_stream;  // FD_PUBLIC_VALUES (fd 3) bytes
   std::unordered_map<std::string, uint64_t> tracker_open;
   std::map<std::string, uint64_t> cycle_tracker;
   std::map<uint32_t, uint64_t> op_counts, sys_counts;
@@ -403,7 +404,11 @@ struct Executor {
             uint32_t w = peek((buf + k) & ~3u);
             data.push_back((char)((w >> (((buf + k) & 3) * 8)) & 0xFF));
           }
-          if (fd >= 1 && fd <= 3) {
+          if (fd == 3) {
+            // FD_PUBLIC_VALUES: the public values stream (reference
+            // write.rs:57)
+            public_values_stream += data;
+          } else if (fd >= 1 && fd <= 2) {
             // cycle-tracker markers are intercepted, not echoed
             std::string t = data;
             while (!t.empty() && (t.back() == '\n' || t.back() == ' '))
@@ -830,6 +835,14 @@ uint32_t ziren_exec_stdout_len(void* h) {
 }
 void ziren_exec_stdout(void* h, uint8_t* out) {
   auto& s = ((Executor*)h)->stdout_buf;
+  memcpy(out, s.data(), s.size());
+}
+
+uint32_t ziren_exec_pv_stream_len(void* h) {
+  return (uint32_t)((Executor*)h)->public_values_stream.size();
+}
+void ziren_exec_pv_stream(void* h, uint8_t* out) {
+  auto& s = ((Executor*)h)->public_values_stream;
   memcpy(out, s.data(), s.size());
 }
 

@@ -98,3 +98,39 @@ def test_ed_decompress_prove_verify():
     machine, pk, vk, proof, ex = prove_program(prog)
     assert "EdDecompress" in proof.shard_proofs[0].chip_names
     assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)
+
+
+DECOMPRESS_CURVES = ["secp256k1", "secp256r1", "bls12381"]
+
+
+@pytest.mark.parametrize("curve", DECOMPRESS_CURVES)
+@pytest.mark.parametrize("sign", [0, 1])
+def test_wdecompress_oracles(curve, sign):
+    """Executor semantics + chip constraint/lookup oracles for the three
+    weierstrass decompress precompiles (both sign conventions)."""
+    from ziren_tpu.executor.asm import (wdecompress_program,
+                                        wdecompress_reference)
+
+    prog = wdecompress_program(curve, sign)
+    ex = Executor(prog)
+    record = ex.run()
+    want = wdecompress_reference(curve, sign)
+    assert ex.peek_register(20) == want & 0xFFFFFFFF
+    machine = mips_machine()
+    pk, vk = machine.setup(prog, extra_observations=[prog.pc_start])
+    imbalance, origin = debug_lookups(machine, pk, record)
+    assert not imbalance, origin
+    assert debug_constraints(machine, pk, record)
+
+
+@pytest.mark.parametrize("curve", DECOMPRESS_CURVES)
+def test_wdecompress_prove_verify(curve):
+    from ziren_tpu.executor.asm import wdecompress_program
+
+    prog = wdecompress_program(curve, 1)
+    machine, pk, vk, proof, ex = prove_program(prog)
+    chip = {"secp256k1": "Secp256k1Decompress",
+            "secp256r1": "Secp256r1Decompress",
+            "bls12381": "Bls12381Decompress"}[curve]
+    assert chip in proof.shard_proofs[0].chip_names
+    assert verify_mips_proof(machine, vk, proof, pc_start=prog.pc_start)

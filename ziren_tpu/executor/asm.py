@@ -403,6 +403,45 @@ def ec_program(curve: str, op: str = "add") -> Program:
     return Program.new(insns)
 
 
+WDECOMPRESS_CODES = {
+    "secp256k1": (0x0001, 0x0C),
+    "secp256r1": (0x0001, 0x2E),
+    "bls12381": (0x0001, 0x1C),
+}
+
+
+def wdecompress_reference(curve: str, sign: int):
+    """Host oracle: the y the decompress syscall must recover for the
+    curve's generator x and the given sign bit (parity rule for secp*,
+    lexicographically-largest rule for bls12-381)."""
+    m, a, *_rest, gx, gy = EC_CURVES[curve]
+    if curve == "bls12381":
+        return max(gy, m - gy) if sign else min(gy, m - gy)
+    return gy if (gy & 1) == sign else m - gy
+
+
+def wdecompress_program(curve: str, sign: int = 0) -> Program:
+    """Decompress the curve generator's x via the curve's DECOMPRESS
+    precompile. Slice at 0x2000: y written to +0, x stored at +4*nw."""
+    m, a, *_rest, gx, gy = EC_CURVES[curve]
+    nw = 12 if curve == "bls12381" else 8
+    hi, lo = WDECOMPRESS_CODES[curve]
+
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    for i in range(nw):
+        w = (gx >> (32 * i)) & 0xFFFFFFFF
+        insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                  ri(O.SW, 9, 8, 4 * nw + 4 * i)]
+    insns += [
+        imm(O.SLL, 2, hi, 16), ri(O.OR, 2, 2, lo),
+        imm(O.ADD, 4, 0, 0x2000), imm(O.ADD, 5, 0, sign),
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ri(O.LW, 20, 8, 0),
+        *halt_sequence(0),
+    ]
+    return Program.new(insns)
+
+
 ED25519_P = (1 << 255) - 19
 ED25519_D = 37095705934669439343138083508754565189542113879843219016388785533085940283555
 ED25519_GX = 15112221349535400772501151409588531511454012693041857206046113283949847762202

@@ -41,6 +41,23 @@ _P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
 _PBN254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 _P25519 = (1 << 255) - 19
 _ED25519_D = 37095705934669439343138083508754565189542113879843219016388785533085940283555
+
+# Weierstrass decompress curves: syscall -> (p, a, b, words, lexicographic)
+# (reference: crates/curves/src/weierstrass/{secp256k1,secp256r1,bls12_381}.rs)
+_P256K1 = (1 << 256) - (1 << 32) - 977
+_P256R1 = (1 << 256) - (1 << 224) + (1 << 192) + (1 << 96) - 1
+_PBLS = int(
+    "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+    "1eabfffeb153ffffb9feffffffffaaab", 16
+)
+_B256R1 = int(
+    "5ac635d8aa3a93e7b3ebbd55769886bc651d06b0cc53b0f63bce3c3e27d2604b", 16
+)
+_WEIERSTRASS_DECOMPRESS = {
+    SyscallCode.SECP256K1_DECOMPRESS: (_P256K1, 0, 7, 8, False),
+    SyscallCode.SECP256R1_DECOMPRESS: (_P256R1, _P256R1 - 3, _B256R1, 8, False),
+    SyscallCode.BLS12381_DECOMPRESS: (_PBLS, 0, 4, 12, True),
+}
 _PBLS = int(
     "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
     "1eabfffeb153ffffb9feffffffffaaab", 16
@@ -138,6 +155,9 @@ class Executor:
         self.committed_values: list[int] = []  # words committed via COMMIT
         self.deferred_digest: list[int] = []  # COMMIT_DEFERRED_PROOFS words
         self.stdout = bytearray()
+        # bytes written to FD_PUBLIC_VALUES=3 (reference write.rs:57: the
+        # public values stream whose sha256 the guest commits at halt)
+        self.public_values_stream = bytearray()
         self.record = ExecutionRecord(program)
         self.touched: dict[int, int] = {}  # addr -> init value (first touch)
         self.report = {"opcode_counts": {}, "syscall_counts": {}}
@@ -488,6 +508,7 @@ class Executor:
             "input_stream_ptr": self.input_stream_ptr,
             "committed_values": list(self.committed_values),
             "deferred_digest": list(self.deferred_digest),
+            "public_values_stream": bytes(self.public_values_stream),
             "proof_stream_ptr": self.proof_stream_ptr,
         }
 
@@ -509,6 +530,9 @@ class Executor:
         ex.input_stream_ptr = state["input_stream_ptr"]
         ex.committed_values = list(state["committed_values"])
         ex.deferred_digest = list(state["deferred_digest"])
+        ex.public_values_stream = bytearray(
+            state.get("public_values_stream", b"")
+        )
         ex.proof_stream_ptr = state["proof_stream_ptr"]
         ex.shard_start_pc = ex.pc
         return ex
@@ -695,7 +719,11 @@ class Executor:
             for i in range(nbytes):
                 w = self.peek_word((write_buf + i) & ~3)
                 data.append((w >> (((write_buf + i) & 3) * 8)) & 0xFF)
-            if fd in (1, 2, 3):
+            if fd == 3:
+                # FD_PUBLIC_VALUES: the public values stream (reference
+                # write.rs:57); the guest commits its sha256 at halt
+                self.public_values_stream.extend(data)
+            elif fd in (1, 2):
                 # guest cycle-tracker markers (reference: syscalls/write.rs
                 # "cycle-tracker-start/end: <name>") are intercepted into the
                 # cycle_tracker map instead of stdout
@@ -1133,6 +1161,56 @@ class Executor:
                     self.memory[addr] = rec
                 self._touch(addr, rec)
                 rv = (x >> (32 * i)) & M32
+                ev["writes"].append((addr, rec[0], rec[1], rec[2], rv))
+                rec[0] = rv
+                rec[1] = self.clk
+                rec[2] = self.shard
+            self.record.precompile_events.setdefault(int(syscall_id), []).append(ev)
+            return syscall_id, None, 0, 0
+        if syscall_id in _WEIERSTRASS_DECOMPRESS:
+            # recover y from (x, sign) on y^2 = x^3 + ax + b: x read at
+            # ptr + nbytes, y written at ptr, 0 extra cycles (reference:
+            # syscalls/precompiles/weierstrass/decompress.rs
+            # create_ec_decompress_event). sign rule: parity of y for
+            # secp256k1/secp256r1 (SEC1), lexicographically-largest y for
+            # bls12-381 (ZCash flags; curves/src/weierstrass/bls12_381.rs).
+            m, a_coef, b_coef, nw, lex = _WEIERSTRASS_DECOMPRESS[syscall_id]
+            ptr, sign = b, c
+            assert ptr % 4 == 0, "decompress ptr unaligned"
+            assert sign <= 1, "sign bit must be 0 or 1"
+            ev = {"shard": self.shard, "clk": self.clk, "ptr": ptr,
+                  "sign": sign, "reads": [], "writes": []}
+            x_words = []
+            for i in range(nw):
+                addr = (ptr + 4 * nw + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                ev["reads"].append((addr, rec[0], rec[1], rec[2]))
+                x_words.append(rec[0])
+                rec[1] = self.clk
+                rec[2] = self.shard
+            x = sum(int(w) << (32 * i) for i, w in enumerate(x_words))
+            assert x < m, "compressed x not canonical"
+            rhs = (x * x * x + a_coef * x + b_coef) % m
+            y = pow(rhs, (m + 1) // 4, m)  # p = 3 mod 4 for all three
+            assert (y * y - rhs) % m == 0, "x is not on the curve"
+            if lex:
+                assert y != 0, "2-torsion point has no lexicographic sign"
+                if (y > m - y) != (sign == 1):
+                    y = m - y
+            elif (y & 1) != sign:
+                y = m - y
+            for i in range(nw):
+                addr = (ptr + 4 * i) & M32
+                rec = self.memory.get(addr)
+                if rec is None:
+                    rec = [self.uninitialized_memory.get(addr, 0), 0, 0]
+                    self.memory[addr] = rec
+                self._touch(addr, rec)
+                rv = (y >> (32 * i)) & M32
                 ev["writes"].append((addr, rec[0], rec[1], rec[2], rv))
                 rec[0] = rv
                 rec[1] = self.clk

@@ -43,11 +43,13 @@ def _load():
     lib.ziren_exec_num_cycles.restype = ctypes.c_uint64
     lib.ziren_exec_global_clk.restype = ctypes.c_uint64
     for f in ("num_cycles", "global_clk", "exit_code", "exited", "pc",
-              "num_committed", "stdout_len", "num_touched"):
+              "num_committed", "stdout_len", "pv_stream_len",
+              "num_touched"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p]
     lib.ziren_exec_peek.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.ziren_exec_peek.restype = ctypes.c_uint32
-    for f in ("committed", "stdout", "events", "touched", "p2_events",
+    for f in ("committed", "stdout", "pv_stream", "events", "touched",
+              "p2_events",
               "sha_ext_events", "sha_cmp_events", "u256_events",
               "keccak_events"):
         getattr(lib, f"ziren_exec_{f}").argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -272,6 +274,11 @@ class NativeExecutor:
         pv.committed_value_digest = (
             self.committed_values[:8] + [0] * max(0, 8 - nc)
         )
+        np_len = lib.ziren_exec_pv_stream_len(h)
+        pv_stream = np.zeros(max(np_len, 1), dtype=np.uint8)
+        if np_len:
+            lib.ziren_exec_pv_stream(h, pv_stream.ctypes.data_as(ctypes.c_void_p))
+        self.public_values_stream = bytearray(pv_stream.tobytes()[:np_len])
         ns = lib.ziren_exec_stdout_len(h)
         out = np.zeros(ns, dtype=np.uint8)
         if ns:

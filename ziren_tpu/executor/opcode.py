@@ -130,6 +130,9 @@ class SyscallCode(IntEnum):
     ED_DECOMPRESS = 0x00_01_00_08
     SECP256K1_ADD = 0x01_01_00_0A
     SECP256K1_DOUBLE = 0x00_01_00_0B
+    SECP256K1_DECOMPRESS = 0x00_01_00_0C
+    BLS12381_DECOMPRESS = 0x00_01_00_1C
+    SECP256R1_DECOMPRESS = 0x00_01_00_2E
     BN254_ADD = 0x01_01_00_0E
     BN254_DOUBLE = 0x00_01_00_0F
     BLS12381_ADD = 0x01_01_00_1E

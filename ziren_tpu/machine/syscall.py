@@ -39,6 +39,9 @@ CODES = [
     ("is_bn_double", int(SyscallCode.BN254_DOUBLE)),
     ("is_ed_add", int(SyscallCode.ED_ADD)),
     ("is_ed_decompress", int(SyscallCode.ED_DECOMPRESS)),
+    ("is_k1_decompress", int(SyscallCode.SECP256K1_DECOMPRESS)),
+    ("is_r1_decompress", int(SyscallCode.SECP256R1_DECOMPRESS)),
+    ("is_bls_decompress", int(SyscallCode.BLS12381_DECOMPRESS)),
     ("is_bls_add", int(SyscallCode.BLS12381_ADD)),
     ("is_bls_double", int(SyscallCode.BLS12381_DOUBLE)),
     ("is_u256x2048", int(SyscallCode.U256XU2048_MUL)),
@@ -254,13 +257,19 @@ class SyscallChip(Air):
              pack_word(L.word("b")), pack_word(L.word("c"))],
             L["is_garble"],
         )
-        # decompress: two-arg (ptr, sign), zero extra cycles
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.ED_DECOMPRESS),
-             pack_word(L.word("b")), pack_word(L.word("c"))],
-            L["is_ed_decompress"],
-        )
+        # decompress family: two-arg (ptr, sign), zero extra cycles
+        for nm, code in (
+            ("is_ed_decompress", SyscallCode.ED_DECOMPRESS),
+            ("is_k1_decompress", SyscallCode.SECP256K1_DECOMPRESS),
+            ("is_r1_decompress", SyscallCode.SECP256R1_DECOMPRESS),
+            ("is_bls_decompress", SyscallCode.BLS12381_DECOMPRESS),
+        ):
+            b.send(
+                LookupKind.Syscall,
+                [L["shard"], L["clk"], int(code),
+                 pack_word(L.word("b")), pack_word(L.word("c"))],
+                L[nm],
+            )
         # double is single-argument: message length disambiguates
         for nm, code in EC_DOUBLE_FLAGS:
             b.send(

@@ -413,13 +413,207 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
     return DoubleChip
 
 
+def _make_decompress_chip(curve_name, modulus, a_coef, b_coef, code, nw,
+                          lexicographic):
+    """Weierstrass decompress chip: recover y from (x, sign) with
+    y^2 = x^3 + ax + b, y < p, and the curve's sign convention — parity of
+    y (SEC1; secp256k1/secp256r1) or lexicographically-largest y (ZCash;
+    bls12-381). Reference: crates/core/machine/src/syscall/precompiles/
+    weierstrass/weierstrass_decompress.rs (SignChoiceRule), re-derived on
+    this engine's byte-limb gadgets. Event: x read at ptr + 4*nw at clk,
+    y written at ptr at clk, 0 extra cycles."""
+    nl = nw * 4
+    npt = 2 * nw
+    m = modulus
+    half_p = (m + 1) // 2
+
+    C = Layout().add("shard").add("clk").add("ptr").add("sign").add("is_real")
+    for i in range(nw):
+        add_access_cols(C, f"yw{i}", write=True)
+    for i in range(nw):
+        add_access_cols(C, f"xr{i}", write=False)
+    for nm in ("xx", "x3c", "rhs"):
+        C.add(nm, nl)
+    g_xx = ModMulGadget(C, "gxx", m, nl)
+    g_x3 = ModMulGadget(C, "gx3", m, nl)
+    g_ax = ModMulGadget(C, "gax", m, nl) if a_coef else None
+    if a_coef:
+        C.add("axv", nl)
+    g_rhs = ModLinGadget(C, "grhs", m, nl, max_borrow=2)
+    g_yy = ModMulGadget(C, "gyy", m, nl)
+    C.add("x_df", nl).add("x_sel")
+    C.add("y_df", nl).add("y_sel")
+    if lexicographic:
+        C.add("neg_y", nl)
+        g_neg = ModLinGadget(C, "gneg", m, nl, max_borrow=1)
+        C.add("sel_df", nl).add("sel_sel").add("ynz_inv")
+    else:
+        C.add("h0")
+    a_limbs = limbs_of(a_coef, nl) if a_coef else None
+    b_limbs = limbs_of(b_coef, nl)
+
+    class DecompressChip(_WeierstrassBase):
+        name = f"{curve_name}Decompress"
+        SYSCALL = code
+        COLS = C
+        width = C.width
+
+        def generate_dependencies(self, record, output):
+            for ev in self._events(record):
+                clk = ev["clk"]
+                self._deps_accesses(
+                    record, ev,
+                    [(clk, a) for a in ev["reads"]]
+                    + [(clk, a) for a in ev["writes"]],
+                )
+                row = np.zeros(C.width, dtype=np.uint32)
+                self._fill_math(row, ev, record)
+
+        def _fill_math(self, row, ev, record=None):
+            x = _words_to_int([r[1] for r in ev["reads"]])
+            y = _words_to_int([w[4] for w in ev["writes"]])
+            sign = ev["sign"]
+            xx = (x * x) % m
+            x3c = (xx * x) % m
+            rhs = (x3c + a_coef * x + b_coef) % m
+            vals = [("xx", xx), ("x3c", x3c), ("rhs", rhs)]
+            if a_coef:
+                axv = (a_coef * x) % m
+                vals.append(("axv", axv))
+            for col, v in vals:
+                _fill_witness_vec(row, C, col, v, record, nl=nl)
+            g_xx.fill(row, C, x, x, xx, record)
+            g_x3.fill(row, C, xx, x, x3c, record)
+            if a_coef:
+                g_ax.fill(row, C, a_coef, x, axv, record)
+                g_rhs.fill(row, C, [(1, x3c), (1, axv), (1, b_coef),
+                                    (-1, rhs)], record)
+            else:
+                g_rhs.fill(row, C, [(1, x3c), (1, b_coef), (-1, rhs)], record)
+            g_yy.fill(row, C, y, y, rhs, record)
+            _fill_lt(row, C, "x", x, m, record, nl=nl)
+            _fill_lt(row, C, "y", y, m, record, nl=nl)
+            if lexicographic:
+                neg_y = (m - y) % m
+                row[C.slc("neg_y")] = limbs_of(neg_y, nl)
+                if record is not None:
+                    ls = limbs_of(neg_y, nl)
+                    for k in range(0, nl, 2):
+                        count(record, B.U8Range, np.array([ls[k]]), ls[k + 1])
+                g_neg.fill(row, C, [(1, y), (1, neg_y)], record)
+                _fill_lt(row, C, "sel", neg_y if sign else y, half_p,
+                         record, nl=nl)
+                if sign:
+                    from ziren_tpu.core.field import P_INT
+
+                    ysum = sum(limbs_of(y, nl))
+                    row[C.idx("ynz_inv")] = pow(ysum, P_INT - 2, P_INT)
+            else:
+                row[C.idx("h0")] = (y & 0xFF) >> 1
+                if record is not None:
+                    count(record, B.LTU, np.array([(y & 0xFF) >> 1]), 128)
+            return row
+
+        def generate_trace(self, record, output):
+            events = self._events(record)
+            n = len(events)
+            height = max(4, 1 << max(0, n - 1).bit_length())
+            mat = np.zeros((height, C.width), dtype=np.uint32)
+            shard_now = record.public_values.shard
+            for r_i, ev in enumerate(events):
+                row = self._fill_math(mat[r_i], ev)
+                row[C.idx("shard")] = ev["shard"]
+                row[C.idx("clk")] = ev["clk"]
+                row[C.idx("ptr")] = ev["ptr"]
+                row[C.idx("sign")] = ev["sign"]
+                row[C.idx("is_real")] = 1
+                for i in range(nw):
+                    self._fill_access(row, C, f"xr{i}", ev["reads"][i],
+                                      ev["clk"], shard_now, False)
+                    self._fill_access(row, C, f"yw{i}", ev["writes"][i],
+                                      ev["clk"], shard_now, True)
+            gads = [g_xx, g_x3, g_yy] + ([g_ax] if a_coef else [])
+            for g in gads:
+                g.fill_padding(mat, C, n)
+            g_rhs.fill_padding(mat, C, n)
+            if lexicographic:
+                g_neg.fill_padding(mat, C, n)
+            return mat
+
+        def eval(self, b_):
+            L = C.view(b_.main_local)
+            is_real = L["is_real"]
+            sign = L["sign"]
+            b_.assert_bool(is_real)
+            b_.assert_bool(sign)
+            b_.receive(
+                LookupKind.Syscall,
+                [L["shard"], L["clk"], self.SYSCALL, L["ptr"], sign],
+                is_real,
+            )
+            for i in range(nw):
+                eval_access(b_, L, f"xr{i}", L["shard"], L["clk"],
+                            L["ptr"] + 4 * nw + 4 * i, is_real, write=False)
+                eval_access(b_, L, f"yw{i}", L["shard"], L["clk"],
+                            L["ptr"] + 4 * i, is_real, write=True)
+            x = _word_limbs(L, [f"xr{i}_value" for i in range(nw)])
+            y = _word_limbs(L, [f"yw{i}_value" for i in range(nw)])
+            xx = _eval_witness_vec(b_, L, "xx", is_real, nl=nl)
+            x3c = _eval_witness_vec(b_, L, "x3c", is_real, nl=nl)
+            rhs = _eval_witness_vec(b_, L, "rhs", is_real, nl=nl)
+            g_xx.eval(b_, L, x, x, xx, is_real)
+            g_x3.eval(b_, L, xx, x, x3c, is_real)
+            if a_coef:
+                axv = _eval_witness_vec(b_, L, "axv", is_real, nl=nl)
+                g_ax.eval(b_, L, a_limbs, x, axv, is_real)
+                g_rhs.eval(b_, L, [(1, x3c), (1, axv), (1, b_limbs),
+                                   (-1, rhs)], is_real, gate=is_real)
+            else:
+                g_rhs.eval(b_, L, [(1, x3c), (1, b_limbs), (-1, rhs)],
+                           is_real, gate=is_real)
+            g_yy.eval(b_, L, y, y, rhs, is_real)
+            _eval_lt(b_, L, "x", x, m, is_real, nl=nl)
+            _eval_lt(b_, L, "y", y, m, is_real, nl=nl)
+            if lexicographic:
+                # sign = [y is the lexicographically larger root]:
+                #   neg_y = -y mod p (byte witness), and the root selected
+                #   by the sign is < (p+1)/2; when sign=1 additionally
+                #   y != 0 so y + neg_y = p exactly as integers
+                neg_y = _eval_witness_vec(b_, L, "neg_y", is_real, nl=nl)
+                g_neg.eval(b_, L, [(1, y), (1, neg_y)], is_real)
+                sel = [y[k] + sign * (neg_y[k] - y[k]) for k in range(nl)]
+                _eval_lt(b_, L, "sel", sel, half_p, is_real, nl=nl)
+                ysum = sum(y)
+                b_.assert_zero(sign * (L["ynz_inv"] * ysum - 1))
+            else:
+                # SEC1: sign is the parity of y — y0 = 2 h0 + sign, h0 < 128
+                h0 = L["h0"]
+                b_.when(is_real).assert_eq(y[0], 2 * h0 + sign)
+                send_byte(b_, B.LTU, h0, 128, 1, is_real)
+
+    return DecompressChip
+
+
+# (name, modulus, a, b, decompress syscall, words/coordinate, lexicographic)
+DECOMPRESS_CURVES = [
+    ("Secp256k1", P256K1, 0, 7,
+     int(SyscallCode.SECP256K1_DECOMPRESS), 8, False),
+    ("Secp256r1", P256R1, P256R1 - 3,
+     int("5ac635d8aa3a93e7b3ebbd55769886bc651d06b0cc53b0f63bce3c3e27d2604b",
+         16),
+     int(SyscallCode.SECP256R1_DECOMPRESS), 8, False),
+    ("Bls12381", PBLS, 0, 4,
+     int(SyscallCode.BLS12381_DECOMPRESS), 12, True),
+]
+
 _CHIP_CLASSES = None
 
 
 def curve_chips() -> list:
-    """All weierstrass precompile chips (add + double per curve). The
-    factory classes are built once so the per-class symbolic-pass cache in
-    stark/chip.py stays warm across machines."""
+    """All weierstrass precompile chips (add + double per curve, decompress
+    where the reference has one). The factory classes are built once so the
+    per-class symbolic-pass cache in stark/chip.py stays warm across
+    machines."""
     global _CHIP_CLASSES
     if _CHIP_CLASSES is None:
         _CHIP_CLASSES = []
@@ -427,6 +621,11 @@ def curve_chips() -> list:
             _CHIP_CLASSES.append(_make_add_chip(name, modulus, add_code, nw=nw))
             _CHIP_CLASSES.append(
                 _make_double_chip(name, modulus, a_coef, double_code, nw=nw)
+            )
+        for name, modulus, a_coef, b_coef, code, nw, lex in DECOMPRESS_CURVES:
+            _CHIP_CLASSES.append(
+                _make_decompress_chip(name, modulus, a_coef, b_coef, code,
+                                      nw, lex)
             )
     return [cls() for cls in _CHIP_CLASSES]
 
