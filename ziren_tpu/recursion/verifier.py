@@ -673,3 +673,14 @@ def traced_verify_shard(t: Tracer, machine, vk, proof, pv_handles,
         for cs in cumsums:
             s = s + cs[i]
         t.assert_eq(s, t.const(0))
+
+    # expose the hinted per-chip septic global sums (bound to the trace by
+    # the chip constraints above) so lifts can accumulate the cross-shard
+    # digest in-circuit (reference: machine/core.rs global_cumulative_sums)
+    return {
+        "gsums": [
+            (chip.name, gs)
+            for chip, gs in zip(chips, gsums)
+            if chip.commit_scope.name == "Global"
+        ]
+    }

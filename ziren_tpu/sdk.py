@@ -56,12 +56,33 @@ class ExecutionReport:
 
 @dataclass
 class PublicValuesStream:
-    """Words committed by the guest via SYSCALL COMMIT, as bytes."""
+    """The guest's public outputs: `stream` is the raw byte stream written
+    to FD_PUBLIC_VALUES (reference ZKMPublicValues); `words` the values
+    committed via SYSCALL COMMIT. Reference-built guests commit the
+    sha256(stream) digest words at halt; `digest_words()` is what the
+    in-proof committed_value_digest must equal either way."""
 
     words: list
+    stream: bytes = b""
 
     def as_bytes(self) -> bytes:
+        if self.stream:
+            return bytes(self.stream)
         return b"".join(struct.pack("<I", w & 0xFFFFFFFF) for w in self.words)
+
+    def digest_words(self) -> list:
+        """The 8 words the proof's committed_value_digest must carry."""
+        import hashlib
+
+        if self.stream:
+            d = hashlib.sha256(bytes(self.stream)).digest()
+            return [int.from_bytes(d[i : i + 4], "little") for i in range(0, 32, 4)]
+        if len(self.words) > 8:
+            raise ValueError(
+                "more than 8 committed words without a public-values stream: "
+                "words beyond index 7 would be bound to nothing"
+            )
+        return list(self.words) + [0] * (8 - len(self.words))
 
 
 @dataclass
@@ -108,7 +129,12 @@ class ProverClient:
             syscall_counts=dict(rep.get("syscall_counts", {})),
             cycle_tracker=dict(getattr(ex, "cycle_tracker", {}) or {}),
         )
-        return PublicValuesStream(list(ex.committed_values)), report
+        return (
+            PublicValuesStream(
+                list(ex.committed_values), bytes(ex.public_values_stream)
+            ),
+            report,
+        )
 
     # -- prove / verify ---------------------------------------------------
     def setup(self, elf_or_program):
@@ -133,19 +159,34 @@ class ProverClient:
             records = [record]
         proof = pk.machine.prove(pk.pk, records)
         return ZirenProofWithPublicValues(
-            proof, PublicValuesStream(list(ex.committed_values))
+            proof,
+            PublicValuesStream(
+                list(ex.committed_values), bytes(ex.public_values_stream)
+            ),
         )
 
     def compressed_prove(self, pk: ZirenProvingKey,
                          stdin: ZirenStdin | None = None,
                          shard_size: int | None = None):
         """Core prove, then lift every shard and reduce to ONE recursion
-        proof (reference compress tree; see ziren_tpu/recursion/pipeline).
-        Returns (rec_machine, rec_vk, final_recursion_shard_proof)."""
-        from ziren_tpu.recursion.pipeline import compress
+        proof with canonical RecursionPublicValues: every tree layer chains
+        shard boundaries and accumulates the septic global sum IN-CIRCUIT
+        (see ziren_tpu/recursion/mips_pipeline). Returns
+        (rec_machine, rec_vk, final_recursion_shard_proof)."""
+        from ziren_tpu.recursion.mips_pipeline import compress
 
         core = self.prove(pk, stdin, shard_size=shard_size)
         return compress(pk.machine, pk.vk, core.proof, config=self._config)
+
+    def verify_compressed(self, compressed, vk: ZirenVerifyingKey) -> bytes:
+        """Verify a compressed proof at the root: one recursion proof whose
+        RPV pins the MIPS vk + program entry with is_complete=1. Returns
+        the committed_value_digest bytes."""
+        from ziren_tpu.recursion.mips_pipeline import verify_compressed
+
+        rm, rvk, final_sp = compressed
+        return verify_compressed(vk.machine, vk.vk, rm, rvk, final_sp,
+                                 pc_start=vk.program_pc_start)
 
     def groth16_prove(self, *a, **k):
         raise NotImplementedError("BN254 wrap lands with the gnark FFI")
@@ -154,6 +195,32 @@ class ProverClient:
 
     def verify(self, proof: ZirenProofWithPublicValues,
                vk: ZirenVerifyingKey) -> bool:
-        return verify_mips_proof(
+        """Proof verification + binding of the claimed public values to the
+        in-proof committed_value_digest (reference sdk provers/mod.rs:144:
+        sha256(public values stream) must equal the digest bytes; without a
+        stream the committed words themselves are the digest and at most 8
+        words are bound)."""
+        from ziren_tpu.stark.verifier import VerificationError
+
+        verify_mips_proof(
             vk.machine, vk.vk, proof.proof, pc_start=vk.program_pc_start
         )
+        pv = proof.proof.shard_proofs[-1].public_values
+        # in-proof digest: 32 byte felts -> 8 LE words
+        digest_words = [
+            int(pv[4 * i])
+            | (int(pv[4 * i + 1]) << 8)
+            | (int(pv[4 * i + 2]) << 16)
+            | (int(pv[4 * i + 3]) << 24)
+            for i in range(8)
+        ]
+        try:
+            claimed = proof.public_values.digest_words()
+        except ValueError as e:
+            raise VerificationError(str(e)) from e
+        if digest_words != claimed:
+            raise VerificationError(
+                "claimed public values do not match the proof's "
+                "committed_value_digest"
+            )
+        return True
