@@ -10,7 +10,10 @@ ELF = "/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf"
 def test_execute(capsys):
     assert main(["execute", ELF, "--stdin-hex", "0a000000"]) == 0
     out = capsys.readouterr().out
-    assert "cycles: 3746" in out and "hello world" in out
+    # "hello world" is the guest's public-values stream (fd 3), surfaced on
+    # the committed line as hex (bincode length prefix + bytes)
+    assert "cycles: 3746" in out
+    assert b"hello world".hex() in out
 
 
 def test_prove_verify_roundtrip(tmp_path, capsys):

@@ -91,9 +91,13 @@ def main(argv=None):
         from ziren_tpu.sdk import ZirenProofWithPublicValues, PublicValuesStream
 
         mp = deserialize_machine_proof(open(args.proof, "rb").read())
-        wrapped = ZirenProofWithPublicValues(mp, PublicValuesStream([]))
+        # no claimed public values when verifying a proof file alone: the
+        # digest is read FROM the (now verified) proof
+        wrapped = ZirenProofWithPublicValues(mp, None)
         client.verify(wrapped, vk)
-        print("verification: ok")
+        pv = mp.shard_proofs[-1].public_values
+        digest = bytes(int(pv[i]) & 0xFF for i in range(32))
+        print(f"verification: ok (committed_value_digest: {digest.hex()})")
         return 0
 
 

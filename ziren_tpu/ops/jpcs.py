@@ -143,7 +143,10 @@ def lde_kernel(mat, log_n: int, added_bits: int, shift: int, dom_shift: int):
 class DTree:
     mats_br: list  # device bit-reversed mont mats (original batch order)
     levels: list  # device (h, 8) mont digest levels, leaf -> root
-    root: np.ndarray  # canonical host (8,)
+    root: jnp.ndarray  # DEVICE (8,) mont — fetch stays off the hot path
+
+    def root_host(self) -> np.ndarray:
+        return ext_from_mont_host(self.root)
 
 
 def _merkle_levels(mats_br: list) -> list:
@@ -175,10 +178,10 @@ _merkle_levels_jit = jax.jit(_merkle_levels)
 def merkle_commit_device(mats_br: list) -> DTree:
     """Batch Merkle commit over device mont matrices (heights powers of 2),
     matching core/merkle.py commit() exactly (after mont decode). The whole
-    tree is ONE jitted computation per height/width signature."""
+    tree is ONE jitted computation per height/width signature; the root
+    stays on device (async) — decode with root_host() when needed."""
     levels = _merkle_levels_jit(mats_br)
-    root = ext_from_mont_host(levels[-1][0])
-    return DTree(mats_br, levels, root)
+    return DTree(mats_br, levels, levels[-1][0])
 
 
 @jax.jit
@@ -200,7 +203,8 @@ class DevProverData:
     tree: DTree
 
     @property
-    def commit(self) -> np.ndarray:
+    def commit(self) -> jnp.ndarray:
+        """DEVICE (8,) mont root."""
         return self.tree.root
 
 
@@ -283,6 +287,26 @@ def _madd_reduce0(t):
         t = jf.madd(t[0::2], t[1::2])
         n //= 2
     return t[0]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def epowers_rev_dev(alpha, n: int):
+    """(n, 4) mont: [alpha^(n-1), ..., alpha^1, alpha^0] (device counterpart
+    of core.ext.epowers(alpha, n)[::-1])."""
+    one = jnp.zeros((4,), jnp.uint32).at[0].set(jf.R1)
+    if n == 0:
+        return jnp.zeros((0, 4), jnp.uint32)
+
+    def step(c, _):
+        return jf.emul(c, alpha), c
+
+    _, pows = jax.lax.scan(step, one, None, length=n)
+    return pows[::-1]
+
+
+def next_point_dev(z_m, domain):
+    """Device mont zeta * g_domain (Domain.next_point counterpart)."""
+    return jf.mont_mul(z_m, mont_const(domain.generator))
 
 
 @partial(jax.jit, static_argnames=("log_n",))

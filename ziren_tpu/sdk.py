@@ -199,12 +199,16 @@ class ProverClient:
         in-proof committed_value_digest (reference sdk provers/mod.rs:144:
         sha256(public values stream) must equal the digest bytes; without a
         stream the committed words themselves are the digest and at most 8
-        words are bound)."""
+        words are bound). proof.public_values=None skips the binding — the
+        caller holds no claim (e.g. verifying a proof file alone) and reads
+        the digest from the proof itself."""
         from ziren_tpu.stark.verifier import VerificationError
 
         verify_mips_proof(
             vk.machine, vk.vk, proof.proof, pc_start=vk.program_pc_start
         )
+        if proof.public_values is None:
+            return True
         pv = proof.proof.shard_proofs[-1].public_values
         # in-proof digest: 32 byte felts -> 8 LE words
         digest_words = [

@@ -1,15 +1,19 @@
 """Device-resident shard prover: the TPU runs commit -> perm -> quotient ->
-FRI open; the host runs only the executor, trace generation and the
-Fiat-Shamir challenger (bit-exact transcript, reference
-crates/stark/src/prover.rs:296-652).
+FRI open AND the Fiat-Shamir transcript; the host runs only the executor
+and trace generation (reference hot path: crates/stark/src/prover.rs:296-652).
+
+ZERO host<->device synchronization per shard: the duplex challenger lives
+on device (ops/jchallenger.py) — its buffer structure is shape-determined,
+so the entire prove is a stream of async device dispatches with ONE
+blocking fetch at the end that pulls the finished proof. This is what makes
+the prover latency-tolerant on accelerators behind a slow transport.
 
 Produces proofs bit-identical to stark/prover.py (the host oracle); the
 default differential test proves the same record through both paths.
-
-Data movement per shard: main traces up (canonical u32, mont-encoded on
-device), then only roots / cumulative sums / opened values / query rows
-cross the boundary — the LDEs, permutation and quotient matrices never
-leave HBM.
+Exception: chips shorter than DEVICE_MIN_HEIGHT prove through the host
+numpy folders (identical values) — that path fetches the LogUp/quotient
+challenges, so set ZIREN_DEVICE_MIN_HEIGHT=0 (the accelerator default) for
+the fully-async pipeline.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from ziren_tpu.core import ext as E
 from ziren_tpu.core import field as F
 from ziren_tpu.ops import jfield as jf
 from ziren_tpu.ops import jpcs
+from ziren_tpu.ops.jchallenger import JChallenger
 from . import jfolder
 from .folder import QuotientFolder, TraceFolder
 from .pcs import FriProof, QueryProof
@@ -36,20 +41,27 @@ from .proof import (
     ShardProof,
 )
 
-# Chips shorter than this prove through the host numpy folders (bit-identical
-# values): a h<=512 matrix is latency-bound either way, and tracing+compiling
-# an XLA kernel per tiny chip costs far more than it saves. The tall chips —
-# where all the FLOPs are — run the jitted device kernels.
-DEVICE_MIN_HEIGHT = int(os.environ.get("ZIREN_DEVICE_MIN_HEIGHT", "1024"))
+
+def _default_min_height() -> int:
+    env = os.environ.get("ZIREN_DEVICE_MIN_HEIGHT")
+    if env is not None:
+        return int(env)
+    try:
+        cpu = jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        cpu = True
+    # On CPU, tracing+compiling a kernel per tiny chip costs more than it
+    # saves; on a real accelerator EVERY chip goes through device kernels
+    # so the prove stays sync-free end to end.
+    return 1024 if cpu else 0
+
+
+DEVICE_MIN_HEIGHT = _default_min_height()
 
 
 def _to_dev(mat: np.ndarray) -> jnp.ndarray:
     """Canonical host matrix -> device mont (upload then encode on device)."""
     return jf.mont_encode(jnp.asarray(np.ascontiguousarray(mat)))
-
-
-def _fetch(x) -> np.ndarray:
-    return np.asarray(jax.device_get(jf.mont_decode(x)), np.uint32)
 
 
 def _device_pk(machine, pk):
@@ -68,15 +80,17 @@ def _device_pk(machine, pk):
         prep_dev[name] = m
         doms_mats.append((dom, m))
     commit, data = jpcs.commit(doms_mats, fri.log_blowup)
-    assert np.array_equal(commit, np.asarray(pk.commit, np.uint32)), (
-        "device preprocessed commit does not match host pk"
-    )
+    assert np.array_equal(
+        jpcs.ext_from_mont_host(commit), np.asarray(pk.commit, np.uint32)
+    ), "device preprocessed commit does not match host pk"
     pk._device_data = (data, prep_dev)
     return pk._device_data
 
 
 def prove_shard_device(machine, pk, record, challenger):
-    """Device counterpart of stark.prover.prove_shard."""
+    """Device counterpart of stark.prover.prove_shard. `challenger` is the
+    post-vk HOST challenger clone; its state is uploaded once and the whole
+    transcript runs on device."""
     config = machine.config
     fri = config.fri
     log_blowup = fri.log_blowup
@@ -111,16 +125,23 @@ def prove_shard_device(machine, pk, record, challenger):
         list(zip(trace_domains, mains_dev)), log_blowup
     )
 
-    ch = challenger
-    ch.observe_slice(pv_np)
-    ch.observe_slice(main_commit)
-    perm_challenges_host = (ch.sample_ext(), ch.sample_ext())
-    alpha_m = jpcs.ext_to_mont_dev(perm_challenges_host[0])
-    beta_m = jpcs.ext_to_mont_dev(perm_challenges_host[1])
+    ch = JChallenger.from_host(challenger)
+    ch.observe_host_slice(pv_np)
+    ch.observe_mont_vec(main_commit)
+    alpha_m = ch.sample_ext_mont()
+    beta_m = ch.sample_ext_mont()
     pv_dev = _to_dev(pv_np)
 
+    # host ext challenges only if some chip takes the host folder path
+    perm_challenges_host = None
+    if not all(on_device):
+        perm_challenges_host = (
+            jpcs.ext_from_mont_host(alpha_m),
+            jpcs.ext_from_mont_host(beta_m),
+        )
+
     # permutation traces: device kernel for tall chips, host folder for short
-    perm_flats, cumsums, cumsums_dev = [], [], []
+    perm_flats, cumsums_host, cumsums_dev = [], [], []
     for chip, main_dev, trace, dev in zip(chips, mains_dev, traces, on_device):
         if dev:
             prep = prep_dev.get(chip.name)
@@ -129,7 +150,7 @@ def prove_shard_device(machine, pk, record, challenger):
             )
             perm_flats.append(flat)
             cumsums_dev.append(cum)
-            cumsums.append(None)
+            cumsums_host.append(None)
         else:
             prep = pk.preprocessed_by_name.get(chip.name)
             fl = TraceFolder(prep, trace, public_values)
@@ -140,27 +161,31 @@ def prove_shard_device(machine, pk, record, challenger):
             )
             perm_flats.append(_to_dev(perm.reshape(trace.shape[0], -1)))
             cumsums_dev.append(None)
-            cumsums.append(cumsum)
+            cumsums_host.append(cumsum)
 
     perm_commit, perm_data = jpcs.commit(
         list(zip(trace_domains, perm_flats)), log_blowup
     )
-    ch.observe_slice(perm_commit)
+    ch.observe_mont_vec(perm_commit)
 
-    cumsums = [
-        _fetch(cd) if c is None else c for c, cd in zip(cumsums, cumsums_dev)
+    cumsums_m = [
+        _to_dev(c) if cd is None else cd
+        for c, cd in zip(cumsums_host, cumsums_dev)
     ]
     global_sums = []
-    for chip, trace, cumsum in zip(chips, traces, cumsums):
+    for chip, trace, cum_m in zip(chips, traces, cumsums_m):
         if chip.commit_scope.name == "Global":
             gsum = trace[-1, -14:].astype(np.uint32)
         else:
             gsum = np.zeros(14, dtype=np.uint32)
         global_sums.append(gsum)
-        ch.observe_slice(cumsum)
-        ch.observe_slice(gsum)
+        ch.observe_mont_vec(cum_m)
+        ch.observe_host_slice(gsum)
 
-    alpha = ch.sample_ext()
+    alpha_q = ch.sample_ext_mont()
+    alpha_q_host = (
+        jpcs.ext_from_mont_host(alpha_q) if not all(on_device) else None
+    )
 
     # quotient evaluation per chip (device kernel / host folder by height)
     quotient_domains = [
@@ -169,7 +194,9 @@ def prove_shard_device(machine, pk, record, challenger):
     ]
     q_domains = []
     q_chunks_dev = []
-    for i, (chip, tdom, qdom) in enumerate(zip(chips, trace_domains, quotient_domains)):
+    for i, (chip, tdom, qdom) in enumerate(
+        zip(chips, trace_domains, quotient_domains)
+    ):
         assert chip.log_quotient_degree <= log_blowup
         qn = qdom.size
         next_step = qn // tdom.size
@@ -184,9 +211,7 @@ def prove_shard_device(machine, pk, record, challenger):
             sels = jfolder.selectors_on_coset_device(
                 tdom.log_n, tdom.shift, qdom.log_n, qdom.shift
             )
-            alphas_rev = jpcs.ext_to_mont_dev(
-                E.epowers(alpha, chip.num_constraints)[::-1].copy()
-            )
+            alphas_rev = jpcs.epowers_rev_dev(alpha_q, chip.num_constraints)
             quotient = jfolder.quotient_device(
                 chip,
                 next_step,
@@ -197,17 +222,20 @@ def prove_shard_device(machine, pk, record, challenger):
                 pv_dev,
                 alphas_rev,
                 (alpha_m, beta_m),
-                cumsums_dev[i],
+                cumsums_m[i],
                 _to_dev(global_sums[i]),
             )
             flat = quotient.reshape(qn, 4)
         else:
+            fetch = lambda x: np.asarray(
+                jax.device_get(jf.mont_decode(x)), np.uint32
+            )
             flat = _to_dev(
                 _host_quotient(
                     chip, pk, tdom, qdom, next_step,
-                    _fetch(prep_q), _fetch(main_q), _fetch(perm_q),
-                    public_values, alpha, perm_challenges_host,
-                    cumsums[i], global_sums[i],
+                    fetch(prep_q), fetch(main_q), fetch(perm_q),
+                    public_values, alpha_q_host, perm_challenges_host,
+                    cumsums_host[i], global_sums[i],
                 )
             )
         for j, sub_dom in enumerate(qdom.split_domains(chip.quotient_degree)):
@@ -217,21 +245,26 @@ def prove_shard_device(machine, pk, record, challenger):
     quotient_commit, quotient_data = jpcs.commit(
         list(zip(q_domains, q_chunks_dev)), log_blowup
     )
-    ch.observe_slice(quotient_commit)
+    ch.observe_mont_vec(quotient_commit)
 
-    zeta = ch.sample_ext()
+    zeta = ch.sample_ext_mont()
 
-    # opening points (host ext values)
-    prep_points = []
-    for name, dom, _dims, local_only in pk.chip_information:
-        pts = [zeta] if local_only else [zeta, dom.next_point(zeta)]
-        prep_points.append(pts)
-    main_points = [
-        [zeta] if c.local_only else [zeta, d.next_point(zeta)]
-        for c, d in zip(chips, trace_domains)
+    # opening points (device mont, structurally tagged for kernel sharing)
+    def pts_for(dom, local_only):
+        if local_only:
+            return [("z", zeta)]
+        return [("z", zeta),
+                (("zn", dom.log_n), jpcs.next_point_dev(zeta, dom))]
+
+    prep_points = [
+        pts_for(dom, local_only)
+        for _name, dom, _dims, local_only in pk.chip_information
     ]
-    perm_points = [[zeta, d.next_point(zeta)] for d in trace_domains]
-    quotient_points = [[zeta] for _ in q_chunks_dev]
+    main_points = [
+        pts_for(d, c.local_only) for c, d in zip(chips, trace_domains)
+    ]
+    perm_points = [pts_for(d, False) for d in trace_domains]
+    quotient_points = [[("z", zeta)] for _ in q_chunks_dev]
 
     open_rounds = []
     if prep_data is not None:
@@ -241,13 +274,80 @@ def prove_shard_device(machine, pk, record, challenger):
         (perm_data, perm_points),
         (quotient_data, quotient_points),
     ]
-    opened, fri_proof = dev_open(fri, open_rounds, ch)
+    dev_out = dev_open(fri, log_blowup, open_rounds, ch)
+
+    # ---- the ONE synchronization: fetch the finished proof ----------------
+    to_fetch = {
+        "main": jf.mont_decode(main_commit),
+        "perm": jf.mont_decode(perm_commit),
+        "quot": jf.mont_decode(quotient_commit),
+        "cumsums": [jf.mont_decode(c) for c in cumsums_m],
+        "opened": jf.mont_decode(dev_out["opened_cat"]),
+        "fri_commits": [jf.mont_decode(r) for r in dev_out["layer_roots"]],
+        "final": jf.mont_decode(dev_out["final"]),
+        "pow": dev_out["pow_witness"],
+        "round_rows": [
+            [jf.mont_decode(r) for r in rows] for rows in dev_out["round_rows"]
+        ],
+        "round_paths": [jf.mont_decode(p) for p in dev_out["round_paths"]],
+        "layer_pairs": [jf.mont_decode(p) for p in dev_out["layer_pairs"]],
+        "layer_paths": [jf.mont_decode(p) for p in dev_out["layer_paths"]],
+    }
+    got = jax.device_get(to_fetch)
+    u32 = lambda x: np.asarray(x, np.uint32)
+
+    final_host = u32(got["final"])
+    final = final_host[0].copy()
+    assert np.all(final_host == final), "final polynomial is not constant"
+
+    query_proofs = []
+    for q in range(fri.num_queries):
+        input_openings = []
+        for r_i in range(len(open_rounds)):
+            rows = [u32(m[q]) for m in got["round_rows"][r_i]]
+            path = [
+                u32(got["round_paths"][r_i][q, j])
+                for j in range(got["round_paths"][r_i].shape[1])
+            ]
+            input_openings.append((rows, path))
+        cp_openings = []
+        for l_i in range(len(got["layer_pairs"])):
+            pair = u32(got["layer_pairs"][l_i][q]).reshape(2, 4)
+            path = [
+                u32(got["layer_paths"][l_i][q, j])
+                for j in range(got["layer_paths"][l_i].shape[1])
+            ]
+            cp_openings.append((pair, path))
+        query_proofs.append(QueryProof(input_openings, cp_openings))
+
+    fri_proof = FriProof(
+        [u32(r) for r in got["fri_commits"]],
+        query_proofs,
+        final,
+        int(got["pow"]),
+    )
+
+    # split the one fetched (sum_w, 4) block back into per-(mat, point) rows
+    opened_cat = u32(got["opened"])
+    opened = []
+    off = 0
+    for data, points_per_mat in open_rounds:
+        round_vals = []
+        for i, pts in enumerate(points_per_mat):
+            w = data.widths[i]
+            mat_vals = []
+            for _ in pts:
+                mat_vals.append(opened_cat[off : off + w])
+                off += w
+            round_vals.append(mat_vals)
+        opened.append(round_vals)
     if prep_data is not None:
         prep_vals, main_vals, perm_vals, quot_vals = opened
     else:
         main_vals, perm_vals, quot_vals = opened
         prep_vals = []
 
+    cumsums = [u32(c) for c in got["cumsums"]]
     opened_chips = []
     q_off = 0
     for i, chip in enumerate(chips):
@@ -282,7 +382,9 @@ def prove_shard_device(machine, pk, record, challenger):
         )
 
     return ShardProof(
-        commitment=ShardCommitment(main_commit, perm_commit, quotient_commit),
+        commitment=ShardCommitment(
+            u32(got["main"]), u32(got["perm"]), u32(got["quot"])
+        ),
         opened_values=opened_chips,
         opening_proof=fri_proof,
         chip_names=[c.name for c in chips],
@@ -323,27 +425,25 @@ def _host_quotient(
 
 
 # ---------------------------------------------------------------------------
-# device open (mirror of pcs.TwoAdicFriPcs.open)
+# device open (mirror of pcs.TwoAdicFriPcs.open) — fully async
 # ---------------------------------------------------------------------------
 
 
-def dev_open(fri, rounds, challenger):
-    log_blowup = fri.log_blowup
-    alpha = challenger.sample_ext()
+def dev_open(fri, log_blowup, rounds, ch):
+    """rounds: [(DevProverData, [[(tag, point_dev) ...] per mat])].
+    Returns a dict of DEVICE arrays (see prove_shard_device's fetch)."""
+    alpha = ch.sample_ext_mont()
 
-    # Dedupe evaluation points host-side so the jitted body can share z-power
-    # tables / (z - x)^-1 tables structurally (points are traced values).
-    upoints: list[bytes] = []
-    upoint_vals: list[np.ndarray] = []
+    # Dedupe evaluation points by STRUCTURAL tag (zeta / zeta*g_logn): the
+    # same dedupe the host pcs does by value, minus any device sync.
+    upoints: dict = {}
+    upoint_vals: list = []
 
-    def pid(z):
-        key = np.asarray(z, np.uint32).tobytes()
-        try:
-            return upoints.index(key)
-        except ValueError:
-            upoints.append(key)
-            upoint_vals.append(np.asarray(z, np.uint32))
-            return len(upoints) - 1
+    def pid(tag, val):
+        if tag not in upoints:
+            upoints[tag] = len(upoint_vals)
+            upoint_vals.append(val)
+        return upoints[tag]
 
     sig = []
     coeffs_all, ldes_all = [], []
@@ -352,33 +452,18 @@ def dev_open(fri, rounds, challenger):
             dom = data.domains[i]
             lde_log = int(data.ldes[i].shape[0]).bit_length() - 1
             sig.append(
-                (dom.log_n, lde_log, data.widths[i], tuple(pid(z) for z in pts))
+                (dom.log_n, lde_log, data.widths[i],
+                 tuple(pid(t, v) for t, v in pts))
             )
             coeffs_all.append(data.coeffs[i])
             ldes_all.append(data.ldes[i])
     sig = tuple(sig)
-    upts_dev = jpcs.ext_to_mont_dev(np.stack(upoint_vals))  # (U, 4)
-    alpha_m = jpcs.ext_to_mont_dev(alpha)
+    upts_dev = jnp.stack(upoint_vals)  # (U, 4) mont
+    alpha_m = alpha
 
     opened_cat, ro_vals, ro_keys = _open_stage(
         sig, coeffs_all, ldes_all, upts_dev, alpha_m
     )
-    # split the one fetched (sum_w, 4) block back into per-(mat, point) rows
-    opened_cat = np.asarray(jax.device_get(jf.mont_decode(opened_cat)), np.uint32)
-    opened_dev = []
-    off = 0
-    k = 0
-    for data, points_per_mat in rounds:
-        round_vals = []
-        for i, pts in enumerate(points_per_mat):
-            w = data.widths[i]
-            mat_vals = []
-            for _ in pts:
-                mat_vals.append(opened_cat[off : off + w])
-                off += w
-            round_vals.append(mat_vals)
-            k += 1
-        opened_dev.append(round_vals)
     ro = dict(zip(ro_keys, ro_vals))
 
     # FRI commit phase on bit-reversed reduced openings
@@ -389,31 +474,28 @@ def dev_open(fri, rounds, challenger):
     l, cur = next(it)
     cur = cur[jpcs.bitrev_idx(l)]
     nxt = next(it, None)
-    commits, trees = [], []
+    layer_roots, trees = [], []
     while cur.shape[0] > (1 << log_blowup):
         leaves = cur.reshape(-1, 8)
         tree = jpcs.merkle_commit_device([leaves])
-        commits.append(tree.root)
+        layer_roots.append(tree.root)
         trees.append(tree)
-        challenger.observe_slice(tree.root)
-        beta = jpcs.ext_to_mont_dev(challenger.sample_ext())
+        ch.observe_mont_vec(tree.root)
+        beta = ch.sample_ext_mont()
         cur = jpcs.fri_fold(cur, beta, l, shifts[l])
         l -= 1
         if nxt is not None and nxt[0] == l:
             cur = jf.madd(cur, nxt[1][jpcs.bitrev_idx(l)])
             nxt = next(it, None)
-    final_host = _fetch(cur)
-    final = final_host[0].copy()
-    assert np.all(final_host == final), "final polynomial is not constant"
-    challenger.observe_slice(final)
+    # final poly: constant — observe its coefficient (row 0); the fetched
+    # proof assembly asserts all rows agree
+    ch.observe_mont_vec(cur[0])
 
-    pow_witness = challenger.grind(fri.proof_of_work_bits)
-    query_indices = [
-        challenger.sample_bits(log_max) for _ in range(fri.num_queries)
-    ]
-    idxs_dev = jnp.asarray(np.asarray(query_indices, np.int32))
+    pow_witness = ch.grind(fri.proof_of_work_bits)
+    query_idx = [ch.sample_bits(log_max) for _ in range(fri.num_queries)]
+    idxs_dev = jnp.stack(query_idx).astype(jnp.int32)
 
-    # device gathers for every query, fetched in one pass
+    # device gathers for every query
     round_rows_dev, round_paths_dev = [], []
     for data, _pts in rounds:
         rows, paths = jpcs.gather_tree_openings(data.tree, idxs_dev, log_max)
@@ -429,29 +511,16 @@ def dev_open(fri, rounds, challenger):
         layer_paths_dev.append(paths)
         ii = ii >> 1
 
-    round_rows = [[_fetch(r) for r in rows] for rows in round_rows_dev]
-    round_paths = [_fetch(p) for p in round_paths_dev]
-    layer_pairs = [_fetch(p) for p in layer_pairs_dev]
-    layer_paths = [_fetch(p) for p in layer_paths_dev]
-
-    query_proofs = []
-    for q in range(fri.num_queries):
-        input_openings = []
-        for r_i in range(len(rounds)):
-            rows = [round_rows[r_i][m][q] for m in range(len(round_rows[r_i]))]
-            path = [round_paths[r_i][q, j] for j in range(round_paths[r_i].shape[1])]
-            input_openings.append((rows, path))
-        cp_openings = []
-        for l_i in range(len(trees)):
-            pair = layer_pairs[l_i][q].reshape(2, 4)
-            path = [
-                layer_paths[l_i][q, j] for j in range(layer_paths[l_i].shape[1])
-            ]
-            cp_openings.append((pair, path))
-        query_proofs.append(QueryProof(input_openings, cp_openings))
-
-    proof = FriProof(commits, query_proofs, final, pow_witness)
-    return opened_dev, proof
+    return {
+        "opened_cat": opened_cat,
+        "layer_roots": layer_roots,
+        "final": cur,
+        "pow_witness": pow_witness,
+        "round_rows": round_rows_dev,
+        "round_paths": round_paths_dev,
+        "layer_pairs": layer_pairs_dev,
+        "layer_paths": layer_paths_dev,
+    }
 
 
 def _open_stage(sig, coeffs_all, ldes_all, upts_dev, alpha_m):
