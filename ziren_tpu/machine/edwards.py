@@ -17,7 +17,7 @@ import numpy as np
 from ziren_tpu.executor.opcode import SyscallCode
 from ziren_tpu.stark.lookup import LookupKind
 from .field_gadget import ModLinGadget, ModMulGadget, limbs_of
-from .layout import Layout
+from .layout import Layout, trace_height
 from .memory_access import add_access_cols, eval_access
 from .weierstrass import (
     NL,
@@ -131,7 +131,7 @@ class EdDecompressChip(_WeierstrassBase):
     def generate_trace(self, record, output):
         events = self._events(record)
         n = len(events)
-        height = max(4, 1 << max(0, n - 1).bit_length())
+        height = trace_height(n)
         mat = np.zeros((height, DCOLS.width), dtype=np.uint32)
         shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):
@@ -252,7 +252,7 @@ class EdAddChip(_WeierstrassBase):
     def generate_trace(self, record, output):
         events = self._events(record)
         n = len(events)
-        height = max(4, 1 << max(0, n - 1).bit_length())
+        height = trace_height(n)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
         shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):

@@ -23,7 +23,7 @@ import numpy as np
 from ziren_tpu.executor.opcode import SyscallCode
 from ziren_tpu.stark.lookup import LookupKind
 from .field_gadget import ModLinGadget, ModMulGadget
-from .layout import Layout
+from .layout import Layout, trace_height
 from .memory_access import add_access_cols, eval_access
 from .weierstrass import (
     PBLS,
@@ -134,7 +134,7 @@ def _make_fp_chip(prefix, modulus, nwf, fop, is_fp2, code):
         def generate_trace(self, record, output):
             events = self._events(record)
             n = len(events)
-            height = max(4, 1 << max(0, n - 1).bit_length())
+            height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
             shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):

@@ -25,7 +25,7 @@ from ziren_tpu.executor.opcode import ByteOpcode as B
 from ziren_tpu.executor.opcode import SyscallCode
 from ziren_tpu.stark.lookup import LookupKind
 from .byte import count
-from .layout import Layout, word_decompose_np
+from .layout import Layout, trace_height, word_decompose_np
 from .memory_access import add_access_cols, eval_access
 from .weierstrass import _WeierstrassBase
 
@@ -78,7 +78,7 @@ class BooleanCircuitGarbleChip(_WeierstrassBase):
     def generate_trace(self, record, output):
         events = self._events(record)
         n_real = sum(max(1, (len(e["reads"]) - 5) // NW) for e in events)
-        height = max(4, 1 << max(0, n_real - 1).bit_length())
+        height = trace_height(n_real)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
         shard_now = record.public_values.shard
         row = 0

@@ -27,7 +27,7 @@ import numpy as np
 
 from ziren_tpu.executor.keccak import RC, ROT, keccak_round
 from ziren_tpu.stark.chip import Air
-from .layout import Layout
+from .layout import Layout, trace_height
 
 NR = 24
 
@@ -181,7 +181,7 @@ class KeccakPermAir(Air):
     def generate_trace(self, record, output):
         states = [list(s) for s in record.states]
         n_real = NR * len(states)
-        height = max(32, 1 << (n_real - 1).bit_length())
+        height = trace_height(n_real, 32)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
         row = 0
         for st in states:

@@ -39,7 +39,7 @@ from .keccak_air import (
     fill_perm_padding,
     fill_perm_row,
 )
-from .layout import Layout
+from .layout import Layout, trace_height
 from .memory_access import add_access_cols, eval_access, fill_access
 
 N_IN = 36  # u32 words absorbed per block
@@ -84,7 +84,7 @@ class KeccakSpongeChip(Air):
     def generate_trace(self, record, output):
         events = self._events(record)
         n_real = sum(NR * (len(e["reads"]) // N_IN) for e in events)
-        height = max(32, 1 << max(0, n_real - 1).bit_length())
+        height = trace_height(n_real, 32)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
         shard_now = record.public_values.shard
         row = 0

@@ -92,9 +92,47 @@ class Layout:
         return Layout.View(self, cols)
 
 
-def pad_to_pow2(mat: np.ndarray, min_height: int = 4) -> np.ndarray:
-    n = max(mat.shape[0], 1)
+# -- fixed trace heights (shape system) -------------------------------------
+# When a target height is set (stark/shape.py fix_shape), every trace-height
+# computation in this process pads to it instead of the next power of two.
+# Per-chip padding logic in generate_trace (writes to mat[n_real:]) then
+# covers the extended padding region unchanged — chips that need non-zero
+# padding rows (Global's dummy curve point, keccak's dummy permutation
+# chain, ...) produce them at ANY fixed height through the same code path.
+# (reference: crates/core/machine/src/shape/mod.rs fix_shape)
+
+_FIXED_HEIGHT: list = [None]
+
+
+class fixed_height:
+    """Context manager: force trace heights to `target` (a power of two)."""
+
+    def __init__(self, target):
+        self.target = target
+
+    def __enter__(self):
+        self.prev = _FIXED_HEIGHT[0]
+        _FIXED_HEIGHT[0] = self.target
+        return self
+
+    def __exit__(self, *exc):
+        _FIXED_HEIGHT[0] = self.prev
+        return False
+
+
+def trace_height(n_real: int, min_height: int = 4) -> int:
+    """Padded height for a trace with n_real real rows."""
+    n = max(int(n_real), 1)
     target = max(min_height, 1 << (n - 1).bit_length())
+    fh = _FIXED_HEIGHT[0]
+    if fh is not None:
+        assert target <= fh, f"trace needs {target} rows > fixed shape {fh}"
+        target = fh
+    return target
+
+
+def pad_to_pow2(mat: np.ndarray, min_height: int = 4) -> np.ndarray:
+    target = trace_height(mat.shape[0], min_height)
     if mat.shape[0] == target:
         return mat
     out = np.zeros((target, mat.shape[1]), dtype=np.uint32)

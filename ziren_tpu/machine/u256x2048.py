@@ -20,7 +20,7 @@ from ziren_tpu.executor.opcode import SyscallCode
 from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, count_u8_word, send_byte, send_u8_word
 from .field_gadget import C_OFF
-from .layout import Layout, pack_word, word_decompose_np
+from .layout import Layout, pack_word, trace_height, word_decompose_np
 from .memory_access import add_access_cols, eval_access
 from .weierstrass import _WeierstrassBase, _word_limbs
 
@@ -101,7 +101,7 @@ class U256xU2048MulChip(_WeierstrassBase):
     def generate_trace(self, record, output):
         events = self._events(record)
         n = len(events)
-        height = max(4, 1 << max(0, n - 1).bit_length())
+        height = trace_height(n)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
         shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):

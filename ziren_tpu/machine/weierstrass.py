@@ -35,7 +35,7 @@ from ziren_tpu.stark.chip import Air
 from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, send_byte
 from .field_gadget import ModLinGadget, ModMulGadget, limbs_of
-from .layout import Layout
+from .layout import Layout, trace_height
 from .memory_access import add_access_cols, eval_access
 
 NL = 32
@@ -228,7 +228,7 @@ def _make_add_chip(curve_name, modulus, add_code, nw=8):
         def generate_trace(self, record, output):
             events = self._events(record)
             n = len(events)
-            height = max(4, 1 << max(0, n - 1).bit_length())
+            height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
             shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):
@@ -355,7 +355,7 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
         def generate_trace(self, record, output):
             events = self._events(record)
             n = len(events)
-            height = max(4, 1 << max(0, n - 1).bit_length())
+            height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
             shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):
@@ -517,7 +517,7 @@ def _make_decompress_chip(curve_name, modulus, a_coef, b_coef, code, nw,
         def generate_trace(self, record, output):
             events = self._events(record)
             n = len(events)
-            height = max(4, 1 << max(0, n - 1).bit_length())
+            height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
             shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):

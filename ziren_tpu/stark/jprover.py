@@ -294,6 +294,24 @@ def prove_shard_device(machine, pk, record, challenger):
         "layer_paths": [jf.mont_decode(p) for p in dev_out["layer_paths"]],
     }
     got = jax.device_get(to_fetch)
+    rounds_meta = [
+        [(data.widths[i], len(pts)) for i, pts in enumerate(points)]
+        for data, points in open_rounds
+    ]
+    return assemble_proof(
+        pk, chips, trace_domains, rounds_meta, fri, got,
+        public_values, global_sums, has_prep=prep_data is not None,
+    )
+
+
+def assemble_proof(
+    pk, chips, trace_domains, rounds_meta, fri, got,
+    public_values, global_sums, has_prep,
+):
+    """Host assembly of a ShardProof from the fetched device pytree `got`.
+
+    rounds_meta: per opening round, [(width, n_points)] per matrix — the
+    static structure that splits the one concatenated opened-values block."""
     u32 = lambda x: np.asarray(x, np.uint32)
 
     final_host = u32(got["final"])
@@ -303,7 +321,7 @@ def prove_shard_device(machine, pk, record, challenger):
     query_proofs = []
     for q in range(fri.num_queries):
         input_openings = []
-        for r_i in range(len(open_rounds)):
+        for r_i in range(len(rounds_meta)):
             rows = [u32(m[q]) for m in got["round_rows"][r_i]]
             path = [
                 u32(got["round_paths"][r_i][q, j])
@@ -331,17 +349,16 @@ def prove_shard_device(machine, pk, record, challenger):
     opened_cat = u32(got["opened"])
     opened = []
     off = 0
-    for data, points_per_mat in open_rounds:
+    for metas in rounds_meta:
         round_vals = []
-        for i, pts in enumerate(points_per_mat):
-            w = data.widths[i]
+        for w, n_pts in metas:
             mat_vals = []
-            for _ in pts:
+            for _ in range(n_pts):
                 mat_vals.append(opened_cat[off : off + w])
                 off += w
             round_vals.append(mat_vals)
         opened.append(round_vals)
-    if prep_data is not None:
+    if has_prep:
         prep_vals, main_vals, perm_vals, quot_vals = opened
     else:
         main_vals, perm_vals, quot_vals = opened

@@ -1,0 +1,103 @@
+"""Shape system: fixed per-chip trace heights across a batch of shards.
+
+A `Shape` maps chip name -> log2 trace height. `fix_shape(machine, records)`
+computes the batch-wide shape (per-chip max height, optionally rounded up to
+a cluster grid) and regenerates any trace below its target under the
+fixed-height context (machine/layout.py), which routes every height
+computation — including each chip's non-zero padding logic — to the target.
+
+Why shapes (reference: crates/core/machine/src/shape/mod.rs:40-165):
+  * the device prover jit-caches kernels by trace shape — a stable shape
+    set means a finite, warm kernel cache;
+  * shard_map data-parallel proving needs identical shapes on every device;
+  * recursion lift programs are compiled per proof shape — a finite shape
+    set means a finite set of recursion programs and vks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ziren_tpu.machine.layout import fixed_height
+
+
+@dataclass(frozen=True)
+class Shape:
+    """Ordered (chip name, log_height) pairs, tallest first."""
+
+    heights: tuple
+
+    def log_height(self, name: str) -> int:
+        return dict(self.heights)[name]
+
+    def __contains__(self, name):
+        return any(n == name for n, _ in self.heights)
+
+    @property
+    def names(self):
+        return tuple(n for n, _ in self.heights)
+
+
+def _gen_traces(machine, record):
+    """(chip, trace) pairs for every included chip, dependencies emitted."""
+    chips = [c for c in machine.chips if c.air.included(record)]
+    if not getattr(record, "_deps_done", False):
+        for c in chips:
+            c.air.emit_synthetic(record)
+        for c in chips:
+            c.air.generate_dependencies(record, record)
+        try:
+            record._deps_done = True
+        except AttributeError:
+            pass
+    return [(c, c.air.generate_trace(record, record)) for c in chips]
+
+
+def round_up_cluster(log_h: int, grid: int = 1) -> int:
+    """Round a log-height up to the next multiple of `grid` (cluster rule)."""
+    return ((log_h + grid - 1) // grid) * grid
+
+
+def fix_shape(machine, records, grid: int = 1):
+    """Generate traces for every record at a common per-chip shape.
+
+    Returns (shape, [per-record [(chip, trace)]]). All records must include
+    the same chip set (shards of one continuation run do). Chips with a
+    preprocessed trace keep their natural height (it is pinned by the vk);
+    others are padded to the per-chip max over the batch, rounded up to the
+    `grid` log-height cluster.
+    """
+    per_record = [_gen_traces(machine, r) for r in records]
+    names0 = [c.name for c, _ in per_record[0]]
+    for traces in per_record[1:]:
+        assert [c.name for c, _ in traces] == names0, (
+            "fix_shape needs a uniform chip set across records"
+        )
+
+    targets = {}
+    for traces in per_record:
+        for c, t in traces:
+            log_h = (t.shape[0] - 1).bit_length()
+            if c.preprocessed_width == 0:
+                log_h = round_up_cluster(log_h, grid)
+            targets[c.name] = max(targets.get(c.name, 0), log_h)
+
+    fixed = []
+    for record, traces in zip(records, per_record):
+        out = []
+        for c, t in traces:
+            want = 1 << targets[c.name]
+            if t.shape[0] != want:
+                assert t.shape[0] < want, (c.name, t.shape[0], want)
+                with fixed_height(want):
+                    t = c.air.generate_trace(record, record)
+                assert t.shape[0] == want, c.name
+            out.append((c, t))
+        fixed.append(out)
+
+    shape = Shape(
+        tuple(
+            sorted(targets.items(), key=lambda kv: (-kv[1], names0.index(kv[0])))
+        )
+    )
+    return shape, fixed

@@ -1,0 +1,288 @@
+"""Data-parallel shard proving over a device mesh.
+
+`prove_shards_sharded` proves a batch of execution shards with ONE jitted
+`shard_map` over a 1-D `Mesh(("shard",))`: every device runs the complete
+shard prove — commit, LogUp permutation, quotient, FRI open, Fiat-Shamir
+transcript and proof-of-work — on its own shard(s), with zero cross-device
+communication (shards are transcript-independent: each starts from a clone
+of the post-vk challenger, reference crates/stark/src/prover.rs:676-688 /
+utils/prove.rs:484-522).
+
+Shards must share one proof shape for SPMD, so records first go through
+`fix_shape` (stark/shape.py): per-chip max height over the batch, each
+chip's own padding semantics. The traced prove body is the pure-function
+form of stark/jprover.py's device prover and produces bit-identical proofs
+(the default test suite checks equality against the per-shard eager path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ziren_tpu.ops import jfield as jf
+from ziren_tpu.ops import jpcs
+from ziren_tpu.ops.jchallenger import JChallenger
+from . import jfolder
+from .jprover import assemble_proof, dev_open
+from .proof import MachineProof
+from .shape import fix_shape
+
+
+def _pts_meta(dom, local_only):
+    """Opening-point structural tags for one matrix (mirror of jprover)."""
+    if local_only:
+        return ("z",)
+    return ("z", ("zn", dom.log_n))
+
+
+def _build_prove_fn(machine, pk, chips, trace_domains, ch_template):
+    """The pure traced single-shard prove: (pv_raw, mains_raw, preps_raw)
+    -> decoded pytree of proof arrays. Everything else is static closure."""
+    config = machine.config
+    fri = config.fri
+    log_blowup = fri.log_blowup
+    prep_doms = [dom for _n, dom, _d, _lo in pk.chip_information]
+
+    def prove_one(pv_raw, mains_raw, preps_raw):
+        mains = [jf.mont_encode(m) for m in mains_raw]
+        preps = [jf.mont_encode(p) for p in preps_raw]
+        if preps:
+            _, prep_data = jpcs.commit(list(zip(prep_doms, preps)), log_blowup)
+        else:
+            prep_data = None
+        main_commit, main_data = jpcs.commit(
+            list(zip(trace_domains, mains)), log_blowup
+        )
+
+        ch = JChallenger.from_host(ch_template)
+        pv_m = jf.mont_encode(pv_raw)
+        ch.observe_mont_vec(pv_m)
+        ch.observe_mont_vec(main_commit)
+        alpha_m = ch.sample_ext_mont()
+        beta_m = ch.sample_ext_mont()
+
+        perm_flats, cumsums_m = [], []
+        for chip, main_dev in zip(chips, mains):
+            prep_idx = pk.chip_ordering.get(chip.name)
+            prep = preps[prep_idx] if prep_idx is not None else None
+            flat, cum = jfolder.perm_trace_device(
+                chip, main_dev, prep, pv_m, alpha_m, beta_m
+            )
+            perm_flats.append(flat)
+            cumsums_m.append(cum)
+        perm_commit, perm_data = jpcs.commit(
+            list(zip(trace_domains, perm_flats)), log_blowup
+        )
+        ch.observe_mont_vec(perm_commit)
+
+        gsums_m = []
+        for chip, main_dev, cum_m in zip(chips, mains, cumsums_m):
+            if chip.commit_scope.name == "Global":
+                gsum_m = main_dev[-1, -14:]
+            else:
+                gsum_m = jnp.zeros(14, dtype=jnp.uint32)
+            gsums_m.append(gsum_m)
+            ch.observe_mont_vec(cum_m)
+            ch.observe_mont_vec(gsum_m)
+
+        alpha_q = ch.sample_ext_mont()
+
+        quotient_domains = [
+            d.create_disjoint_domain(1 << (d.log_n + c.log_quotient_degree))
+            for d, c in zip(trace_domains, chips)
+        ]
+        q_domains, q_chunks = [], []
+        for i, (chip, tdom, qdom) in enumerate(
+            zip(chips, trace_domains, quotient_domains)
+        ):
+            assert chip.log_quotient_degree <= log_blowup
+            qn = qdom.size
+            next_step = qn // tdom.size
+            prep_idx = pk.chip_ordering.get(chip.name)
+            if prep_idx is not None:
+                prep_q = jpcs.evals_on_domain(prep_data, prep_idx, qdom)
+            else:
+                prep_q = jnp.zeros((qn, 0), dtype=jnp.uint32)
+            main_q = jpcs.evals_on_domain(main_data, i, qdom)
+            perm_q = jpcs.evals_on_domain(perm_data, i, qdom)
+            sels = jfolder.selectors_on_coset_device(
+                tdom.log_n, tdom.shift, qdom.log_n, qdom.shift
+            )
+            alphas_rev = jpcs.epowers_rev_dev(alpha_q, chip.num_constraints)
+            quotient = jfolder.quotient_device(
+                chip, next_step, prep_q, main_q, perm_q, sels, pv_m,
+                alphas_rev, (alpha_m, beta_m), cumsums_m[i], gsums_m[i],
+            )
+            flat = quotient.reshape(qn, 4)
+            for j, sub_dom in enumerate(qdom.split_domains(chip.quotient_degree)):
+                q_domains.append(sub_dom)
+                q_chunks.append(flat[j :: chip.quotient_degree])
+
+        quotient_commit, quotient_data = jpcs.commit(
+            list(zip(q_domains, q_chunks)), log_blowup
+        )
+        ch.observe_mont_vec(quotient_commit)
+        zeta = ch.sample_ext_mont()
+
+        def pts_for(dom, local_only):
+            if local_only:
+                return [("z", zeta)]
+            return [("z", zeta),
+                    (("zn", dom.log_n), jpcs.next_point_dev(zeta, dom))]
+
+        prep_points = [
+            pts_for(dom, lo) for _n, dom, _d, lo in pk.chip_information
+        ]
+        main_points = [
+            pts_for(d, c.local_only) for c, d in zip(chips, trace_domains)
+        ]
+        perm_points = [pts_for(d, False) for d in trace_domains]
+        quotient_points = [[("z", zeta)] for _ in q_chunks]
+
+        open_rounds = []
+        if prep_data is not None:
+            open_rounds.append((prep_data, prep_points))
+        open_rounds += [
+            (main_data, main_points),
+            (perm_data, perm_points),
+            (quotient_data, quotient_points),
+        ]
+        dev_out = dev_open(fri, log_blowup, open_rounds, ch)
+
+        return {
+            "main": jf.mont_decode(main_commit),
+            "perm": jf.mont_decode(perm_commit),
+            "quot": jf.mont_decode(quotient_commit),
+            "cumsums": [jf.mont_decode(c) for c in cumsums_m],
+            "gsums": [jf.mont_decode(g) for g in gsums_m],
+            "opened": jf.mont_decode(dev_out["opened_cat"]),
+            "fri_commits": [jf.mont_decode(r) for r in dev_out["layer_roots"]],
+            "final": jf.mont_decode(dev_out["final"]),
+            "pow": dev_out["pow_witness"],
+            "round_rows": [
+                [jf.mont_decode(r) for r in rows]
+                for rows in dev_out["round_rows"]
+            ],
+            "round_paths": [jf.mont_decode(p) for p in dev_out["round_paths"]],
+            "layer_pairs": [jf.mont_decode(p) for p in dev_out["layer_pairs"]],
+            "layer_paths": [jf.mont_decode(p) for p in dev_out["layer_paths"]],
+        }
+
+    return prove_one
+
+
+def prove_shards_sharded(
+    machine, pk, records, mesh=None, grid: int = 1
+) -> MachineProof:
+    """Prove `records` data-parallel over `mesh` (default: all devices on a
+    1-D "shard" axis). Returns the MachineProof in record order."""
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("shard",))
+    n_dev = mesh.devices.size
+    n = len(records)
+    assert n >= 1
+
+    shape, fixed = fix_shape(machine, records, grid)
+    # order chips by height desc (stable), matching the eager prover
+    order = sorted(
+        range(len(fixed[0])), key=lambda i: -fixed[0][i][1].shape[0]
+    )
+    chips = [fixed[0][i][0] for i in order]
+    pcs_host = machine.config.pcs
+    trace_domains = [
+        pcs_host.natural_domain_for_degree(fixed[0][i][1].shape[0])
+        for i in order
+    ]
+
+    # per-shard inputs, padded to a multiple of the mesh size by repeating
+    # the last record (shards are independent; padding proofs are dropped)
+    n_pad = (-n) % n_dev
+    idxs = list(range(n)) + [n - 1] * n_pad
+    pv_list, mains_list = [], []
+    for r_i in idxs:
+        record = records[r_i]
+        pv = record.public_values
+        pv_list.append(
+            np.asarray(
+                pv.to_list() if hasattr(pv, "to_list") else list(pv),
+                dtype=np.uint32,
+            )
+        )
+        mains_list.append([fixed[r_i][i][1] for i in order])
+    pv_stack = jnp.asarray(np.stack(pv_list))
+    mains_stack = tuple(
+        jnp.asarray(np.stack([m[i] for m in mains_list]))
+        for i in range(len(chips))
+    )
+    preps = tuple(
+        jnp.asarray(pk.preprocessed_by_name[name])
+        for name, _d, _dims, _lo in pk.chip_information
+    )
+
+    ch_template = machine.config.challenger()
+    pk.vk.observe_into(ch_template)
+    prove_one = _build_prove_fn(machine, pk, chips, trace_domains, ch_template)
+
+    local_n = (n + n_pad) // n_dev
+
+    def body(pv_blk, mains_blk, preps_rep):
+        outs = []
+        for s in range(local_n):
+            outs.append(
+                prove_one(
+                    pv_blk[s], [m[s] for m in mains_blk], list(preps_rep)
+                )
+            )
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    in_specs = (
+        P("shard"),
+        tuple(P("shard") for _ in mains_stack),
+        tuple(P() for _ in preps),
+    )
+    step = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P("shard"),
+            check_vma=False,
+        )
+    )
+    got_all = jax.device_get(step(pv_stack, mains_stack, preps))
+
+    rounds_meta = []
+    if pk.chip_information:
+        rounds_meta.append(
+            [
+                (dims[1], len(_pts_meta(dom, lo)))
+                for _n2, dom, dims, lo in pk.chip_information
+            ]
+        )
+    rounds_meta.append(
+        [
+            (c.width, len(_pts_meta(d, c.local_only)))
+            for c, d in zip(chips, trace_domains)
+        ]
+    )
+    rounds_meta.append([(c.perm_width * 4, 2) for c in chips])
+    quot_meta = []
+    for c in chips:
+        quot_meta += [(4, 1)] * c.quotient_degree
+    rounds_meta.append(quot_meta)
+
+    fri = machine.config.fri
+    shard_proofs = []
+    for s in range(n):
+        got = jax.tree.map(lambda x: np.asarray(x)[s], got_all)
+        proof = assemble_proof(
+            pk, chips, trace_domains, rounds_meta, fri, got,
+            [int(v) for v in pv_list[s]],
+            [np.asarray(g, np.uint32) for g in got["gsums"]],
+            has_prep=bool(pk.chip_information),
+        )
+        shard_proofs.append(proof)
+    return MachineProof(shard_proofs)
