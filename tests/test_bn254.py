@@ -1,0 +1,97 @@
+"""Outer (wrap) config primitives: Poseidon2-BN254, the multifield
+challenger, the Fr Merkle MMCS, and a full prove/verify under
+OuterStarkConfig — plus python/native differentials."""
+
+import numpy as np
+import pytest
+
+from ziren_tpu.core import bn254, bn254_native, outer_merkle
+
+
+def test_permute_reference_shape():
+    """Permutation is a bijection-looking map with the documented structure:
+    deterministic, state-size preserving, sensitive to every input lane."""
+    s = bn254.permute((1, 2, 3))
+    assert len(s) == 3 and all(0 <= v < bn254.FR for v in s)
+    assert bn254.permute((1, 2, 3)) == s
+    assert bn254.permute((1, 2, 4)) != s
+    assert bn254.permute((0, 2, 3)) != s
+
+
+def test_reduce_split_roundtrip():
+    vals = [1, 2130706432, 12345, 0, 7, 99, 1 << 30, 3]
+    fr = bn254.reduce_32(vals)
+    assert 0 <= fr < bn254.FR
+    # base-2^32 packing: 8*32=256 bits folded mod FR; small vals exact
+    assert bn254.reduce_32([5]) == 5
+    assert bn254.reduce_32([0, 1]) == 1 << 32
+    digits = bn254.split_32((1 << 64) + 42, 3)
+    assert digits[0] == 42 and digits[1] == 1 and digits[2] == 0
+
+
+def test_native_matches_python():
+    if not bn254_native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    rows = rng.integers(0, 2130706433, size=(65, 23), dtype=np.uint32)
+    want = [bn254.hash_felts(rows[i]) for i in range(rows.shape[0])]
+    assert bn254_native.hash_rows(rows) == want
+    ds = [int.from_bytes(rng.bytes(31), "little") for _ in range(16)]
+    want = [bn254.compress(ds[2 * i], ds[2 * i + 1]) for i in range(8)]
+    assert bn254_native.compress_pairs(ds) == want
+
+
+def test_challenger_determinism_and_grind():
+    a = bn254.OuterChallenger()
+    b = bn254.OuterChallenger()
+    for ch in (a, b):
+        ch.observe_slice(np.arange(20, dtype=np.uint32))
+        ch.observe_fr(123456789 << 100)
+    assert a.sample() == b.sample()
+    assert np.array_equal(a.sample_ext(), b.sample_ext())
+    w = a.grind(6)
+    c = b.clone()
+    assert b.check_witness(6, w)
+    # grind picks the smallest witness: every smaller one fails
+    for cand in range(w):
+        assert not c.clone().check_witness(6, cand)
+
+
+def test_outer_merkle_commit_open_verify():
+    rng = np.random.default_rng(5)
+    mats = [
+        rng.integers(0, 2130706433, size=(32, 5), dtype=np.uint32),
+        rng.integers(0, 2130706433, size=(8, 3), dtype=np.uint32),
+    ]
+    tree = outer_merkle.commit(mats)
+    assert isinstance(tree.root, int)
+    dims = [(32, 5), (8, 3)]
+    for idx in (0, 13, 31):
+        rows, path = outer_merkle.open_at(tree, idx)
+        assert outer_merkle.verify_opening(tree.root, dims, idx, rows, path)
+        bad = [r.copy() for r in rows]
+        bad[0][0] ^= 1
+        assert not outer_merkle.verify_opening(tree.root, dims, idx, bad, path)
+
+
+def test_outer_config_prove_verify():
+    from test_stark_engine import FibonacciAir, Record, fib_pv
+    from ziren_tpu.stark.config import outer_dev_config
+    from ziren_tpu.stark.machine import StarkMachine
+    from ziren_tpu.stark.verifier import VerificationError
+
+    machine = StarkMachine(
+        outer_dev_config(), [FibonacciAir()], num_public_values=3
+    )
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, [Record(n=64, pv=fib_pv(64))])
+    assert machine.verify(vk, proof)
+    sp = proof.shard_proofs[0]
+    assert isinstance(sp.commitment.main, int)  # Fr digest
+
+    # tampering with an opened value must be rejected
+    row = np.array(sp.opened_values[0].main.local[0], np.uint32).copy()
+    row[0] = (int(row[0]) + 1) % 2130706433
+    sp.opened_values[0].main.local[0] = row
+    with pytest.raises((VerificationError, AssertionError)):
+        machine.verify(vk, proof)

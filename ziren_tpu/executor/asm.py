@@ -547,3 +547,36 @@ def u256x2048_program(a: int, b_val: int) -> Program:
         *halt_sequence(0),
     ]
     return Program.new(insns)
+
+
+def deferred_claim_program(vkey_words, pvd_words, digest_words) -> Program:
+    """Guest that defers one sub-proof claim: VERIFY_ZKM_PROOF(vkey@0x2000,
+    pvd@0x2100), then COMMIT_DEFERRED_PROOFS of the folded deferred digest
+    (precomputed host-side with recursion.deferred.fold_claims, matching the
+    reference guest's in-VM hash_deferred_proof — primitives/src/lib.rs:1140,
+    zkvm/lib/src/verify.rs)."""
+    insns = [imm(O.ADD, 8, 0, 0x2000)]
+    for i, w in enumerate(vkey_words):
+        w = int(w)
+        insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                  ri(O.SW, 9, 8, 4 * i)]
+    for i, w in enumerate(pvd_words):
+        w = int(w)
+        insns += [imm(O.SLL, 9, w >> 16, 16), ri(O.OR, 9, 9, w & 0xFFFF),
+                  ri(O.SW, 9, 8, 0x100 + 4 * i)]
+    insns += [
+        imm(O.ADD, 2, 0, 0x1B),  # VERIFY_ZKM_PROOF
+        imm(O.ADD, 4, 0, 0x2000),  # a0 = vkey ptr
+        imm(O.ADD, 5, 0, 0x2100),  # a1 = pv digest ptr
+        Instruction(O.SYSCALL, 2, 4, 5, False, False),
+    ]
+    for i, w in enumerate(digest_words):
+        w = int(w)
+        insns += [
+            imm(O.ADD, 2, 0, 0x1A),  # COMMIT_DEFERRED_PROOFS
+            imm(O.ADD, 4, 0, i),  # word index
+            imm(O.SLL, 5, w >> 16, 16), ri(O.OR, 5, 5, w & 0xFFFF),
+            Instruction(O.SYSCALL, 2, 4, 5, False, False),
+        ]
+    insns += [*halt_sequence(0)]
+    return Program.new(insns)

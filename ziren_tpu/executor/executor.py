@@ -119,10 +119,15 @@ class Halted(Exception):
 
 class Executor:
     def __init__(self, program, stdin: list | None = None, max_cycles=None,
-                 mode="trace", shard_size=None):
+                 mode="trace", shard_size=None, hook_registry=None):
+        from .hooks import HookRegistry
+
         self.program = program
         self.mode = mode
         self.max_cycles = max_cycles
+        # host hooks: guest WRITEs to reserved fds call back into the host
+        # (reference: hook.rs HookRegistry; ecrecover / fp sqrt+inv hints)
+        self.hook_registry = hook_registry or HookRegistry.default()
         # continuation: split execution into shards of <= shard_size cycles
         # (reference: executor.rs shard splitting; branch + delay slot are
         # kept in the same shard)
@@ -745,6 +750,11 @@ class Executor:
                 # hint fd: becomes the next HINT_LEN/HINT_READ buffer
                 # (reference: io.rs write_fd FD_HINT)
                 self.input_stream.append(bytes(data))
+            elif self.hook_registry.get(fd) is not None:
+                # host hook: result buffers become the next hint reads
+                # (reference: hook.rs HookRegistry, executor.rs hook fds)
+                for out in self.hook_registry.get(fd)(self, bytes(data)):
+                    self.input_stream.append(bytes(out))
             return nbytes, None, 0, 0
         if syscall_id == SyscallCode.COMMIT:
             # word_idx = b, word = c

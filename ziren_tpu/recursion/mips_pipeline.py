@@ -78,7 +78,9 @@ RPV_EXIT_CODE = 182
 RPV_GLOBAL_SUM = 183  # 14: septic digest (x0..x6, y0..y6)
 RPV_IS_COMPLETE = 197
 RPV_PC_START = 198  # program entry (the MIPS vk's extra observation)
-RPV_WIDTH = 199
+RPV_START_RECON = 199  # 8: deferred reconstruct digest at the range start
+RPV_END_RECON = 207  # 8: deferred reconstruct digest at the range end
+RPV_WIDTH = 215
 
 
 def shard_global_digest(machine, shard_proof):
@@ -101,11 +103,20 @@ def _is_complete(rpv) -> bool:
         and rpv[RPV_EXIT_CODE] == 0
         and rpv[RPV_START_PC] == rpv[RPV_PC_START]
         and S.digest_is_zero((gx, gy))
+        # every VERIFY_ZKM_PROOF claim is discharged: the deferred chain
+        # starts at zero and reconstructs the claimed digest
+        and list(rpv[RPV_START_RECON : RPV_START_RECON + 8]) == [0] * 8
+        and list(rpv[RPV_END_RECON : RPV_END_RECON + 8])
+        == list(rpv[RPV_DEFERRED : RPV_DEFERRED + 8])
     )
 
 
-def shard_rpv(machine, vk, shard_proof) -> list:
-    """Host-side RecursionPublicValues for one MIPS shard proof."""
+def shard_rpv(machine, vk, shard_proof, reconstruct_digest=None) -> list:
+    """Host-side RecursionPublicValues for one MIPS shard proof.
+
+    reconstruct_digest: the deferred-chain digest this core range sits on
+    (core leaves do not advance the chain: start == end). Zeros when the
+    guest made no VERIFY_ZKM_PROOF claims."""
     pv = [int(v) for v in shard_proof.public_values]
     dig = shard_global_digest(machine, shard_proof)
     extras = [int(x) for x in vk.extra_observations]
@@ -136,6 +147,9 @@ def shard_rpv(machine, vk, shard_proof) -> list:
     rpv[RPV_GLOBAL_SUM : RPV_GLOBAL_SUM + 7] = [int(v) for v in dig[0]]
     rpv[RPV_GLOBAL_SUM + 7 : RPV_GLOBAL_SUM + 14] = [int(v) for v in dig[1]]
     rpv[RPV_PC_START] = extras[0] if extras else 0
+    rd = [int(v) for v in (reconstruct_digest or [0] * 8)]
+    rpv[RPV_START_RECON : RPV_START_RECON + 8] = rd
+    rpv[RPV_END_RECON : RPV_END_RECON + 8] = rd
     rpv[RPV_IS_COMPLETE] = 1 if _is_complete(rpv) else 0
     return rpv
 
@@ -158,6 +172,10 @@ def combine_rpv(rpv_a: list, rpv_b: list) -> list:
         == rpv_b[RPV_PREV_FIN_ADDR : RPV_PREV_FIN_ADDR + 32]
     ), "finalize addr-bit chain broken"
     assert rpv_a[RPV_PC_START] == rpv_b[RPV_PC_START]
+    assert (
+        rpv_a[RPV_END_RECON : RPV_END_RECON + 8]
+        == rpv_b[RPV_START_RECON : RPV_START_RECON + 8]
+    ), "deferred reconstruct chain broken"
     out[RPV_VK : RPV_DEFERRED + 8] = rpv_a[RPV_VK : RPV_DEFERRED + 8]
     out[RPV_START_PC] = rpv_a[RPV_START_PC]
     out[RPV_NEXT_PC] = rpv_b[RPV_NEXT_PC]
@@ -190,6 +208,12 @@ def combine_rpv(rpv_a: list, rpv_b: list) -> list:
     out[RPV_GLOBAL_SUM : RPV_GLOBAL_SUM + 7] = [int(v) for v in dig[0]]
     out[RPV_GLOBAL_SUM + 7 : RPV_GLOBAL_SUM + 14] = [int(v) for v in dig[1]]
     out[RPV_PC_START] = rpv_a[RPV_PC_START]
+    out[RPV_START_RECON : RPV_START_RECON + 8] = rpv_a[
+        RPV_START_RECON : RPV_START_RECON + 8
+    ]
+    out[RPV_END_RECON : RPV_END_RECON + 8] = rpv_b[
+        RPV_END_RECON : RPV_END_RECON + 8
+    ]
     out[RPV_IS_COMPLETE] = 1 if _is_complete(out) else 0
     return out
 
@@ -208,15 +232,22 @@ def _bind_completeness(t, rpv, digest_point):
     t.assert_eq(ic * rpv[RPV_NEXT_PC], zero)
     t.assert_eq(ic * rpv[RPV_EXIT_CODE], zero)
     t.assert_eq(ic * (rpv[RPV_START_PC] - rpv[RPV_PC_START]), zero)
+    for i in range(8):
+        t.assert_eq(ic * rpv[RPV_START_RECON + i], zero)
+        t.assert_eq(
+            ic * (rpv[RPV_END_RECON + i] - rpv[RPV_DEFERRED + i]), zero
+        )
     assert_digest_zero(t, ic, digest_point)
 
 
-def lift_shard(machine, vk, shard_proof, config=None):
+def lift_shard(machine, vk, shard_proof, config=None,
+               reconstruct_digest=None):
     """One recursion proof attesting one MIPS shard proof, public values =
     the canonical RPV. The shard's own 231 public values enter as HINTS,
     bound by the traced shard verifier's transcript, and every RPV field is
     asserted against them in-circuit."""
-    rpv_vals = shard_rpv(machine, vk, shard_proof)
+    rpv_vals = shard_rpv(machine, vk, shard_proof,
+                         reconstruct_digest=reconstruct_digest)
     extras = [int(x) for x in vk.extra_observations]
     t = Tracer(num_inputs=RPV_WIDTH, input_values=rpv_vals)
     rpv = [t.input(i) for i in range(RPV_WIDTH)]
@@ -244,6 +275,9 @@ def lift_shard(machine, vk, shard_proof, config=None):
     eq_range(RPV_PREV_FIN_ADDR, PV_PREV_FIN_ADDR, 32)
     eq_range(RPV_LAST_FIN_ADDR, PV_LAST_FIN_ADDR, 32)
     t.assert_eq(rpv[RPV_EXIT_CODE], pv_h[PV_EXIT_CODE])
+    # core leaves carry the deferred reconstruct digest unchanged
+    for i in range(8):
+        t.assert_eq(rpv[RPV_START_RECON + i], rpv[RPV_END_RECON + i])
     zero = t.const(0)
     for i in range(PV_PADDING, len(pv_h)):
         t.assert_eq(pv_h[i], zero)
@@ -302,6 +336,8 @@ def join(side_a, side_b, config=None):
     for i in range(32):
         t.assert_eq(a_h[RPV_LAST_INIT_ADDR + i], b_h[RPV_PREV_INIT_ADDR + i])
         t.assert_eq(a_h[RPV_LAST_FIN_ADDR + i], b_h[RPV_PREV_FIN_ADDR + i])
+    for i in range(8):
+        t.assert_eq(a_h[RPV_END_RECON + i], b_h[RPV_START_RECON + i])
     # summary = a.start .. b.next
     def out_eq(off, src, src_off=None, k=1):
         so = off if src_off is None else src_off
@@ -319,6 +355,8 @@ def join(side_a, side_b, config=None):
     out_eq(RPV_PREV_FIN_ADDR, a_h, k=32)
     out_eq(RPV_LAST_FIN_ADDR, b_h, k=32)
     out_eq(RPV_EXIT_CODE, b_h)
+    out_eq(RPV_START_RECON, a_h, k=8)
+    out_eq(RPV_END_RECON, b_h, k=8)
     # children must be partial ranges; the flag is decided at this node
     zero = t.const(0)
     t.assert_eq(a_h[RPV_IS_COMPLETE], zero)
@@ -348,7 +386,8 @@ REQUIRED_CHIPS = {"Program", "Cpu", "Byte", "MemoryInit", "MemoryFinal",
                   "MemoryLocal", "Global"}
 
 
-def compress(machine, vk, machine_proof, config=None):
+def compress(machine, vk, machine_proof, config=None,
+             reconstruct_digest=None):
     """Lift every MIPS shard, then reduce pairwise to ONE recursion proof
     whose public values are the root RPV (is_complete = 1 for a full
     halting execution). Every layer chains boundaries and accumulates the
@@ -357,7 +396,8 @@ def compress(machine, vk, machine_proof, config=None):
     for sp in machine_proof.shard_proofs:
         missing = REQUIRED_CHIPS - set(sp.chip_names)
         assert not missing, f"shard missing required chips: {sorted(missing)}"
-        layer.append(lift_shard(machine, vk, sp, config=config))
+        layer.append(lift_shard(machine, vk, sp, config=config,
+                                reconstruct_digest=reconstruct_digest))
     while len(layer) > 1:
         nxt = []
         for i in range(0, len(layer) - 1, 2):

@@ -50,6 +50,17 @@ def _shape_key(machine, shard_proof, vk=None):
     ) + vk_part
 
 
+def _config_key(config):
+    """Identity of the PROVING config (the machine the recursion proof is
+    produced under) — distinguishes inner (KB) lifts from outer (BN254)
+    wraps of the same inner shape."""
+    if config is None:
+        return ("dev",)
+    fri = config.fri
+    return (getattr(config, "commit_kind", "kb"), fri.log_blowup,
+            fri.num_queries, fri.proof_of_work_bits)
+
+
 def _prove_cached(key, prog, inputs, hints, config, tracer=None):
     from .machine import _Record
     import numpy as np
@@ -115,7 +126,8 @@ def lift(machine, vk, shard_proof, config=None, compact=False):
         for d in digest:
             t.output(d)
     prog = t.program()
-    key = ("lift", compact, len(extra)) + _shape_key(machine, shard_proof, vk)
+    key = (("lift", compact, len(extra)) + _config_key(config)
+           + _shape_key(machine, shard_proof, vk))
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values,
                                     config, tracer=t)
     return rm, rvk, rproof, inputs
@@ -155,7 +167,7 @@ def join(side_a, side_b, config=None, chain=None):
     if chain is not None:
         chain(t, pva_h, pvb_h)
     prog = t.program()
-    key = (("join", chain is not None)
+    key = (("join", chain is not None) + _config_key(config)
            + _shape_key(ma, spa, vka) + _shape_key(mb, spb, vkb))
     rm, rvk, rproof = _prove_cached(key, prog, inputs, t.hint_values,
                                     config, tracer=t)
@@ -226,3 +238,16 @@ def shrink(rec_machine, rec_vk, rec_shard_proof, config=None):
     applied to a recursion proof."""
     return lift(rec_machine, rec_vk, rec_shard_proof, config=config,
                 compact=True)
+
+
+def wrap_bn254(rec_machine, rec_vk, rec_shard_proof, config=None):
+    """Re-prove the shrink output under the OUTER config: KoalaBear values,
+    Poseidon2-BN254 Merkle commitments and a multifield BN254 challenger
+    (stark/config.py OuterStarkConfig), making the proof cheap to verify
+    inside a BN254 SNARK. Public values stay the compact 8-felt digest.
+    (reference: prover/src/lib.rs:1009 wrap_bn254,
+    recursion/core/src/stark/config.rs KoalaBearPoseidon2Outer)."""
+    from ziren_tpu.stark.config import outer_config
+
+    return lift(rec_machine, rec_vk, rec_shard_proof,
+                config=config or outer_config(), compact=True)

@@ -12,9 +12,11 @@ verify over guest ELFs with a write-based stdin).
     client.verify(proof, vk)
 
 Modes: config="core" uses the production FRI parameters (84 queries,
-16 PoW bits); config="dev" the fast 8-query test parameters. The
-compressed / groth16 / plonk actions of the reference sit on the recursion
-stack (ROADMAP.md) and raise NotImplementedError for now.
+16 PoW bits); config="dev" the fast 8-query test parameters. The full
+recursion ladder is wired: compressed_prove (with deferred sub-proofs) ->
+shrink_prove -> wrap_prove (BN254 outer config). groth16/plonk wrapping of
+the wrap proof needs a gnark toolchain (ROADMAP.md) and raises
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -158,25 +160,108 @@ class ProverClient:
             ex, record = execute(pk.program, stdin=buffers)
             records = [record]
         proof = pk.machine.prove(pk.pk, records)
-        return ZirenProofWithPublicValues(
+        out = ZirenProofWithPublicValues(
             proof,
             PublicValuesStream(
                 list(ex.committed_values), bytes(ex.public_values_stream)
             ),
         )
+        out._records = records  # deferred-claim access for compressed_prove
+        return out
 
     def compressed_prove(self, pk: ZirenProvingKey,
                          stdin: ZirenStdin | None = None,
-                         shard_size: int | None = None):
+                         shard_size: int | None = None,
+                         deferred=None):
         """Core prove, then lift every shard and reduce to ONE recursion
         proof with canonical RecursionPublicValues: every tree layer chains
         shard boundaries and accumulates the septic global sum IN-CIRCUIT
         (see ziren_tpu/recursion/mips_pipeline). Returns
-        (rec_machine, rec_vk, final_recursion_shard_proof)."""
+        (rec_machine, rec_vk, final_recursion_shard_proof).
+
+        `deferred`: compressed proofs for the guest's VERIFY_ZKM_PROOF
+        claims, in claim order — each a (rec_machine, rec_vk, final_sp)
+        triple from a previous compressed_prove. Each claim is checked
+        against its proof, folded into the reconstruct-digest chain
+        (recursion/deferred.py), and discharged in-circuit; the root is
+        only COMPLETE when the chain lands on the guest's committed
+        deferred_proofs_digest (reference prover/src/lib.rs:595,
+        recursion/circuit/src/machine/deferred.rs)."""
+        from ziren_tpu.recursion import deferred as D
         from ziren_tpu.recursion.mips_pipeline import compress
+        from ziren_tpu.stark.verifier import VerificationError
 
         core = self.prove(pk, stdin, shard_size=shard_size)
-        return compress(pk.machine, pk.vk, core.proof, config=self._config)
+        claims = []
+        for rec in core._records:
+            claims.extend(getattr(rec, "deferred_proof_claims", []))
+        deferred = list(deferred or [])
+        if len(claims) != len(deferred):
+            raise VerificationError(
+                f"guest deferred {len(claims)} proof claims but "
+                f"{len(deferred)} compressed proofs were supplied"
+            )
+        if not claims:
+            return compress(pk.machine, pk.vk, core.proof,
+                            config=self._config)
+
+        from ziren_tpu.recursion.mips_pipeline import RPV_DIGEST
+
+        folded_claims = []
+        for (vkey, pvd_words), side in zip(claims, deferred):
+            sub_rpv = [int(v) for v in side[2].public_values]
+            pv32 = sub_rpv[RPV_DIGEST : RPV_DIGEST + 32]
+            if list(vkey) != D.claim_vk_digest_from_rpv(sub_rpv):
+                raise VerificationError(
+                    "deferred claim vkey does not match the supplied proof"
+                )
+            if list(pvd_words) != D.pv_digest_bytes_to_words(pv32):
+                raise VerificationError(
+                    "deferred claim pv digest does not match the proof"
+                )
+            folded_claims.append((list(vkey), pv32))
+        reconstruct = D.fold_claims(folded_claims)
+        core_root = compress(pk.machine, pk.vk, core.proof,
+                             config=self._config,
+                             reconstruct_digest=reconstruct)
+        chain = D.deferred_chain(deferred, config=self._config)
+        return D.attach_deferred(core_root, chain, config=self._config)
+
+    def shrink_prove(self, compressed):
+        """Re-prove a compressed proof with compact 8-felt digest public
+        values — the wrap input (reference prover/src/lib.rs:961)."""
+        from ziren_tpu.recursion.pipeline import shrink
+
+        rm, rvk, final_sp = compressed
+        sm, svk, sproof, _ = shrink(rm, rvk, final_sp, config=self._config)
+        return sm, svk, sproof.shard_proofs[0]
+
+    def wrap_prove(self, shrunk, outer=None):
+        """Re-prove the shrink output under the OUTER config (BN254
+        Poseidon2 Merkle + multifield challenger): the artifact a BN254
+        SNARK verifies (reference prover/src/lib.rs:1009 wrap_bn254).
+        Returns (wrap_machine, wrap_vk, wrap_shard_proof)."""
+        from ziren_tpu.recursion.pipeline import wrap_bn254
+
+        sm, svk, ssp = shrunk
+        wm, wvk, wproof, _ = wrap_bn254(sm, svk, ssp, config=outer)
+        return wm, wvk, wproof.shard_proofs[0]
+
+    def verify_wrapped(self, wrapped, shrunk) -> bool:
+        """Verify a wrap proof and bind its 8-felt digest public values to
+        the shrink artifact it claims to attest."""
+        from ziren_tpu.recursion.pipeline import lift_digest
+        from ziren_tpu.stark.proof import MachineProof
+        from ziren_tpu.stark.verifier import VerificationError
+
+        wm, wvk, wsp = wrapped
+        sm, svk, ssp = shrunk
+        wm.verify(wvk, MachineProof([wsp]))
+        if [int(v) for v in wsp.public_values] != lift_digest(svk, ssp):
+            raise VerificationError(
+                "wrap public values do not bind the shrink proof"
+            )
+        return True
 
     def verify_compressed(self, compressed, vk: ZirenVerifyingKey) -> bytes:
         """Verify a compressed proof at the root: one recursion proof whose
@@ -189,7 +274,11 @@ class ProverClient:
                                  pc_start=vk.program_pc_start)
 
     def groth16_prove(self, *a, **k):
-        raise NotImplementedError("BN254 wrap lands with the gnark FFI")
+        raise NotImplementedError(
+            "the BN254 wrap proof exists (wrap_prove); compiling its "
+            "verifier into a Groth16/Plonk circuit needs the gnark "
+            "toolchain (Go), unavailable in this environment — ROADMAP.md"
+        )
 
     plonk_prove = groth16_prove
 

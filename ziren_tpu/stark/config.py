@@ -32,3 +32,71 @@ def core_config() -> StarkConfig:
 
 def dev_config() -> StarkConfig:
     return StarkConfig(FriConfig(log_blowup=1, num_queries=8, proof_of_work_bits=4))
+
+
+# ---------------------------------------------------------------------------
+# Outer (wrap) config: KoalaBear values, BN254 commitments & transcript
+# (reference: crates/recursion/core/src/stark/config.rs
+# KoalaBearPoseidon2Outer — log_blowup=4, 21 queries, 16 PoW bits)
+# ---------------------------------------------------------------------------
+
+
+class Bn254Mmcs:
+    """Commitment layer for the outer config: Poseidon2-BN254 Merkle
+    (core/outer_merkle.py), single-Fr roots observed as split_32 digits."""
+
+    @staticmethod
+    def commit(mats):
+        from ziren_tpu.core import outer_merkle
+
+        return outer_merkle.commit(mats)
+
+    @staticmethod
+    def open_at(tree, index):
+        from ziren_tpu.core import outer_merkle
+
+        return outer_merkle.open_at(tree, index)
+
+    @staticmethod
+    def verify_openings_batch(root, dims, idxs, rows_l, paths_l):
+        from ziren_tpu.core import outer_merkle
+
+        return outer_merkle.verify_openings_batch(
+            root, dims, idxs, rows_l, paths_l
+        )
+
+    @staticmethod
+    def num_leaves(tree) -> int:
+        return len(tree.levels[0])
+
+    @staticmethod
+    def observe_root(ch, root) -> None:
+        ch.observe_fr(int(root))
+
+
+@dataclass
+class OuterStarkConfig(StarkConfig):
+    commit_kind: str = "bn254"
+    device_capable: bool = False
+
+    def __post_init__(self):
+        self.pcs = TwoAdicFriPcs(self.fri, mmcs=Bn254Mmcs)
+
+    def challenger(self):
+        from ziren_tpu.core.bn254 import OuterChallenger
+
+        return OuterChallenger()
+
+
+def outer_config() -> StarkConfig:
+    queries = int(os.environ.get("FRI_QUERIES", "21"))
+    return OuterStarkConfig(
+        FriConfig(log_blowup=4, num_queries=queries, proof_of_work_bits=16)
+    )
+
+
+def outer_dev_config() -> StarkConfig:
+    """Reduced outer parameters for tests (reference ZKM_DEV_MODE: 1 query)."""
+    return OuterStarkConfig(
+        FriConfig(log_blowup=4, num_queries=2, proof_of_work_bits=2)
+    )

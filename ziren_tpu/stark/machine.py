@@ -33,8 +33,16 @@ class VerifyingKey:
     commit: np.ndarray
     chip_information: list  # (name, Domain, (h, w), local_only)
     extra_observations: list = field(default_factory=list)
+    commit_kind: str = "kb"  # "kb" | "bn254" (outer/wrap config)
 
     def observe_into(self, ch):
+        if self.commit_kind == "bn254":
+            # outer config: the vk commit is ONE Fr digest; the multifield
+            # challenger duplexes on demand, no rate padding convention
+            ch.observe_fr(int(self.commit))
+            for x in self.extra_observations:
+                ch.observe(int(x))
+            return
         ch.observe_slice(np.asarray(self.commit, np.uint32))
         for x in self.extra_observations:
             ch.observe(int(x))
@@ -67,9 +75,14 @@ class StarkMachine:
                 (c.name, d, t.shape, c.local_only)
                 for (c, t), d in zip(named, domains)
             ]
+        elif getattr(self.config, "commit_kind", "kb") == "bn254":
+            commit, data, info = 0, None, []  # zero Fr digest
         else:
             commit, data, info = np.zeros(8, dtype=np.uint32), None, []
-        vk = VerifyingKey(commit, info, list(extra_observations or []))
+        vk = VerifyingKey(
+            commit, info, list(extra_observations or []),
+            commit_kind=getattr(self.config, "commit_kind", "kb"),
+        )
         pk = ProvingKey(
             commit=commit,
             data=data,
@@ -90,7 +103,9 @@ class StarkMachine:
 
         base = self.config.challenger()
         pk.vk.observe_into(base)
-        if backend_name() == "device":
+        if backend_name() == "device" and getattr(
+            self.config, "device_capable", True
+        ):
             from .jprover import prove_shard_device
 
             return MachineProof(

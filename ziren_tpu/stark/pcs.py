@@ -102,9 +102,27 @@ def _mod_matmul_base_ext(mat: np.ndarray, ext_vec: np.ndarray) -> np.ndarray:
     return out.astype(np.uint32)
 
 
+class KbMmcs:
+    """Default commitment layer: Poseidon2-KoalaBear Merkle (core/merkle.py),
+    roots are 8 KoalaBear felts observed directly."""
+
+    commit = staticmethod(merkle.commit)
+    open_at = staticmethod(merkle.open_at)
+    verify_openings_batch = staticmethod(merkle.verify_openings_batch)
+
+    @staticmethod
+    def num_leaves(tree) -> int:
+        return tree.levels[0].shape[0]
+
+    @staticmethod
+    def observe_root(ch, root) -> None:
+        ch.observe_slice(np.asarray(root, np.uint32))
+
+
 class TwoAdicFriPcs:
-    def __init__(self, fri: FriConfig):
+    def __init__(self, fri: FriConfig, mmcs=None):
         self.fri = fri
+        self.mmcs = mmcs or KbMmcs
 
     def natural_domain_for_degree(self, n: int) -> Domain:
         return natural_domain_for_degree(n)
@@ -128,7 +146,7 @@ class TwoAdicFriPcs:
             coeffs.append(c)
             ldes.append(lde)
             brs.append(_bit_reverse_rows(lde))
-        tree = merkle.commit(brs)
+        tree = self.mmcs.commit(brs)
         data = ProverData(domains, mats, coeffs, ldes, tree)
         return data.commit, data
 
@@ -211,13 +229,13 @@ class TwoAdicFriPcs:
         for idx in query_indices:
             input_openings = []
             for data, _pts in rounds:
-                tree_log = data.tree.levels[0].shape[0].bit_length() - 1
-                rows, path = merkle.open_at(data.tree, idx >> (log_max - tree_log))
+                tree_log = self.mmcs.num_leaves(data.tree).bit_length() - 1
+                rows, path = self.mmcs.open_at(data.tree, idx >> (log_max - tree_log))
                 input_openings.append((rows, path))
             cp_openings = []
             i = idx
             for tree in cp.trees:
-                row, path = merkle.open_at(tree, i >> 1)
+                row, path = self.mmcs.open_at(tree, i >> 1)
                 pair = np.asarray(row[0], np.uint32).reshape(2, 4)
                 cp_openings.append((pair, path))
                 i >>= 1
@@ -235,10 +253,10 @@ class TwoAdicFriPcs:
         commits, trees = [], []
         while cur.shape[0] > (1 << log_blowup):
             leaves = cur.reshape(-1, 8)  # (h/2, 2 ext) flattened to base
-            tree = merkle.commit([leaves])
+            tree = self.mmcs.commit([leaves])
             commits.append(tree.root)
             trees.append(tree)
-            challenger.observe_slice(tree.root)
+            self.mmcs.observe_root(challenger, tree.root)
             beta = challenger.sample_ext()
             cur = self._fold(cur, beta, l, shifts)
             l -= 1
@@ -277,7 +295,7 @@ class TwoAdicFriPcs:
         # replay commit phase
         betas = []
         for c in proof.commit_phase_commits:
-            challenger.observe_slice(np.asarray(c, np.uint32))
+            self.mmcs.observe_root(challenger, c)
             betas.append(challenger.sample_ext())
         challenger.observe_slice(np.asarray(proof.final_poly, np.uint32))
         if not challenger.check_witness(self.fri.proof_of_work_bits, proof.pow_witness):
@@ -312,7 +330,7 @@ class TwoAdicFriPcs:
                 idxs.append(idx >> (log_max - tree_log))
                 rows_l.append(rows)
                 paths_l.append(path)
-            if not merkle.verify_openings_batch(commit, dims, idxs, rows_l, paths_l):
+            if not self.mmcs.verify_openings_batch(commit, dims, idxs, rows_l, paths_l):
                 return False
         for l_i, commit in enumerate(proof.commit_phase_commits):
             layer_log = log_max - l_i
@@ -324,7 +342,7 @@ class TwoAdicFriPcs:
                 idxs.append((idx >> l_i) >> 1)
                 rows_l.append([np.asarray(pair, np.uint32).reshape(-1)])
                 paths_l.append(path)
-            if not merkle.verify_openings_batch(
+            if not self.mmcs.verify_openings_batch(
                 commit, [(1 << (layer_log - 1), 8)], idxs, rows_l, paths_l
             ):
                 return False

@@ -57,7 +57,7 @@ def prove_shard(machine, pk, record, challenger):
 
     ch = challenger
     ch.observe_slice(np.asarray(public_values, dtype=np.uint32))
-    ch.observe_slice(main_commit)
+    config.pcs.mmcs.observe_root(ch, main_commit)
 
     perm_challenges = (ch.sample_ext(), ch.sample_ext())
 
@@ -75,7 +75,7 @@ def prove_shard(machine, pk, record, challenger):
         all_lookups.append((fl.sends, fl.receives))
 
     perm_commit, perm_data = pcs.commit(list(zip(trace_domains, perm_flats)))
-    ch.observe_slice(perm_commit)
+    config.pcs.mmcs.observe_root(ch, perm_commit)
     global_sums = []
     for chip, trace, cumsum in zip(chips, traces, cumsums):
         if chip.commit_scope.name == "Global":
@@ -141,7 +141,7 @@ def prove_shard(machine, pk, record, challenger):
             q_domains_and_chunks.append((sub_dom, chunk))
 
     quotient_commit, quotient_data = pcs.commit(q_domains_and_chunks)
-    ch.observe_slice(quotient_commit)
+    config.pcs.mmcs.observe_root(ch, quotient_commit)
 
     zeta = ch.sample_ext()
 

@@ -174,6 +174,57 @@ def _build_prove_fn(machine, pk, chips, trace_domains, ch_template):
     return prove_one
 
 
+_STEP_CACHE: dict = {}
+
+
+def _get_step(machine, pk, chips, trace_domains, mesh, n_preps):
+    """The compiled shard_map prove step, memoized so repeat proves of the
+    same (vk, shape, mesh) hit jax's jit cache instead of re-tracing."""
+    fri = machine.config.fri
+    key = (
+        tuple((c.name, d.log_n) for c, d in zip(chips, trace_domains)),
+        machine.num_public_values,
+        fri.log_blowup, fri.num_queries, fri.proof_of_work_bits,
+        getattr(machine.config, "commit_kind", "kb"),
+        np.asarray(pk.vk.commit, np.uint32).tobytes(),
+        tuple(int(x) for x in pk.vk.extra_observations),
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.axis_names,
+    )
+    cached = _STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ch_template = machine.config.challenger()
+    pk.vk.observe_into(ch_template)
+    prove_one = _build_prove_fn(machine, pk, chips, trace_domains, ch_template)
+
+    # ONE compiled step proves n_dev shards (one per device); batches of the
+    # mesh width stream through it, so graph size is independent of n.
+    def body(pv_blk, mains_blk, preps_rep):
+        out = prove_one(pv_blk[0], [m[0] for m in mains_blk], list(preps_rep))
+        return jax.tree.map(lambda x: x[None], out)
+
+    in_specs = (
+        P("shard"),
+        tuple(P("shard") for _ in chips),
+        tuple(P() for _ in range(n_preps)),
+    )
+    step = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P("shard"),
+            check_vma=False,
+        )
+    )
+    if len(_STEP_CACHE) > 32:
+        _STEP_CACHE.clear()
+    _STEP_CACHE[key] = step
+    return step
+
+
 def prove_shards_sharded(
     machine, pk, records, mesh=None, grid: int = 1
 ) -> MachineProof:
@@ -197,62 +248,34 @@ def prove_shards_sharded(
         for i in order
     ]
 
-    # per-shard inputs, padded to a multiple of the mesh size by repeating
-    # the last record (shards are independent; padding proofs are dropped)
-    n_pad = (-n) % n_dev
-    idxs = list(range(n)) + [n - 1] * n_pad
-    pv_list, mains_list = [], []
-    for r_i in idxs:
-        record = records[r_i]
-        pv = record.public_values
-        pv_list.append(
-            np.asarray(
-                pv.to_list() if hasattr(pv, "to_list") else list(pv),
-                dtype=np.uint32,
-            )
-        )
-        mains_list.append([fixed[r_i][i][1] for i in order])
-    pv_stack = jnp.asarray(np.stack(pv_list))
-    mains_stack = tuple(
-        jnp.asarray(np.stack([m[i] for m in mains_list]))
-        for i in range(len(chips))
+    # per-shard inputs (shards are independent; padding repeats the last
+    # record, its proofs are dropped)
+    pv_of = lambda r: np.asarray(
+        r.public_values.to_list()
+        if hasattr(r.public_values, "to_list")
+        else list(r.public_values),
+        dtype=np.uint32,
     )
+    pv_list = [pv_of(r) for r in records]
     preps = tuple(
         jnp.asarray(pk.preprocessed_by_name[name])
         for name, _d, _dims, _lo in pk.chip_information
     )
 
-    ch_template = machine.config.challenger()
-    pk.vk.observe_into(ch_template)
-    prove_one = _build_prove_fn(machine, pk, chips, trace_domains, ch_template)
+    step = _get_step(machine, pk, chips, trace_domains, mesh, len(preps))
 
-    local_n = (n + n_pad) // n_dev
-
-    def body(pv_blk, mains_blk, preps_rep):
-        outs = []
-        for s in range(local_n):
-            outs.append(
-                prove_one(
-                    pv_blk[s], [m[s] for m in mains_blk], list(preps_rep)
-                )
-            )
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-
-    in_specs = (
-        P("shard"),
-        tuple(P("shard") for _ in mains_stack),
-        tuple(P() for _ in preps),
-    )
-    step = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=P("shard"),
-            check_vma=False,
+    got_batches = []
+    for b0 in range(0, n, n_dev):
+        idxs = [min(b0 + j, n - 1) for j in range(n_dev)]
+        pv_stack = jnp.asarray(np.stack([pv_list[i] for i in idxs]))
+        mains_stack = tuple(
+            jnp.asarray(np.stack([fixed[i][o][1] for i in idxs]))
+            for o in order
         )
+        got_batches.append(step(pv_stack, mains_stack, preps))
+    got_all = jax.device_get(
+        jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *got_batches)
     )
-    got_all = jax.device_get(step(pv_stack, mains_stack, preps))
 
     rounds_meta = []
     if pk.chip_information:

@@ -66,9 +66,10 @@ def verify_shard(machine, vk, proof, challenger):
 
     ch = challenger
     ch.observe_slice(np.asarray(proof.public_values, dtype=np.uint32))
-    ch.observe_slice(np.asarray(proof.commitment.main, np.uint32))
+    mmcs = machine.config.pcs.mmcs
+    mmcs.observe_root(ch, proof.commitment.main)
     perm_challenges = (ch.sample_ext(), ch.sample_ext())
-    ch.observe_slice(np.asarray(proof.commitment.permutation, np.uint32))
+    mmcs.observe_root(ch, proof.commitment.permutation)
     for chip, vals in zip(chips, proof.opened_values):
         ch.observe_slice(np.asarray(vals.local_cumulative_sum, np.uint32))
         ch.observe_slice(np.asarray(vals.global_cumulative_sum, np.uint32))
@@ -83,7 +84,7 @@ def verify_shard(machine, vk, proof, challenger):
                 f"chip {chip.name}: nonzero local cumsum with no lookups"
             )
     alpha = ch.sample_ext()
-    ch.observe_slice(np.asarray(proof.commitment.quotient, np.uint32))
+    mmcs.observe_root(ch, proof.commitment.quotient)
     zeta = ch.sample_ext()
 
     trace_domains = [

@@ -1,0 +1,16 @@
+"""Standalone proof verifiers — the TPU-framework analogue of the
+reference's portable `no_std` verifier crate (reference:
+crates/verifier/src/lib.rs). No dependency on the prover stack: pure-python
+BN254 pairing (bn254_pairing.py) + gnark byte formats (groth16.py).
+
+    from ziren_tpu.verifier import Groth16Verifier
+    Groth16Verifier.verify(proof_bytes, public_values, vkey_hash, vk_bytes)
+
+Validated against the reference's own committed artifacts
+(crates/prover/scripts/artifacts/example_proof.json + the embedded
+bn254-vk/groth16_vk.bin) in tests/test_groth16_verifier.py.
+"""
+
+from .groth16 import Groth16Error, Groth16Verifier, hash_public_inputs
+
+__all__ = ["Groth16Verifier", "Groth16Error", "hash_public_inputs"]
