@@ -290,6 +290,10 @@ def _g2_bytes(pt) -> bytes:
 
 
 def _g1_compress(pt) -> bytes:
+    if pt is None:  # infinity: flag 01, zero payload
+        b = bytearray(32)
+        b[0] = 0b01 << 6
+        return bytes(b)
     x, y = pt
     ys = bp.g1_y_from_x(x)
     flag = 0b10 if y == ys[0] else 0b11
@@ -299,6 +303,10 @@ def _g1_compress(pt) -> bytes:
 
 
 def _g2_compress(pt) -> bytes:
+    if pt is None:
+        b = bytearray(64)
+        b[0] = 0b01 << 6
+        return bytes(b)
     x, y = pt
     ys = bp.g2_y_from_x(x)
     flag = 0b10 if y == ys[0] else 0b11
