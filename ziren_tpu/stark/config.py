@@ -96,7 +96,10 @@ def outer_config() -> StarkConfig:
 
 
 def outer_dev_config() -> StarkConfig:
-    """Reduced outer parameters for tests (reference ZKM_DEV_MODE: 1 query)."""
+    """Reduced outer parameters for tests (reference ZKM_DEV_MODE: 1 query).
+    log_blowup=1 keeps dev-scale wrap LDEs 8x smaller than the production
+    outer config's blowup 4; the commitment/transcript layer (the thing the
+    outer config exists for) is identical."""
     return OuterStarkConfig(
-        FriConfig(log_blowup=4, num_queries=2, proof_of_work_bits=2)
+        FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=2)
     )

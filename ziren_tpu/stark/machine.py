@@ -93,13 +93,23 @@ class StarkMachine:
         )
         return pk, vk
 
-    def prove(self, pk, records, parallel: bool = True) -> MachineProof:
+    def prove(self, pk, records, parallel: bool = True,
+              fix_shapes: bool = False) -> MachineProof:
         """Prove every shard. Shards are transcript-independent (each gets a
         clone of the post-vk challenger, reference prover.rs). On the host
         backend they prove concurrently in a thread pool (numpy and the
         native kernels release the GIL); on the device backend the TPU is
-        the parallelism and shards stream through it sequentially."""
+        the parallelism and shards stream through it sequentially.
+
+        fix_shapes=True pads every shard to one batch-wide shape
+        (stark/shape.py) so the device path compiles ONE kernel set for
+        the whole batch instead of one per distinct trace height."""
         from .backend import backend_name
+
+        if fix_shapes and len(records) > 1:
+            from .shape import fix_shape
+
+            fix_shape(self, records)
 
         base = self.config.challenger()
         pk.vk.observe_into(base)

@@ -94,6 +94,11 @@ def fix_shape(machine, records, grid: int = 1):
                 assert t.shape[0] == want, c.name
             out.append((c, t))
         fixed.append(out)
+        # the eager prover path reuses these instead of regenerating
+        try:
+            record._fixed_traces = out
+        except AttributeError:
+            pass
 
     shape = Shape(
         tuple(
