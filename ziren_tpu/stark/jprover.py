@@ -91,6 +91,16 @@ def prove_shard_device(machine, pk, record, challenger):
     """Device counterpart of stark.prover.prove_shard. `challenger` is the
     post-vk HOST challenger clone; its state is uploaded once and the whole
     transcript runs on device."""
+    d = dispatch_shard_device(machine, pk, record, challenger)
+    got = jax.device_get(d["fetch"])
+    return finish_shard_device(pk, d, got)
+
+
+def dispatch_shard_device(machine, pk, record, challenger):
+    """Async half of the device prove: issues every device op for the shard
+    and returns {"fetch": device pytree, ...meta} WITHOUT synchronizing —
+    so the host can trace-generate and dispatch the NEXT shard while this
+    one computes (machine.prove overlaps all shards and fetches once)."""
     config = machine.config
     fri = config.fri
     log_blowup = fri.log_blowup
@@ -297,14 +307,27 @@ def prove_shard_device(machine, pk, record, challenger):
         "layer_pairs": [jf.mont_decode(p) for p in dev_out["layer_pairs"]],
         "layer_paths": [jf.mont_decode(p) for p in dev_out["layer_paths"]],
     }
-    got = jax.device_get(to_fetch)
     rounds_meta = [
         [(data.widths[i], len(pts)) for i, pts in enumerate(points)]
         for data, points in open_rounds
     ]
+    return {
+        "fetch": to_fetch,
+        "chips": chips,
+        "trace_domains": trace_domains,
+        "rounds_meta": rounds_meta,
+        "fri": fri,
+        "public_values": public_values,
+        "global_sums": global_sums,
+        "has_prep": prep_data is not None,
+    }
+
+
+def finish_shard_device(pk, d, got):
+    """Host assembly from a dispatched shard's fetched pytree."""
     return assemble_proof(
-        pk, chips, trace_domains, rounds_meta, fri, got,
-        public_values, global_sums, has_prep=prep_data is not None,
+        pk, d["chips"], d["trace_domains"], d["rounds_meta"], d["fri"], got,
+        d["public_values"], d["global_sums"], has_prep=d["has_prep"],
     )
 
 

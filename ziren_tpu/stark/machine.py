@@ -94,7 +94,7 @@ class StarkMachine:
         return pk, vk
 
     def prove(self, pk, records, parallel: bool = True,
-              fix_shapes: bool = False) -> MachineProof:
+              fix_shapes: bool = False, devices=None) -> MachineProof:
         """Prove every shard. Shards are transcript-independent (each gets a
         clone of the post-vk challenger, reference prover.rs). On the host
         backend they prove concurrently in a thread pool (numpy and the
@@ -116,10 +116,31 @@ class StarkMachine:
         if backend_name() == "device" and getattr(
             self.config, "device_capable", True
         ):
-            from .jprover import prove_shard_device
+            import jax
 
+            from .jprover import dispatch_shard_device, finish_shard_device
+
+            # dispatch every shard (async device work overlaps the next
+            # shard's host trace generation), then ONE synchronizing fetch.
+            # With `devices`, shards round-robin across them (data-parallel
+            # eager path; shard_map batching lives in stark/sharded.py)
+            dispatches = []
+            for i, r in enumerate(records):
+                if devices:
+                    with jax.default_device(devices[i % len(devices)]):
+                        dispatches.append(
+                            dispatch_shard_device(self, pk, r, base.clone())
+                        )
+                else:
+                    dispatches.append(
+                        dispatch_shard_device(self, pk, r, base.clone())
+                    )
+            gots = jax.device_get([d["fetch"] for d in dispatches])
             return MachineProof(
-                [prove_shard_device(self, pk, r, base.clone()) for r in records]
+                [
+                    finish_shard_device(pk, d, got)
+                    for d, got in zip(dispatches, gots)
+                ]
             )
         if len(records) <= 1 or not parallel:
             return MachineProof(

@@ -67,7 +67,20 @@ def fix_shape(machine, records, grid: int = 1):
     others are padded to the per-chip max over the batch, rounded up to the
     `grid` log-height cluster.
     """
-    per_record = [_gen_traces(machine, r) for r in records]
+    if len(records) > 1:
+        # trace generation is numpy-heavy (releases the GIL): shards
+        # generate concurrently, mirroring the reference's rayon trace
+        # workers (utils/prove.rs TRACE_GEN_WORKERS)
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(records), os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            per_record = list(
+                pool.map(lambda r: _gen_traces(machine, r), records)
+            )
+    else:
+        per_record = [_gen_traces(machine, r) for r in records]
     names0 = [c.name for c, _ in per_record[0]]
     for traces in per_record[1:]:
         assert [c.name for c, _ in traces] == names0, (
