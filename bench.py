@@ -61,7 +61,10 @@ def main():
     from ziren_tpu.stark.backend import backend_name
 
     n = int(os.environ.get("ZIREN_BENCH_FIB_N", "58218"))
-    shard_size = int(os.environ.get("ZIREN_BENCH_SHARD_SIZE", str(1 << 16)))
+    # keep shards a hair under 2^16 cycles: the branch+delay-slot rule can
+    # run a shard one cycle past shard_size, which would double the padded
+    # CPU trace to 2^17
+    shard_size = int(os.environ.get("ZIREN_BENCH_SHARD_SIZE", str((1 << 16) - 64)))
 
     program = fibonacci_program(n)
     machine = mips_machine()

@@ -48,6 +48,11 @@ class Op(IntEnum):
     INPUT = 12
     OUTPUT = 13
     HINT = 14
+    # ext-alu with a BASE second operand ([b, 0, 0, 0]): kills the 4-copy
+    # ext_from packing that dominated lift op counts
+    EADDB = 15
+    ESUBB = 16
+    EMULB = 17
 
 
 @dataclass
@@ -56,6 +61,9 @@ class RecursionProgram:
     num_regs: int
     num_inputs: int
     num_hints: int = 0
+    # POSEIDON2 ops take 16 ARBITRARY input registers (reference: the
+    # recursion Poseidon2 instruction's 16 addrs); op.a indexes this table
+    p2_inputs: tuple = ()
 
 
 class Felt:
@@ -88,7 +96,8 @@ class Felt:
 
 
 class Ext:
-    """Handle to 4 consecutive registers (ext4 coefficients)."""
+    """Handle to 4 consecutive registers (ext4 coefficients). Binary ops
+    accept a Felt operand directly (base-operand ALU rows) — no packing."""
 
     __slots__ = ("r", "t")
 
@@ -102,12 +111,18 @@ class Ext:
         return Ext(self.t, out)
 
     def __add__(self, o):
+        if isinstance(o, Felt):
+            return self._bin(Op.EADDB, o)
         return self._bin(Op.EADD, o)
 
     def __sub__(self, o):
+        if isinstance(o, Felt):
+            return self._bin(Op.ESUBB, o)
         return self._bin(Op.ESUB, o)
 
     def __mul__(self, o):
+        if isinstance(o, Felt):
+            return self._bin(Op.EMULB, o)
         return self._bin(Op.EMUL, o)
 
     def inv(self):
@@ -127,6 +142,7 @@ class Tracer:
         self.n = 0
         self.num_inputs = num_inputs
         self.num_hints = 0
+        self.p2_inputs: list = []
         self.hint_values: list = []
         self.input_values = (
             [int(v) % P for v in input_values] if input_values is not None
@@ -152,16 +168,22 @@ class Tracer:
             v[dst] = (v[a] * v[b]) % P
         elif op == Op.INV:
             v[dst] = pow(v[a], P - 2, P)
-        elif op in (Op.EADD, Op.ESUB, Op.EMUL, Op.EINV):
-            fn = {Op.EADD: E.eadd, Op.ESUB: E.esub, Op.EMUL: E.emul}.get(op)
+        elif op in (Op.EADD, Op.ESUB, Op.EMUL, Op.EINV,
+                    Op.EADDB, Op.ESUBB, Op.EMULB):
+            fn = {Op.EADD: E.eadd, Op.ESUB: E.esub, Op.EMUL: E.emul,
+                  Op.EADDB: E.eadd, Op.ESUBB: E.esub, Op.EMULB: E.emul}.get(op)
             x = np.array(v[a : a + 4], dtype=np.uint32)
             if op == Op.EINV:
                 r = E.einv(x)
+            elif op in (Op.EADDB, Op.ESUBB, Op.EMULB):
+                y = np.array([v[b], 0, 0, 0], dtype=np.uint32)
+                r = fn(x, y)
             else:
                 r = fn(x, np.array(v[b : b + 4], dtype=np.uint32))
             v[dst : dst + 4] = [int(q) for q in r]
         elif op == Op.POSEIDON2:
-            r = p2.permute(np.array(v[a : a + 16], dtype=np.uint32))
+            ids = self.p2_inputs[a]
+            r = p2.permute(np.array([v[i] for i in ids], dtype=np.uint32))
             v[dst : dst + 16] = [int(q) for q in r]
         elif op == Op.SELECT:
             v[dst] = v[b] if v[a] else v[c]
@@ -232,13 +254,12 @@ class Tracer:
         return Felt(self, out)
 
     def poseidon2(self, state16) -> list:
-        """state16: 16 Felt handles in consecutive registers NOT required —
-        they are copied into a fresh contiguous window first."""
-        base = self._reg(16)
-        for i, f in enumerate(state16):
-            self._emit((Op.ADD, f.r, self._zero().r, 0, base + i))
+        """state16: 16 Felt handles at ARBITRARY registers — the op carries
+        their ids (no staging copies; reference Poseidon2 instr 16 addrs)."""
+        idx = len(self.p2_inputs)
+        self.p2_inputs.append(tuple(f.r for f in state16))
         out = self._reg(16)
-        self._emit((Op.POSEIDON2, base, 0, 0, out))
+        self._emit((Op.POSEIDON2, idx, 0, 0, out))
         return [Felt(self, out + i) for i in range(16)]
 
     def select(self, cond: Felt, a: Felt, b: Felt) -> Felt:
@@ -254,7 +275,8 @@ class Tracer:
 
     def program(self) -> RecursionProgram:
         return RecursionProgram(
-            list(self.ops), self.n, self.num_inputs, self.num_hints
+            list(self.ops), self.n, self.num_inputs, self.num_hints,
+            p2_inputs=tuple(self.p2_inputs),
         )
 
 
@@ -283,10 +305,20 @@ def interpret(program: RecursionProgram, inputs=(), return_regs=False,
             regs[dst : dst + 4] = E.esub(regs[a : a + 4], regs[b : b + 4])
         elif op == Op.EMUL:
             regs[dst : dst + 4] = E.emul(regs[a : a + 4], regs[b : b + 4])
+        elif op == Op.EADDB:
+            y = np.array([regs[b], 0, 0, 0], dtype=np.uint32)
+            regs[dst : dst + 4] = E.eadd(regs[a : a + 4], y)
+        elif op == Op.ESUBB:
+            y = np.array([regs[b], 0, 0, 0], dtype=np.uint32)
+            regs[dst : dst + 4] = E.esub(regs[a : a + 4], y)
+        elif op == Op.EMULB:
+            y = np.array([regs[b], 0, 0, 0], dtype=np.uint32)
+            regs[dst : dst + 4] = E.emul(regs[a : a + 4], y)
         elif op == Op.EINV:
             regs[dst : dst + 4] = E.einv(regs[a : a + 4])
         elif op == Op.POSEIDON2:
-            regs[dst : dst + 16] = p2.permute(regs[a : a + 16])
+            ids = list(program.p2_inputs[a])
+            regs[dst : dst + 16] = p2.permute(regs[ids])
         elif op == Op.SELECT:
             regs[dst] = regs[b] if regs[a] else regs[c]
         elif op == Op.ASSERT_EQ:

@@ -89,13 +89,20 @@ class _Compiled:
                 self.alu_rows.append((op, a, b, 0, 0))
             elif op in (Op.EADD, Op.ESUB, Op.EMUL):
                 rd(a, 4), rd(b, 4)
-                self.ext_rows.append((op, a, b, out))
+                self.ext_rows.append((op, a, b, out, 0))
+            elif op in (Op.EADDB, Op.ESUBB, Op.EMULB):
+                rd(a, 4), rd(b)
+                base_op = {Op.EADDB: Op.EADD, Op.ESUBB: Op.ESUB,
+                           Op.EMULB: Op.EMUL}[op]
+                self.ext_rows.append((base_op, a, b, out, 1))
             elif op == Op.EINV:
                 rd(a, 4)
-                self.ext_rows.append((op, a, 0, out))
+                self.ext_rows.append((op, a, 0, out, 0))
             elif op == Op.POSEIDON2:
-                rd(a, 16)
-                self.p2_rows.append((a, out))
+                ids = program.p2_inputs[a]
+                for r_id in ids:
+                    rd(r_id)
+                self.p2_rows.append((ids, out))
             elif op == Op.OUTPUT:
                 rd(a)
                 self.output_rows.append((a, n_out))
@@ -331,8 +338,9 @@ class ExtAluChip(_RecAir):
     def __init__(self, compiled):
         super().__init__(compiled)
         self.rows = compiled.ext_rows
-        # op one-hot (4) + a,b,out base regs + per-limb out mults (4) + b_used
-        self.preprocessed_width = 4 + 3 + 4 + 1
+        # op one-hot (4) + a,b,out base regs + per-limb out mults (4)
+        # + b_ext (full ext operand) + b_base ([b, 0, 0, 0] operand)
+        self.preprocessed_width = 4 + 3 + 4 + 2
 
     width = 12  # va[4], vb[4], vout[4]
 
@@ -340,12 +348,13 @@ class ExtAluChip(_RecAir):
         rows = self.rows
         n = max(1, len(rows))
         prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
-        for i, (op, a, b_, out) in enumerate(rows):
+        for i, (op, a, b_, out, b_base) in enumerate(rows):
             prep[i, self.OPS.index(op)] = 1
             prep[i, 4:7] = (a, b_, out)
             for k in range(4):
                 prep[i, 7 + k] = self.c.mult(out + k)
-            prep[i, 11] = int(op != Op.EINV)
+            prep[i, 11] = int(op != Op.EINV and not b_base)
+            prep[i, 12] = int(b_base)
         return pad_to_pow2(prep)
 
     def generate_trace(self, record, output):
@@ -353,9 +362,12 @@ class ExtAluChip(_RecAir):
         n = max(1, len(rows))
         mat = np.zeros((n, 12), dtype=np.uint32)
         regs = record.regs
-        for i, (op, a, b_, out) in enumerate(rows):
+        for i, (op, a, b_, out, b_base) in enumerate(rows):
             mat[i, 0:4] = regs[a : a + 4]
-            mat[i, 4:8] = regs[b_ : b_ + 4]
+            if b_base:
+                mat[i, 4] = regs[b_]
+            else:
+                mat[i, 4:8] = regs[b_ : b_ + 4]
             mat[i, 8:12] = regs[out : out + 4]
         return pad_to_pow2(mat)
 
@@ -367,10 +379,15 @@ class ExtAluChip(_RecAir):
         vb = b.main_local[4:8]
         vo = b.main_local[8:12]
         is_real = sum(f.values())
+        b_ext, b_base = prep[11], prep[12]
         for k in range(4):
             _recv(b, ra + k, va[k], is_real)
-            _recv(b, rb + k, vb[k], prep[11])
+            _recv(b, rb + k, vb[k], b_ext)
             _send(b, rout + k, vo[k], prep[7 + k])
+        # base-operand rows read ONE register into limb 0; high limbs 0
+        _recv(b, rb, vb[0], b_base)
+        for k in range(1, 4):
+            b.assert_zero(b_base * vb[k])
         for k in range(4):
             b.when(f[Op.EADD]).assert_eq(vo[k], va[k] + vb[k])
             b.when(f[Op.ESUB]).assert_eq(vo[k], va[k] - vb[k])
@@ -395,8 +412,9 @@ class RecPoseidon2Chip(_RecAir):
     def __init__(self, compiled):
         super().__init__(compiled)
         self.rows = compiled.p2_rows
-        # in reg base, out reg base, is_real, per-limb out mults (16)
-        self.preprocessed_width = 3 + 16
+        # 16 input reg ids, out reg base, is_real, per-limb out mults (16)
+        # (reference: the recursion Poseidon2 instruction's 16 addrs)
+        self.preprocessed_width = 16 + 2 + 16
 
     COLS = Layout()
     for r in range(NUM_ROUNDS + 2):
@@ -407,12 +425,13 @@ class RecPoseidon2Chip(_RecAir):
         rows = self.rows
         n = max(1, len(rows))
         prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
-        for i, (a, out) in enumerate(rows):
-            prep[i, 0] = a
-            prep[i, 1] = out
-            prep[i, 2] = 1
+        for i, (ids, out) in enumerate(rows):
             for k in range(16):
-                prep[i, 3 + k] = self.c.mult(out + k)
+                prep[i, k] = ids[k]
+            prep[i, 16] = out
+            prep[i, 17] = 1
+            for k in range(16):
+                prep[i, 18 + k] = self.c.mult(out + k)
         return pad_to_pow2(prep)
 
     def generate_trace(self, record, output):
@@ -423,8 +442,8 @@ class RecPoseidon2Chip(_RecAir):
         height = max(4, 1 << (n - 1).bit_length())
         mat = np.zeros((height, self.width), dtype=np.uint32)
         regs = record.regs
-        for i, (a, out) in enumerate(rows):
-            s = regs[a : a + 16].astype(np.int64)
+        for i, (ids, out) in enumerate(rows):
+            s = regs[list(ids)].astype(np.int64)
             states = [s, PC._apply_ext_layer(s)]
             cur = states[1]
             for r in range(4):
@@ -449,13 +468,13 @@ class RecPoseidon2Chip(_RecAir):
         from ziren_tpu.machine.poseidon2_chip import Poseidon2PermuteChip as PC
 
         prep = b.prep_local
-        ra, rout, is_real = prep[0], prep[1], prep[2]
+        rout, is_real = prep[16], prep[17]
         L = self.COLS.view(b.main_local)
         s0 = L["s0"]
         s_out = L[f"s{NUM_ROUNDS + 1}"]
         for k in range(16):
-            _recv(b, ra + k, s0[k], is_real)
-            _send(b, rout + k, s_out[k], prep[3 + k])
+            _recv(b, prep[k], s0[k], is_real)
+            _send(b, rout + k, s_out[k], prep[18 + k])
         PC._eval_rounds(PC, b, L, is_real)
 
 

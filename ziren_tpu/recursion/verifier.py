@@ -131,11 +131,11 @@ def traced_fri_verify_single(t: Tracer, pcs, proof, commit8, zeta4, ys,
         g = F.two_adic_generator(l)
         x = t.const(F.GENERATOR % F.P_INT) * traced_pow_by_bits(
             t, g, bits, reverse=True)
-        inv_zx = (_ext(t, zeta4) - _ext_from_base(t, x)).inv()
+        inv_zx = (_ext(t, zeta4) - x).inv()
         acc = None
         apow = None
         for c in range(width):
-            diff = _ext(t, ys[4 * c : 4 * c + 4]) - _ext_from_base(t, row[c])
+            diff = _ext(t, ys[4 * c : 4 * c + 4]) - row[c]
             term = diff if apow is None else apow * diff
             acc = term if acc is None else acc + term
             apow = alpha if apow is None else apow * alpha
@@ -159,9 +159,8 @@ def traced_fri_verify_single(t: Tracer, pcs, proof, commit8, zeta4, ys,
             xk = t.const(shift) * traced_pow_by_bits(
                 t, gl, [zero] + cur_bits[1:], reverse=True)
             xk_inv = xk.inv()
-            even = (e0 + e1) * _ext_from_base(t, t.const(half))
-            odd = ((e0 - e1) * _ext_from_base(t, t.const(half))
-                   * _ext_from_base(t, xk_inv))
+            even = (e0 + e1) * t.const(half)
+            odd = (e0 - e1) * t.const(half) * xk_inv
             folded = even + odd * beta
             cur_bits = cur_bits[1:]
             shift = (shift * shift) % F.P_INT
@@ -435,12 +434,11 @@ def traced_pcs_verify(t: Tracer, pcs, ch, rounds, proof):
                 x = t.const(F.GENERATOR % F.P_INT) * traced_pow_by_bits(
                     t, g, bits_l, reverse=True
                 )
-                x_e = _ext_from_base(t, x)
                 for z, ys in pts:
-                    inv_zx = (z - x_e).inv()
+                    inv_zx = (z - x).inv()
                     acc = None
                     for c in range(w):
-                        diff = ys[c] - _ext_from_base(t, row[c])
+                        diff = ys[c] - row[c]
                         ap = cnt_pows[l]
                         term = diff if ap is None else ap * diff
                         acc = term if acc is None else acc + term
@@ -468,9 +466,8 @@ def traced_pcs_verify(t: Tracer, pcs, ch, rounds, proof):
             xk = t.const(shift) * traced_pow_by_bits(
                 t, gl, [zero] + cur_bits[1:], reverse=True
             )
-            even = (e0 + e1) * _ext_from_base(t, t.const(half))
-            odd = ((e0 - e1) * _ext_from_base(t, t.const(half))
-                   * _ext_from_base(t, xk.inv()))
+            even = (e0 + e1) * t.const(half)
+            odd = (e0 - e1) * t.const(half) * xk.inv()
             folded = even + odd * beta
             cur_bits = cur_bits[1:]
             shift = (shift * shift) % F.P_INT
