@@ -53,6 +53,12 @@ class Op(IntEnum):
     EADDB = 15
     ESUBB = 16
     EMULB = 17
+    # 8-wide digest select (Merkle path walks): one row selects a whole
+    # digest half instead of 8 BaseAlu SELECT rows
+    SELECT8 = 18
+    # fused FRI reduced-opening step (reference FriFold chip):
+    # acc' = acc + ap * (ys - [row,0,0,0]);  ap' = ap * alpha
+    FFOLD = 19
 
 
 @dataclass
@@ -64,6 +70,10 @@ class RecursionProgram:
     # POSEIDON2 ops take 16 ARBITRARY input registers (reference: the
     # recursion Poseidon2 instruction's 16 addrs); op.a indexes this table
     p2_inputs: tuple = ()
+    # SELECT8 ops: (cond_reg, a_ids8, b_ids8); op.a indexes this table
+    sel8_inputs: tuple = ()
+    # FFOLD ops: (acc_base, ap_base, alpha_base, ys_base, row_id)
+    ffold_inputs: tuple = ()
 
 
 class Felt:
@@ -143,6 +153,8 @@ class Tracer:
         self.num_inputs = num_inputs
         self.num_hints = 0
         self.p2_inputs: list = []
+        self.sel8_inputs: list = []
+        self.ffold_inputs: list = []
         self.hint_values: list = []
         self.input_values = (
             [int(v) % P for v in input_values] if input_values is not None
@@ -185,6 +197,19 @@ class Tracer:
             ids = self.p2_inputs[a]
             r = p2.permute(np.array([v[i] for i in ids], dtype=np.uint32))
             v[dst : dst + 16] = [int(q) for q in r]
+        elif op == Op.SELECT8:
+            cond, a8, b8 = self.sel8_inputs[a]
+            for k in range(8):
+                v[dst + k] = v[a8[k]] if v[cond] else v[b8[k]]
+        elif op == Op.FFOLD:
+            acc, ap, alpha, ys, row = self.ffold_inputs[a]
+            av = np.array(v[acc : acc + 4], dtype=np.uint32)
+            pv_ = np.array(v[ap : ap + 4], dtype=np.uint32)
+            al = np.array(v[alpha : alpha + 4], dtype=np.uint32)
+            yv = np.array(v[ys : ys + 4], dtype=np.uint32)
+            d = E.esub(yv, np.array([v[row], 0, 0, 0], dtype=np.uint32))
+            v[dst : dst + 4] = [int(q) for q in E.eadd(av, E.emul(pv_, d))]
+            v[dst + 4 : dst + 8] = [int(q) for q in E.emul(pv_, al)]
         elif op == Op.SELECT:
             v[dst] = v[b] if v[a] else v[c]
         elif op == Op.ASSERT_EQ:
@@ -209,9 +234,20 @@ class Tracer:
         return self.const(int(v) % P)
 
     def const(self, v: int) -> Felt:
+        """Constants are pure: one register per distinct value (the lift
+        traces used to mint ~37k CONST rows, mostly repeats)."""
+        v = int(v) % P
+        cache = getattr(self, "_const_cache", None)
+        if cache is None:
+            cache = self._const_cache = {}
+        f = cache.get(v)
+        if f is not None:
+            return f
         out = self._reg()
-        self._emit((Op.CONST, int(v) % P, 0, 0, out))
-        return Felt(self, out)
+        self._emit((Op.CONST, v, 0, 0, out))
+        f = Felt(self, out)
+        cache[v] = f
+        return f
 
     def ext_const(self, coeffs) -> Ext:
         out = self._reg(4)
@@ -267,6 +303,25 @@ class Tracer:
         self._emit((Op.SELECT, cond.r, a.r, b.r, out))
         return Felt(self, out)
 
+    def fri_fold_step(self, acc: Ext, ap: Ext, alpha: Ext, ys: Ext,
+                      row: Felt):
+        """(acc + ap*(ys - row), ap*alpha) as ONE FriFold row."""
+        idx = len(self.ffold_inputs)
+        self.ffold_inputs.append((acc.r, ap.r, alpha.r, ys.r, row.r))
+        out = self._reg(8)
+        self._emit((Op.FFOLD, idx, 0, 0, out))
+        return Ext(self, out), Ext(self, out + 4)
+
+    def select8(self, cond: Felt, a8, b8) -> list:
+        """out[k] = a8[k] if cond else b8[k], as ONE Select8 row."""
+        idx = len(self.sel8_inputs)
+        self.sel8_inputs.append(
+            (cond.r, tuple(f.r for f in a8), tuple(f.r for f in b8))
+        )
+        out = self._reg(8)
+        self._emit((Op.SELECT8, idx, 0, 0, out))
+        return [Felt(self, out + k) for k in range(8)]
+
     def assert_eq(self, a: Felt, b: Felt):
         self._emit((Op.ASSERT_EQ, a.r, self.lift(b).r, 0, 0))
 
@@ -277,6 +332,8 @@ class Tracer:
         return RecursionProgram(
             list(self.ops), self.n, self.num_inputs, self.num_hints,
             p2_inputs=tuple(self.p2_inputs),
+            sel8_inputs=tuple(self.sel8_inputs),
+            ffold_inputs=tuple(self.ffold_inputs),
         )
 
 
@@ -319,6 +376,18 @@ def interpret(program: RecursionProgram, inputs=(), return_regs=False,
         elif op == Op.POSEIDON2:
             ids = list(program.p2_inputs[a])
             regs[dst : dst + 16] = p2.permute(regs[ids])
+        elif op == Op.SELECT8:
+            cond, a8, b8 = program.sel8_inputs[a]
+            src_ids = list(a8) if regs[cond] else list(b8)
+            regs[dst : dst + 8] = regs[src_ids]
+        elif op == Op.FFOLD:
+            acc, ap, alpha, ys, row = program.ffold_inputs[a]
+            d = E.esub(regs[ys : ys + 4],
+                       np.array([regs[row], 0, 0, 0], dtype=np.uint32))
+            regs[dst : dst + 4] = E.eadd(
+                regs[acc : acc + 4], E.emul(regs[ap : ap + 4], d))
+            regs[dst + 4 : dst + 8] = E.emul(
+                regs[ap : ap + 4], regs[alpha : alpha + 4])
         elif op == Op.SELECT:
             regs[dst] = regs[b] if regs[a] else regs[c]
         elif op == Op.ASSERT_EQ:

@@ -64,8 +64,10 @@ class _Compiled:
         self.input_rows = []   # (reg, slot)
         self.hint_rows = []    # (reg, slot)
         self.alu_rows = []     # (op, a, b, c, out)
-        self.ext_rows = []     # (op, a, b, out)
-        self.p2_rows = []      # (a, out)
+        self.ext_rows = []     # (op, a, b, out, b_base)
+        self.p2_rows = []      # (ids16, out)
+        self.sel8_rows = []    # (cond, a_ids8, b_ids8, out)
+        self.ffold_rows = []   # (acc, ap, alpha, ys, row, out)
         self.output_rows = []  # (reg, slot)
         n_out = 0
         for op, a, b, c, out in program.ops:
@@ -103,6 +105,18 @@ class _Compiled:
                 for r_id in ids:
                     rd(r_id)
                 self.p2_rows.append((ids, out))
+            elif op == Op.SELECT8:
+                cond, a8, b8 = program.sel8_inputs[a]
+                rd(cond)
+                for r_id in a8:
+                    rd(r_id)
+                for r_id in b8:
+                    rd(r_id)
+                self.sel8_rows.append((cond, a8, b8, out))
+            elif op == Op.FFOLD:
+                acc, ap, alpha, ys, row = program.ffold_inputs[a]
+                rd(acc, 4), rd(ap, 4), rd(alpha, 4), rd(ys, 4), rd(row)
+                self.ffold_rows.append((acc, ap, alpha, ys, row, out))
             elif op == Op.OUTPUT:
                 rd(a)
                 self.output_rows.append((a, n_out))
@@ -406,6 +420,134 @@ class ExtAluChip(_RecAir):
             b.when(f[Op.EINV]).assert_eq(po[k], 1 if k == 0 else 0)
 
 
+class Select8Chip(_RecAir):
+    """One row selects a whole 8-felt digest half: out[k] = cond ? a[k]
+    : b[k] (Merkle path walks; replaces 8 BaseAlu SELECT rows)."""
+
+    name = "RecSelect8"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.sel8_rows
+        # cond id + 8 a ids + 8 b ids + out base + is_real + 8 out mults
+        self.preprocessed_width = 1 + 8 + 8 + 1 + 1 + 8
+
+    width = 1 + 8 + 8 + 8  # cond, a vals, b vals, out vals
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
+        for i, (cond, a8, b8, out) in enumerate(rows):
+            prep[i, 0] = cond
+            prep[i, 1:9] = a8
+            prep[i, 9:17] = b8
+            prep[i, 17] = out
+            prep[i, 18] = 1
+            for k in range(8):
+                prep[i, 19 + k] = self.c.mult(out + k)
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, self.width), dtype=np.uint32)
+        regs = record.regs
+        for i, (cond, a8, b8, out) in enumerate(rows):
+            mat[i, 0] = regs[cond]
+            mat[i, 1:9] = regs[list(a8)]
+            mat[i, 9:17] = regs[list(b8)]
+            mat[i, 17:25] = regs[out : out + 8]
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        rout, is_real = prep[17], prep[18]
+        vc = b.main_local[0]
+        va = b.main_local[1:9]
+        vb = b.main_local[9:17]
+        vo = b.main_local[17:25]
+        b.assert_zero(vc * (vc - 1))  # padding rows are all-zero: holds
+        _recv(b, prep[0], vc, is_real)
+        for k in range(8):
+            _recv(b, prep[1 + k], va[k], is_real)
+            _recv(b, prep[9 + k], vb[k], is_real)
+            _send(b, rout + k, vo[k], prep[19 + k])
+            b.assert_zero(vo[k] - vb[k] - vc * (va[k] - vb[k]))
+
+
+class FriFoldChip(_RecAir):
+    """Fused FRI reduced-opening step (reference recursion FriFold chip):
+    acc' = acc + ap * (ys - [row,0,0,0]), ap' = ap * alpha — one row
+    instead of four ExtAlu rows per opened column."""
+
+    name = "RecFriFold"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.ffold_rows
+        # 5 input bases/ids + out base + is_real + 8 out mults
+        self.preprocessed_width = 5 + 1 + 1 + 8
+
+    width = 4 + 4 + 4 + 4 + 1 + 8  # acc, ap, alpha, ys, row, acc'|ap'
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
+        for i, (acc, ap, alpha, ys, row, out) in enumerate(rows):
+            prep[i, 0:5] = (acc, ap, alpha, ys, row)
+            prep[i, 5] = out
+            prep[i, 6] = 1
+            for k in range(8):
+                prep[i, 7 + k] = self.c.mult(out + k)
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, self.width), dtype=np.uint32)
+        regs = record.regs
+        for i, (acc, ap, alpha, ys, row, out) in enumerate(rows):
+            mat[i, 0:4] = regs[acc : acc + 4]
+            mat[i, 4:8] = regs[ap : ap + 4]
+            mat[i, 8:12] = regs[alpha : alpha + 4]
+            mat[i, 12:16] = regs[ys : ys + 4]
+            mat[i, 16] = regs[row]
+            mat[i, 17:25] = regs[out : out + 8]
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        rout, is_real = prep[5], prep[6]
+        m = b.main_local
+        acc, ap, alpha, ys = m[0:4], m[4:8], m[8:12], m[12:16]
+        row = m[16]
+        acc_o, ap_o = m[17:21], m[21:25]
+        for k in range(4):
+            _recv(b, prep[0] + k, acc[k], is_real)
+            _recv(b, prep[1] + k, ap[k], is_real)
+            _recv(b, prep[2] + k, alpha[k], is_real)
+            _recv(b, prep[3] + k, ys[k], is_real)
+            _send(b, rout + k, acc_o[k], prep[7 + k])
+            _send(b, rout + 4 + k, ap_o[k], prep[7 + 4 + k])
+        _recv(b, prep[4], row, is_real)
+
+        def prod(x, y):
+            c0 = x[0] * y[0] + 3 * (x[1] * y[3] + x[2] * y[2] + x[3] * y[1])
+            c1 = x[0] * y[1] + x[1] * y[0] + 3 * (x[2] * y[3] + x[3] * y[2])
+            c2 = x[0] * y[2] + x[1] * y[1] + x[2] * y[0] + 3 * (x[3] * y[3])
+            c3 = x[0] * y[3] + x[1] * y[2] + x[2] * y[1] + x[3] * y[0]
+            return (c0, c1, c2, c3)
+
+        d = (ys[0] - row, ys[1], ys[2], ys[3])
+        pd = prod(ap, d)
+        pa = prod(ap, alpha)
+        for k in range(4):
+            b.assert_zero(acc_o[k] - acc[k] - pd[k])
+            b.assert_zero(ap_o[k] - pa[k])
+
+
 class RecPoseidon2Chip(_RecAir):
     name = "RecPoseidon2"
 
@@ -461,7 +603,9 @@ class RecPoseidon2Chip(_RecAir):
                 mat[i, self.COLS.slc(f"s{r}")] = states[r] % P
         chain = _zero_chain()
         for r in range(NUM_ROUNDS + 2):
-            mat[n:, self.COLS.slc(f"s{r}")] = chain[r]
+            # pad from the first non-real row (len(rows), NOT n: an empty
+            # chip must fill row 0 with the valid chain too)
+            mat[len(rows):, self.COLS.slc(f"s{r}")] = chain[r]
         return mat
 
     def eval(self, b):
@@ -496,6 +640,8 @@ def recursion_machine(program: RecursionProgram, config=None) -> tuple:
         HintChip(comp),
         BaseAluChip(comp),
         ExtAluChip(comp),
+        Select8Chip(comp),
+        FriFoldChip(comp),
         RecPoseidon2Chip(comp),
         OutputChip(comp),
     ]

@@ -30,8 +30,8 @@ def traced_merkle_verify(t: Tracer, leaf_felts, index_bits, path, root8):
     (mirrors core/merkle.py verify_opening for a single matrix)."""
     digest = traced_hash_rows(t, list(leaf_felts))
     for bit, sibling in zip(index_bits, path):
-        left = [t.select(bit, s, d) for s, d in zip(sibling, digest)]
-        right = [t.select(bit, d, s) for d, s in zip(digest, sibling)]
+        left = t.select8(bit, sibling, digest)
+        right = t.select8(bit, digest, sibling)
         digest = traced_compress(t, left, right)
     for d, r in zip(digest, root8):
         t.assert_eq(d, r)
@@ -45,6 +45,13 @@ def _ext(t, felts4):
 def _ext_from_base(t, felt):
     z = t.const(0)
     return t.ext_from([felt, z, z, z])
+
+
+def _ezero(t):
+    z = getattr(t, "_ezero", None)
+    if z is None:
+        z = t._ezero = t.ext_const([0, 0, 0, 0])
+    return z
 
 
 def _assert_ext_eq(t, a, b):
@@ -135,10 +142,12 @@ def traced_fri_verify_single(t: Tracer, pcs, proof, commit8, zeta4, ys,
         acc = None
         apow = None
         for c in range(width):
-            diff = _ext(t, ys[4 * c : 4 * c + 4]) - row[c]
-            term = diff if apow is None else apow * diff
-            acc = term if acc is None else acc + term
-            apow = alpha if apow is None else apow * alpha
+            ys_c = _ext(t, ys[4 * c : 4 * c + 4])
+            if apow is None:
+                acc = ys_c - row[c]
+                apow = alpha
+            else:
+                acc, apow = t.fri_fold_step(acc, apow, alpha, ys_c, row[c])
         folded = acc * inv_zx
         cur_bits = bits
         shift = F.GENERATOR % F.P_INT
@@ -281,27 +290,39 @@ class TracedVerifierFolder:
         self.receives.append(Lookup(kind, values, mult, LookupScope.Local))
 
     def _from_felt(self, f):
+        """Base felts stay LAZY (TFV.e may be a Felt): ext ops take base
+        operands directly (EADDB/ESUBB/EMULB rows), so no 4-register
+        packing happens until a genuinely base-valued result is needed
+        as an ext window (folder.acc is always ext after one fold)."""
         if isinstance(f, TFV):
             return f
         if isinstance(f, Felt):
-            z = self.t.const(0)
-            return TFV(self, self.t.ext_from([f, z, z, z]))
+            return TFV(self, f)
         return self.lift(int(f))
 
     def lift(self, x):
         if isinstance(x, TFV):
             return x
-        return TFV(self, self.t.ext_const(
-            [int(x) % 2130706433, 0, 0, 0]))
+        return TFV(self, self.t.const(int(x) % 2130706433))
 
     def _add(self, a, b):
-        return TFV(self, a.e + b.e)
+        ae, be = a.e, b.e
+        if isinstance(ae, Felt) and not isinstance(be, Felt):
+            ae, be = be, ae  # commutative: keep the ext on the left
+        return TFV(self, ae + be)
 
     def _sub(self, a, b):
-        return TFV(self, a.e - b.e)
+        ae, be = a.e, b.e
+        if isinstance(ae, Felt) and not isinstance(be, Felt):
+            z = self.t.const(0)
+            ae = self.t.ext_from([ae, z, z, z])
+        return TFV(self, ae - be)
 
     def _mul(self, a, b):
-        return TFV(self, a.e * b.e)
+        ae, be = a.e, b.e
+        if isinstance(ae, Felt) and not isinstance(be, Felt):
+            ae, be = be, ae
+        return TFV(self, ae * be)
 
     def _neg(self, a):
         return self.lift(0) - a
@@ -338,8 +359,8 @@ def traced_merkle_verify_batch(t: Tracer, matrix_dims, index_bits,
     for lvl in range(log_max):
         bit = index_bits[lvl]
         sibling = path[lvl]
-        left = [t.select(bit, s, d) for s, d in zip(sibling, digest)]
-        right = [t.select(bit, d, s) for d, s in zip(digest, sibling)]
+        left = t.select8(bit, sibling, digest)
+        right = t.select8(bit, digest, sibling)
         digest = traced_compress(t, left, right)
         h //= 2
         if any(hh == h for hh, _ in matrix_dims):
@@ -438,11 +459,16 @@ def traced_pcs_verify(t: Tracer, pcs, ch, rounds, proof):
                     inv_zx = (z - x).inv()
                     acc = None
                     for c in range(w):
-                        diff = ys[c] - row[c]
                         ap = cnt_pows[l]
-                        term = diff if ap is None else ap * diff
-                        acc = term if acc is None else acc + term
-                        cnt_pows[l] = alpha if ap is None else ap * alpha
+                        if ap is None:
+                            acc = ys[c] - row[c]
+                            cnt_pows[l] = alpha
+                        elif acc is None:
+                            acc, cnt_pows[l] = t.fri_fold_step(
+                                _ezero(t), ap, alpha, ys[c], row[c])
+                        else:
+                            acc, cnt_pows[l] = t.fri_fold_step(
+                                acc, ap, alpha, ys[c], row[c])
                     contrib = acc * inv_zx
                     ro[l] = contrib if ro[l] is None else ro[l] + contrib
         # fold chain
