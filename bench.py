@@ -55,9 +55,12 @@ def main():
         os.environ.setdefault("ZIREN_BENCH_FIB_N", "4000")
         os.environ.setdefault("ZIREN_BENCH_SHARD_SIZE", str(1 << 13))
 
-    from ziren_tpu.executor.executor import Executor
     from ziren_tpu.executor.asm import fibonacci_program
-    from ziren_tpu.machine.mips import mips_machine, verify_mips_proof
+    from ziren_tpu.machine.mips import (
+        execute_sharded,
+        mips_machine,
+        verify_mips_proof,
+    )
     from ziren_tpu.stark.backend import backend_name
 
     n = int(os.environ.get("ZIREN_BENCH_FIB_N", "58218"))
@@ -76,14 +79,12 @@ def main():
     # across runs
     from ziren_tpu.stark.shape import fix_shape
 
-    warm = Executor(program, shard_size=shard_size)
-    warm_records = warm.run_sharded()
+    warm, warm_records = execute_sharded(program, shard_size)
     fix_shape(machine, warm_records)
     machine.prove(pk, warm_records[:1])
 
     t0 = time.perf_counter()
-    ex = Executor(program, shard_size=shard_size)
-    records = ex.run_sharded()
+    ex, records = execute_sharded(program, shard_size)
     proof = machine.prove(pk, records, fix_shapes=True)
     dt = time.perf_counter() - t0
     cycles = int(ex.global_clk)

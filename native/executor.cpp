@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
+#include <array>
 #include <vector>
 #include <string>
 #include <map>
@@ -206,6 +207,15 @@ struct Executor {
   std::vector<CycleEvent> events;
   bool trace = true;
   uint32_t pc = 0, next_pc = 0, clk = 0, shard = 1;
+  // continuation sharding (mirrors the python executor's run_sharded:
+  // boundary at shard_cycles >= shard_size, branch+delay-slot kept
+  // together, clk reset per shard)
+  uint32_t shard_size_ = 0, shard_cycles = 0, shard_start_pc = 0;
+  bool next_is_delayslot = false;
+  std::unordered_map<uint32_t, std::array<uint32_t, 3>> sh_init;
+  struct ShardMark { uint64_t end_cycle; uint32_t start_pc, next_pc; };
+  std::vector<ShardMark> shard_marks;
+  std::vector<std::vector<uint32_t>> shard_blobs;  // 7 u32 per addr
   uint64_t global_clk = 0, max_cycles = 0;
   bool exited = false;
   uint32_t exit_code = 0;
@@ -224,7 +234,35 @@ struct Executor {
       touched.emplace(addr, it->second.value);
       touch_order.push_back(addr);
     }
+    if (shard_size_) {
+      MemRec& r = it->second;
+      if (sh_init.find(addr) == sh_init.end())
+        sh_init.emplace(addr,
+                        std::array<uint32_t, 3>{r.shard, r.clk, r.value});
+    }
     return it->second;
+  }
+
+  void bump_shard() {
+    std::vector<uint32_t> blob;
+    blob.reserve(sh_init.size() * 7);
+    for (auto& kv : sh_init) {
+      const MemRec& r = memory.at(kv.first);
+      blob.push_back(kv.first);
+      blob.push_back(kv.second[0]);  // prev shard
+      blob.push_back(kv.second[1]);  // prev clk
+      blob.push_back(kv.second[2]);  // prev value
+      blob.push_back(r.shard);
+      blob.push_back(r.clk);
+      blob.push_back(r.value);
+    }
+    shard_blobs.push_back(std::move(blob));
+    shard_marks.push_back({events.size(), shard_start_pc, pc});
+    sh_init.clear();
+    shard++;
+    clk = 0;
+    shard_cycles = 0;
+    shard_start_pc = pc;
   }
 
   uint32_t read(uint32_t addr, int pos) {
@@ -765,9 +803,15 @@ struct Executor {
     next_pc = next_next_pc;
     clk += 5;
     global_clk++;
+    shard_cycles++;
+    next_is_delayslot = (op >= BEQ && op <= JumpDirect);
     if (max_cycles && global_clk >= max_cycles) { error = "exceeded cycle limit"; return true; }
-    return pc == 0 || exited ||
-           (uint64_t)(pc - pc_base) >= instructions.size() * 4;
+    bool done = pc == 0 || exited ||
+                (uint64_t)(pc - pc_base) >= instructions.size() * 4;
+    if (!done && shard_size_ && shard_cycles >= shard_size_ &&
+        !next_is_delayslot)
+      bump_shard();
+    return done;
   }
 };
 
@@ -804,12 +848,40 @@ void ziren_exec_add_hint(void* h, const uint8_t* data, uint32_t len) {
 int ziren_exec_run(void* h, uint64_t max_cycles) {
   auto* ex = (Executor*)h;
   ex->max_cycles = max_cycles;
+  ex->shard_start_pc = ex->pc;
   while (true) {
     bool done = ex->cycle();
     if (!ex->error.empty()) return 1;
     if (done) break;
   }
+  if (ex->shard_size_) ex->bump_shard();  // close the final shard
   return 0;
+}
+
+void ziren_exec_set_shard_size(void* h, uint32_t s) {
+  ((Executor*)h)->shard_size_ = s;
+}
+
+uint32_t ziren_exec_num_shards(void* h) {
+  return (uint32_t)((Executor*)h)->shard_marks.size();
+}
+
+void ziren_exec_shard_marks(void* h, uint64_t* out) {
+  auto* ex = (Executor*)h;
+  for (size_t i = 0; i < ex->shard_marks.size(); i++) {
+    out[3 * i] = ex->shard_marks[i].end_cycle;
+    out[3 * i + 1] = ex->shard_marks[i].start_pc;
+    out[3 * i + 2] = ex->shard_marks[i].next_pc;
+  }
+}
+
+uint64_t ziren_exec_shard_blob_len(void* h, uint32_t i) {
+  return ((Executor*)h)->shard_blobs.at(i).size();
+}
+
+void ziren_exec_shard_blob(void* h, uint32_t i, uint32_t* out) {
+  auto& b = ((Executor*)h)->shard_blobs.at(i);
+  memcpy(out, b.data(), b.size() * 4);
 }
 
 uint64_t ziren_exec_num_cycles(void* h) { return ((Executor*)h)->events.size(); }

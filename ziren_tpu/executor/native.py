@@ -61,6 +61,14 @@ def _load():
     lib.ziren_exec_num_sha_cmp_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_num_u256_events.argtypes = [ctypes.c_void_p]
     lib.ziren_exec_free.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_set_shard_size.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.ziren_exec_num_shards.argtypes = [ctypes.c_void_p]
+    lib.ziren_exec_shard_marks.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ziren_exec_shard_blob_len.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.ziren_exec_shard_blob_len.restype = ctypes.c_uint64
+    lib.ziren_exec_shard_blob.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p
+    ]
     _LIB = lib
     return lib
 
@@ -289,6 +297,65 @@ class NativeExecutor:
         self.exit_code = pv.exit_code
         self.record = record
         return record
+
+    def run_sharded(self, shard_size: int) -> list:
+        """Execute with continuation sharding in C++ (clk reset per shard,
+        branch+delay-slot kept together) and split the columnar record into
+        per-shard ExecutionRecords — bit-exact vs the python executor's
+        run_sharded (differential-tested)."""
+        assert shard_size
+        lib, h = self.lib, self.h
+        lib.ziren_exec_set_shard_size(h, int(shard_size))
+        full = self.run()
+        n_shards = lib.ziren_exec_num_shards(h)
+        marks = np.zeros((n_shards, 3), dtype=np.uint64)
+        lib.ziren_exec_shard_marks(h, marks.ctypes.data_as(ctypes.c_void_p))
+
+        frozen = full.freeze()
+        records = []
+        lo = 0
+        for i in range(n_shards):
+            end, start_pc, next_pc = (int(v) for v in marks[i])
+            rec = ExecutionRecord(self.program)
+            rec._frozen = {k: v[lo:end] for k, v in frozen.items()}
+            # per-shard precompile events (events carry their shard id)
+            for sid, evs in full.precompile_events.items():
+                mine = [ev for ev in evs if ev["shard"] == i + 1]
+                if mine:
+                    rec.precompile_events[sid] = mine
+            # per-shard memory endpoints (MemoryLocal / Global chips)
+            blen = lib.ziren_exec_shard_blob_len(h, i)
+            blob = np.zeros(max(int(blen), 1), dtype=np.uint32)
+            if blen:
+                lib.ziren_exec_shard_blob(
+                    h, i, blob.ctypes.data_as(ctypes.c_void_p)
+                )
+            blob = blob[: int(blen)].reshape(-1, 7)
+            rec.shard_initial = {
+                int(r[0]): (int(r[1]), int(r[2]), int(r[3])) for r in blob
+            }
+            rec.shard_final = {
+                int(r[0]): (int(r[4]), int(r[5]), int(r[6])) for r in blob
+            }
+            pv = rec.public_values
+            pv.start_pc = start_pc
+            pv.next_pc = next_pc
+            pv.shard = i + 1
+            pv.execution_shard = i + 1
+            pv.exit_code = full.public_values.exit_code
+            pv.committed_value_digest = list(
+                full.public_values.committed_value_digest
+            )
+            rec.deferred_proof_claims = (
+                list(full.deferred_proof_claims) if i == 0 else []
+            )
+            records.append(rec)
+            lo = end
+        # memory init/finalize events live in the last record
+        records[-1].mem_init = full.mem_init
+        records[-1].mem_final = full.mem_final
+        self.records = records
+        return records
 
     def peek_register(self, reg: int) -> int:
         return int(self.lib.ziren_exec_peek(self.h, reg))

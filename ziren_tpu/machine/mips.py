@@ -150,6 +150,23 @@ def execute(program, stdin=None, native=True):
     return ex, record
 
 
+def execute_sharded(program, shard_size, stdin=None, native=True):
+    """Sharded execution, native C++ first (50+ MHz, bit-exact vs the
+    python executor's run_sharded — tests/test_native_sharded.py)."""
+    if native:
+        try:
+            from ziren_tpu.executor.native import NativeExecutor
+
+            ex = NativeExecutor(program, stdin=stdin)
+            records = ex.run_sharded(shard_size)
+            return ex, records
+        except (OSError, RuntimeError, subprocess.CalledProcessError):
+            pass
+    ex = Executor(program, stdin=stdin, shard_size=shard_size)
+    records = ex.run_sharded()
+    return ex, records
+
+
 def prove_program(program, stdin=None, config=None, shard_size=None):
     """Execute + prove; returns (machine, pk, vk, proof, executor)."""
     machine = mips_machine(config)
