@@ -36,19 +36,32 @@ import time
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/ziren_jax")
     if os.environ.get("ZIREN_BENCH_CHILD") != "1":
+        import signal
+        import tempfile
+
         budget = int(os.environ.get("ZIREN_BENCH_BUDGET_S", "2400"))
         env = dict(os.environ, ZIREN_BENCH_CHILD="1")
-        try:
-            out = subprocess.run(
+        # file-backed stdout + process-group kill: accelerator transport
+        # helpers can inherit pipe fds and hang a pipe-based wait forever
+        with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f:
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=budget, capture_output=True, text=True,
+                env=env, stdout=f, stderr=subprocess.DEVNULL,
+                start_new_session=True,
             )
-            for line in out.stdout.splitlines():
+            try:
+                proc.wait(timeout=budget)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                proc.wait()
+            f.seek(0)
+            for line in f.read().splitlines():
                 if line.startswith("{"):
                     print(line)
                     return
-        except subprocess.TimeoutExpired:
-            pass
         # fallback: host prover, smaller workload — always yields a number
         os.environ["ZIREN_DEVICE"] = "0"
         os.environ["ZIREN_BENCH_CHILD"] = "1"
