@@ -74,3 +74,18 @@ def test_deferred_end_to_end():
     assert root_rpv[MP.RPV_IS_COMPLETE] == 1
     digest = MP.verify_compressed(machine, main_vk, root[0], root[1], root[2])
     assert isinstance(digest, bytes) and len(digest) == 32
+
+
+def test_sdk_rejects_unbacked_claims():
+    """compressed_prove must refuse when the guest deferred claims but no
+    sub-proofs were supplied (cheap: fails before any recursion work)."""
+    from ziren_tpu.sdk import ProverClient
+
+    client = ProverClient(config="dev")
+    prog = deferred_claim_program([1] * 8, [2] * 8, D.fold_claims([
+        ([1] * 8, [b for w in [2] * 8 for b in (w & 0xFF, (w >> 8) & 0xFF,
+                                                (w >> 16) & 0xFF, w >> 24)])
+    ]))
+    pk, vk = client.setup(prog)
+    with pytest.raises(VerificationError):
+        client.compressed_prove(pk)
