@@ -577,30 +577,44 @@ class RecPoseidon2Chip(_RecAir):
         return pad_to_pow2(prep)
 
     def generate_trace(self, record, output):
-        from ziren_tpu.machine.poseidon2_chip import Poseidon2PermuteChip as PC
-
         rows = self.rows
         n = max(1, len(rows))
         height = max(4, 1 << (n - 1).bit_length())
         mat = np.zeros((height, self.width), dtype=np.uint32)
-        regs = record.regs
-        for i, (ids, out) in enumerate(rows):
-            s = regs[list(ids)].astype(np.int64)
-            states = [s, PC._apply_ext_layer(s)]
-            cur = states[1]
+        if rows:
+            # batched over all permutation rows (int64: products < 2^62,
+            # external-layer sums < 2^38 — bit-identical to the scalar path)
+            regs = record.regs
+            ids = np.array([list(i) for i, _ in rows], dtype=np.int64)
+            me = np.asarray(M_EXT, dtype=np.int64)
+            diag = np.asarray(DIAG, dtype=np.int64)
+            rc = np.asarray(RC, dtype=np.int64)
+
+            def ext(v):
+                return (v % P) @ me.T % P
+
+            def sbox(v):
+                v = v % P
+                return (v * v % P) * v % P
+
+            s = regs[ids].astype(np.int64) % P
+            states = [s]
+            cur = ext(s)
+            states.append(cur)
             for r in range(4):
-                cur = PC._apply_ext_layer(PC._sbox_all(cur + RC[r]))
+                cur = ext(sbox(cur + rc[r][None, :]))
                 states.append(cur)
             for r in range(13):
                 t = cur.copy()
-                t[0] = PC._sbox(cur[0] + RC[4 + r][0])
-                cur = (DIAG * t + t.sum() % P) % P
+                t[:, 0] = sbox(cur[:, 0] + rc[4 + r][0])
+                cur = (diag[None, :] * t
+                       + t.sum(axis=1, keepdims=True) % P) % P
                 states.append(cur)
             for r in range(4):
-                cur = PC._apply_ext_layer(PC._sbox_all(cur + RC[17 + r]))
+                cur = ext(sbox(cur + rc[17 + r][None, :]))
                 states.append(cur)
             for r in range(NUM_ROUNDS + 2):
-                mat[i, self.COLS.slc(f"s{r}")] = states[r] % P
+                mat[: len(rows), self.COLS.slc(f"s{r}")] = states[r] % P
         chain = _zero_chain()
         for r in range(NUM_ROUNDS + 2):
             # pad from the first non-real row (len(rows), NOT n: an empty
