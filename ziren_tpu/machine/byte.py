@@ -124,16 +124,31 @@ def send_byte(b, op, x, y, z, mult):
 
 
 def count(record, op, x, y, mult=None):
-    """Vectorized byte-count accounting; x, y numpy arrays; mult 0/1 array."""
-    x = np.asarray(x, dtype=np.int64)
+    """Vectorized byte-count accounting; x, y numpy arrays; mult 0/1 array.
+    Aggregates per (x, y) pair before touching the dict — the per-element
+    loop was the single hottest spot of shard trace generation."""
+    x = np.asarray(x, dtype=np.int64).reshape(-1)
     y = np.broadcast_to(np.asarray(y, dtype=np.int64), x.shape)
     if mult is None:
         m = np.ones_like(x)
     else:
         m = np.broadcast_to(np.asarray(mult, dtype=np.int64), x.shape)
     sel = m != 0
-    for xi, yi, mi in zip(x[sel], y[sel], m[sel]):
-        record.add_byte_lookup(int(op), int(xi), int(yi), int(mi))
+    xs, ys, ms = x[sel], y[sel], m[sel]
+    if xs.size == 0:
+        return
+    key = (xs << 32) | ys
+    order = np.argsort(key, kind="stable")
+    k = key[order]
+    w = ms[order]
+    starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+    sums = np.add.reduceat(w, starts)
+    uk = k[starts]
+    bc = record.byte_counts
+    opi = int(op)
+    for kk, ss in zip(uk.tolist(), sums.tolist()):
+        t = (opi, kk >> 32, kk & 0xFFFFFFFF)
+        bc[t] = bc.get(t, 0) + ss
 
 
 def count_u8_word(record, word_bytes, mult=None):
