@@ -90,10 +90,10 @@ class ByteChip(Air):
     def generate_trace(self, record, output):
         n = 1 << 16
         w = MAIN.writer(n)
+        id_to_col = {v: MAIN.idx(f"mult_{k}") for k, v in _OP_IDS.items()}
         for (op, x, y), mult in record.byte_counts.items():
-            name = next(k for k, v in _OP_IDS.items() if v == op)
             row = (x * 256 + y) if op != B.U16Range else x
-            w.mat[row, MAIN.idx(f"mult_{name}")] += mult % (2**31)
+            w.mat[row, id_to_col[op]] += mult % (2**31)
         return w.mat
 
     def eval(self, b):
