@@ -56,3 +56,80 @@ def test_native_sharded_records_prove():
     pk, vk = machine.setup(program)
     proof = machine.prove(pk, records, fix_shapes=True)
     assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
+
+
+def test_estimate_targets_matches_fix_shape():
+    """The cost model (Air.num_rows) reproduces fix_shape's per-chip
+    targets exactly for CPU-family workloads."""
+    from ziren_tpu.executor.asm import alu_torture2_program, fibonacci_program
+    from ziren_tpu.machine.mips import execute_sharded, mips_machine
+    from ziren_tpu.stark.shape import estimate_targets, fix_shape
+
+    machine = mips_machine()
+    for program in (fibonacci_program(3000), alu_torture2_program()):
+        ex, records = execute_sharded(program, 1024)
+        est = estimate_targets(machine, records)
+        assert est is not None
+        shape, _ = fix_shape(machine, records)
+        want = {name: 1 << lh for name, lh in shape.heights}
+        assert est == want, {
+            k: (est.get(k), want.get(k))
+            for k in set(est) | set(want)
+            if est.get(k) != want.get(k)
+        }
+
+
+def test_pipelined_device_prove_verifies(monkeypatch):
+    """The cost-model-pipelined device prove path (trace gen in worker
+    threads overlapped with dispatch) produces verifying proofs. Uses a
+    1-chip engine machine: cold XLA:CPU compiles of the full MIPS kernel
+    set cost tens of minutes (the MIPS pipeline path is exercised by
+    bench.py on the real accelerator; the estimate/fix_shape equivalence
+    above covers the MIPS cost model)."""
+    monkeypatch.setenv("ZIREN_DEVICE", "1")
+    import numpy as np
+
+    from ziren_tpu.machine.layout import pad_to_pow2
+    from ziren_tpu.stark.chip import Air
+    from ziren_tpu.stark.config import dev_config
+    from ziren_tpu.stark.machine import StarkMachine
+
+    class Counter(Air):
+        name = "Counter"
+        width = 2
+
+        def eval(self, b):
+            v, is_real = b.main_local
+            v_n, is_real_n = b.main_next
+            b.assert_bool(is_real)
+            b.when_first_row().assert_eq(v, is_real)
+            b.when_transition().assert_zero(is_real_n * (v_n - v - 1))
+            b.when_transition().assert_zero(is_real_n * (1 - is_real))
+
+        def num_rows(self, record):
+            return record.n
+
+        def generate_trace(self, record, output):
+            n = record.n
+            tr = np.zeros((n, 2), dtype=np.uint32)
+            tr[:, 0] = np.arange(1, n + 1)
+            tr[:, 1] = 1
+            return pad_to_pow2(tr)
+
+    class Rec:
+        def __init__(self, n):
+            self.n = n
+            self.public_values = []
+
+    machine = StarkMachine(dev_config(), [Counter()])
+    pk, vk = machine.setup()
+    records = [Rec(8), Rec(20), Rec(32), Rec(17)]
+    proof = machine.prove(pk, records, fix_shapes=True)
+    assert len(proof.shard_proofs) == 4
+    assert machine.verify(vk, proof)
+    # every shard landed on the batch-wide 32-row shape via the cost model
+    assert all(
+        v.log_degree == 5
+        for sp in proof.shard_proofs
+        for v in sp.opened_values
+    )

@@ -13,7 +13,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, send_byte
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .messages import instruction_message
-from .synthetic import merged_rows
+from .synthetic import count_rows, merged_rows
 
 
 def _passthrough_layout() -> Layout:
@@ -55,8 +55,12 @@ def _recv_alu(b, L, opcode_expr):
 
 class AddSubChip(Air):
     name = "AddSub"
+    OPS = (Opcode.ADD, Opcode.SUB)
     COLS = _passthrough_layout().add("is_add").add("is_sub").add("carry", 4)
     width = COLS.width
+
+    def num_rows(self, record):
+        return count_rows(record, self.OPS)
 
     def generate_trace(self, record, output):
         rows, _ = merged_rows(record, (Opcode.ADD, Opcode.SUB))
@@ -120,6 +124,9 @@ class BitwiseChip(Air):
             sub = opm == int(op)
             for i in range(4):
                 count(record, self._BYTE_OP[op], bb[sub, i], c[sub, i])
+
+    def num_rows(self, record):
+        return count_rows(record, self.OPS)
 
     def generate_trace(self, record, output):
         rows, _ = merged_rows(record, self.OPS)
@@ -199,6 +206,9 @@ class LtChip(Air):
                     all_eq[r] = 0
                     break
         return cmp_b, cmp_c, diff_flag, all_eq, None
+
+    def num_rows(self, record):
+        return count_rows(record, self.OPS)
 
     def generate_trace(self, record, output):
         rows, _ = merged_rows(record, self.OPS)

@@ -12,6 +12,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pack_word, pad_to_pow2, word_decompose_np
 from .messages import instruction_message
+from .synthetic import count_rows
 
 P = 2130706433
 OPS = (Opcode.BEQ, Opcode.BNE, Opcode.BGEZ, Opcode.BGTZ, Opcode.BLEZ, Opcode.BLTZ)
@@ -76,6 +77,9 @@ class BranchChip(Air):
         out[ops == int(Opcode.BLEZ)] = (sa <= 0)[ops == int(Opcode.BLEZ)]
         out[ops == int(Opcode.BLTZ)] = (sa < 0)[ops == int(Opcode.BLTZ)]
         return out
+
+    def num_rows(self, record):
+        return count_rows(record, OPS)
 
     def generate_trace(self, record, output):
         cols, mask, ops = self._rows(record)

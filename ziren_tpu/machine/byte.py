@@ -87,6 +87,9 @@ class ByteChip(Air):
         w.set("clz", np.array([8 - int(x).bit_length() for x in b], dtype=np.uint32))
         return w.mat
 
+    def num_rows(self, record):
+        return 1 << 16
+
     def generate_trace(self, record, output):
         n = 1 << 16
         w = MAIN.writer(n)

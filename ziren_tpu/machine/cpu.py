@@ -107,6 +107,9 @@ class CpuChip(Air):
         a_val = word_decompose_np(cols["a_value"])
         count_u8_word(record, a_val, ones)
 
+    def num_rows(self, record):
+        return record.num_cycles
+
     def generate_trace(self, record, output):
         cols = record.freeze()
         n = record.num_cycles

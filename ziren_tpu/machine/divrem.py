@@ -22,7 +22,7 @@ from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .memory_access import POS_HI, add_access_cols, eval_access, fill_access
 from .messages import instruction_message
-from .synthetic import emit, merged_rows
+from .synthetic import count_rows, emit, merged_rows
 
 P = 2130706433
 M32 = 0xFFFFFFFF
@@ -136,6 +136,9 @@ class DivRemChip(Air):
         count(record, B.U8Range, diff >> 16, 0, hi_real)
         hi_val = word_decompose_np(cols["hi_value"][mask])
         count_u8_word(record, hi_val, hi_real)
+
+    def num_rows(self, record):
+        return count_rows(record, OPS)
 
     def generate_trace(self, record, output):
         cols, mask, rows, n_real = self._rows(record)

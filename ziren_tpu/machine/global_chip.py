@@ -80,6 +80,9 @@ class GlobalChip(Air):
         count(record, B.U8Range, rb[:, 2], rb[:, 3])
         count(record, B.MSB, rb[:, 3], 0)
 
+    def num_rows(self, record):
+        return (2 * len(record.shard_initial) + len(record.mem_init) + len(record.mem_final))
+
     def generate_trace(self, record, output):
         events = self._events(record)
         n = len(events)

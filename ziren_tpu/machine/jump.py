@@ -12,6 +12,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pack_word, pad_to_pow2, word_decompose_np
 from .messages import instruction_message
+from .synthetic import count_rows
 
 OPS = (Opcode.Jump, Opcode.Jumpi, Opcode.JumpDirect)
 FLAGS = ["is_jump", "is_jumpi", "is_jumpdirect"]
@@ -56,6 +57,9 @@ class JumpChip(Air):
         count_u8_word(record, npc, is_jd)
         count_u8_word(record, target, is_jd)
         count(record, B.MSB, target[:, 3], 0, is_jd)
+
+    def num_rows(self, record):
+        return count_rows(record, OPS)
 
     def generate_trace(self, record, output):
         cols, mask, ops = self._rows(record)

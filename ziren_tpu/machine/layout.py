@@ -101,22 +101,26 @@ class Layout:
 # chain, ...) produce them at ANY fixed height through the same code path.
 # (reference: crates/core/machine/src/shape/mod.rs fix_shape)
 
-_FIXED_HEIGHT: list = [None]
+import threading
+
+_FIXED_HEIGHT = threading.local()  # per-thread: concurrent shard trace gen
 
 
 class fixed_height:
-    """Context manager: force trace heights to `target` (a power of two)."""
+    """Context manager: force trace heights to `target` (a power of two).
+    Thread-local, so shard workers can generate under different targets
+    concurrently."""
 
     def __init__(self, target):
         self.target = target
 
     def __enter__(self):
-        self.prev = _FIXED_HEIGHT[0]
-        _FIXED_HEIGHT[0] = self.target
+        self.prev = getattr(_FIXED_HEIGHT, "v", None)
+        _FIXED_HEIGHT.v = self.target
         return self
 
     def __exit__(self, *exc):
-        _FIXED_HEIGHT[0] = self.prev
+        _FIXED_HEIGHT.v = self.prev
         return False
 
 
@@ -124,7 +128,7 @@ def trace_height(n_real: int, min_height: int = 4) -> int:
     """Padded height for a trace with n_real real rows."""
     n = max(int(n_real), 1)
     target = max(min_height, 1 << (n - 1).bit_length())
-    fh = _FIXED_HEIGHT[0]
+    fh = getattr(_FIXED_HEIGHT, "v", None)
     if fh is not None:
         assert target <= fh, f"trace needs {target} rows > fixed shape {fh}"
         target = fh

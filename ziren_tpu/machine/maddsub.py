@@ -18,7 +18,7 @@ from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .memory_access import POS_HI, add_access_cols, eval_access, fill_access
 from .messages import instruction_message
-from .synthetic import emit, merged_rows
+from .synthetic import count_rows, emit, merged_rows
 
 M32 = 0xFFFFFFFF
 OPS = (Opcode.MADD, Opcode.MADDU, Opcode.MSUB, Opcode.MSUBU)
@@ -89,6 +89,9 @@ class MaddSubChip(Air):
         count(record, B.U16Range, diff & 0xFFFF, 0, ones)
         count(record, B.U8Range, diff >> 16, 0, ones)
         count_u8_word(record, word_decompose_np(cols["hi_value"][mask]))
+
+    def num_rows(self, record):
+        return count_rows(record, OPS)
 
     def generate_trace(self, record, output):
         cols, mask, rows, n_real = self._rows(record)

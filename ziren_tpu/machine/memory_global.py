@@ -134,6 +134,9 @@ class MemoryInitChip(Air):
         count_u8_word(record, word_decompose_np(vals))
         _count_ordering(record, addrs, n)
 
+    def num_rows(self, record):
+        return len(record.mem_init)
+
     def generate_trace(self, record, output):
         addrs = np.array([a for a, _ in record.mem_init], dtype=np.int64)
         vals = np.array([v for _, v in record.mem_init], dtype=np.int64)
@@ -165,6 +168,9 @@ class MemoryFinalChip(Air):
     def generate_dependencies(self, record, output):
         addrs = np.array([a for a, _, _, _ in record.mem_final], dtype=np.int64)
         _count_ordering(record, addrs, len(addrs))
+
+    def num_rows(self, record):
+        return len(record.mem_final)
 
     def generate_trace(self, record, output):
         addrs = np.array([a for a, _, _, _ in record.mem_final], dtype=np.int64)

@@ -19,6 +19,7 @@ from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pack_word, pad_to_pow2, word_decompose_np
 from .memory_access import add_access_cols, eval_access, fill_access
 from .messages import instruction_message
+from .synthetic import count_rows
 
 P = 2130706433
 OPS = (
@@ -85,6 +86,9 @@ class MemoryInstructionsChip(Air):
         half_hi = mem[np.arange(n), (addr & 2).astype(np.int64) + 1]
         is_lh = (opm == int(Opcode.LH)).astype(np.int64)
         count(record, B.MSB, half_hi, 0, is_lh)
+
+    def num_rows(self, record):
+        return count_rows(record, OPS)
 
     def generate_trace(self, record, output):
         cols, mask, ops = self._rows(record)

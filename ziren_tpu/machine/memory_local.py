@@ -31,6 +31,9 @@ class MemoryLocalChip(Air):
     name = "MemoryLocal"
     width = COLS.width
 
+    def num_rows(self, record):
+        return len(record.shard_initial)
+
     def generate_trace(self, record, output):
         addrs = sorted(record.shard_initial)
         n = len(addrs)

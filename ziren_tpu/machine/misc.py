@@ -13,7 +13,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, send_byte
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .messages import instruction_message
-from .synthetic import emit, merged_rows
+from .synthetic import count_rows, emit, merged_rows
 
 P = 2130706433
 
@@ -151,6 +151,9 @@ class MiscChip(Air):
         count(record, B.LTU, lsb + msbd, 32, is_ext)
         count(record, B.LTU, msbd, 32, is_ins)
         count(record, B.LTU, msbd, lsb, is_ins)  # msb >= lsb -> result 0
+
+    def num_rows(self, record):
+        return count_rows(record, self.OPS)
 
     def generate_trace(self, record, output):
         cols, mask, ops = _rows(record, self.OPS)
@@ -293,6 +296,9 @@ class MovCondChip(Air):
     COLS.add("is_real")
     width = COLS.width
 
+    def num_rows(self, record):
+        return count_rows(record, self.OPS)
+
     def generate_trace(self, record, output):
         cols, mask, ops = _rows(record, self.OPS)
         n = int(mask.sum())
@@ -377,6 +383,9 @@ class CloClzChip(Air):
                     nz[r] = 1
                     break
         count(record, B.CLZ8, sel, 0, nz)
+
+    def num_rows(self, record):
+        return count_rows(record, self.OPS)
 
     def generate_trace(self, record, output):
         cols, mask, ops = _rows(record, self.OPS)

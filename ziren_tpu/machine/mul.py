@@ -15,7 +15,7 @@ from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .memory_access import POS_HI, add_access_cols, eval_access, fill_access
 from .messages import instruction_message
-from .synthetic import UNUSED_PC, merged_rows
+from .synthetic import count_rows, UNUSED_PC, merged_rows
 
 OPS = (Opcode.MUL, Opcode.MULT, Opcode.MULTU)
 
@@ -105,6 +105,9 @@ class MulChip(Air):
         count(record, B.U8Range, diff >> 16, 0, writes_hi)
         hi_val = word_decompose_np(cols["hi_value"][mask])
         count_u8_word(record, hi_val, writes_hi)
+
+    def num_rows(self, record):
+        return count_rows(record, OPS)
 
     def generate_trace(self, record, output):
         cols, mask, rows, n_real = self._rows(record)

@@ -46,6 +46,9 @@ class ProgramChip(Air):
         w.mat[:n, PREP.idx("imm_c")] = [int(i.imm_c) for i in program.instructions]
         return w.mat
 
+    def num_rows(self, record):
+        return len(record.program.instructions)
+
     def generate_trace(self, record, output):
         n = len(record.program.instructions)
         height = max(4, 1 << (max(n, 1) - 1).bit_length())

@@ -16,7 +16,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, count_u8_word, send_byte, send_u8_word
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .messages import instruction_message
-from .synthetic import merged_rows
+from .synthetic import count_rows, merged_rows
 
 
 def _bits_layout(l: Layout) -> Layout:
@@ -89,6 +89,9 @@ class ShiftLeftChip(Air):
         hi = np.where(nb[:, None] > 0, bb >> (8 - nb[:, None]), 0)
         count_u8_word(record, lo)
         count_u8_word(record, hi)
+
+    def num_rows(self, record):
+        return count_rows(record, (Opcode.SLL,))
 
     def generate_trace(self, record, output):
         rows = _rows(record, (Opcode.SLL,))
@@ -198,6 +201,9 @@ class ShiftRightChip(Air):
                 else:
                     out[r, m] = 0
         return out
+
+    def num_rows(self, record):
+        return count_rows(record, SR_OPS)
 
     def generate_trace(self, record, output):
         rows = _rows(record, SR_OPS)

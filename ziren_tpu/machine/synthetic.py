@@ -16,6 +16,33 @@ def emit(record, opcode, a, b, c, hi=0):
     )
 
 
+def op_array(record):
+    """Per-cycle opcode array, cached on the record (shared by every
+    instruction-family chip's trace gen and row counting)."""
+    arr = getattr(record, "_op_array", None)
+    if arr is None:
+        cols = record.freeze()
+        instrs = record.program.instructions
+        opmap = np.array([int(i.opcode) for i in instrs], dtype=np.int64)
+        arr = opmap[cols["instr_idx"]] if len(opmap) else cols["instr_idx"]
+        try:
+            record._op_array = arr
+        except AttributeError:
+            pass
+    return arr
+
+
+def count_rows(record, opcodes) -> int:
+    """Row count a family chip's trace will have BEFORE padding: real
+    cpu rows of `opcodes` plus emitted synthetic sub-operations (the cost
+    model — reference core/executor/src/cost.rs)."""
+    ops = op_array(record)
+    n = int(np.isin(ops, [int(o) for o in opcodes]).sum())
+    for op in opcodes:
+        n += len(record.synthetic.get(int(op), []))
+    return n
+
+
 def merged_rows(record, opcodes):
     """Real cpu rows for `opcodes` plus synthetic sub-operations.
 
@@ -23,10 +50,7 @@ def merged_rows(record, opcodes):
     prev_a (carries hi for synthetic rows), opcode; plus n_real.
     """
     cols = record.freeze()
-    instrs = record.program.instructions
-    ops = np.array(
-        [int(instrs[i].opcode) for i in cols["instr_idx"]], dtype=np.int64
-    )
+    ops = op_array(record)
     mask = np.isin(ops, [int(o) for o in opcodes])
     out = {k: list(cols[k][mask]) for k in ("pc", "next_pc", "next_next_pc", "a", "b", "c", "prev_a")}
     out["opcode"] = list(ops[mask])

@@ -18,6 +18,7 @@ from ziren_tpu.stark.lookup import LookupKind
 from .byte import count, send_byte
 from .layout import Layout, pad_to_pow2, word_decompose_np
 from .messages import PV_DIGEST, PV_DEFERRED, PV_EXIT_CODE, instruction_message
+from .synthetic import count_rows
 
 CODES = [
     ("is_halt", int(SyscallCode.HALT)),
@@ -110,6 +111,9 @@ class SyscallChip(Air):
             count(record, B.U8Range, d & 0xFF, 0)
             hi = d >> 8
             count(record, B.LTU, (d & 0xFF)[hi == 1], 44)
+
+    def num_rows(self, record):
+        return count_rows(record, (Opcode.SYSCALL,))
 
     def generate_trace(self, record, output):
         cols, mask = self._rows(record)

@@ -54,6 +54,12 @@ class Air:
     def included(self, record) -> bool:
         return True
 
+    def num_rows(self, record):
+        """Real (pre-padding) trace rows for this record, or None when
+        unknown — the shape/pipeline cost model (reference cost.rs).
+        Requires emit_synthetic to have run."""
+        return None
+
 
 _META_CACHE: dict = {}
 

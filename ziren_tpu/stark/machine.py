@@ -106,10 +106,21 @@ class StarkMachine:
         the whole batch instead of one per distinct trace height."""
         from .backend import backend_name
 
+        pipelined = False
         if fix_shapes and len(records) > 1:
-            from .shape import fix_shape
+            from .shape import estimate_targets, fix_shape
 
-            fix_shape(self, records)
+            if backend_name() == "device" and getattr(
+                self.config, "device_capable", True
+            ):
+                # cost-model targets without trace generation: shard trace
+                # gen then runs in worker threads OVERLAPPED with earlier
+                # shards' async device proves (reference prove_with_context
+                # 3-stage pipeline)
+                targets = estimate_targets(self, records)
+                pipelined = targets is not None
+            if not pipelined:
+                fix_shape(self, records)
 
         base = self.config.challenger()
         pk.vk.observe_into(base)
@@ -124,8 +135,24 @@ class StarkMachine:
             # shard's host trace generation), then ONE synchronizing fetch.
             # With `devices`, shards round-robin across them (data-parallel
             # eager path; shard_map batching lives in stark/sharded.py)
+            gen_futs = None
+            if pipelined:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
+
+                from .shape import generate_fixed
+
+                pool = ThreadPoolExecutor(
+                    max_workers=min(len(records), os.cpu_count() or 4)
+                )
+                gen_futs = [
+                    pool.submit(generate_fixed, self, r, targets)
+                    for r in records
+                ]
             dispatches = []
             for i, r in enumerate(records):
+                if gen_futs is not None:
+                    gen_futs[i].result()
                 if devices:
                     with jax.default_device(devices[i % len(devices)]):
                         dispatches.append(
@@ -135,6 +162,8 @@ class StarkMachine:
                     dispatches.append(
                         dispatch_shard_device(self, pk, r, base.clone())
                     )
+            if gen_futs is not None:
+                pool.shutdown(wait=False)
             gots = jax.device_get([d["fetch"] for d in dispatches])
             return MachineProof(
                 [

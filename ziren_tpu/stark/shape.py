@@ -38,12 +38,23 @@ class Shape:
         return tuple(n for n, _ in self.heights)
 
 
+def emit_synthetic(machine, record):
+    if getattr(record, "_synth_done", False):
+        return
+    for c in machine.chips:
+        if c.air.included(record):
+            c.air.emit_synthetic(record)
+    try:
+        record._synth_done = True
+    except AttributeError:
+        pass
+
+
 def _gen_traces(machine, record):
     """(chip, trace) pairs for every included chip, dependencies emitted."""
     chips = [c for c in machine.chips if c.air.included(record)]
+    emit_synthetic(machine, record)
     if not getattr(record, "_deps_done", False):
-        for c in chips:
-            c.air.emit_synthetic(record)
         for c in chips:
             c.air.generate_dependencies(record, record)
         try:
@@ -51,6 +62,49 @@ def _gen_traces(machine, record):
         except AttributeError:
             pass
     return [(c, c.air.generate_trace(record, record)) for c in chips]
+
+
+def estimate_targets(machine, records, grid: int = 1):
+    """Batch-wide per-chip target heights WITHOUT generating traces — the
+    cost model (reference core/executor/src/cost.rs): every included chip
+    reports its real row count via Air.num_rows. Returns None when any
+    chip cannot (caller falls back to fix_shape). Under-estimates are
+    impossible to miss: trace_height asserts natural <= target."""
+    targets: dict = {}
+    for record in records:
+        emit_synthetic(machine, record)
+        for c in machine.chips:
+            if not c.air.included(record):
+                continue
+            n = c.air.num_rows(record)
+            if n is None:
+                return None
+            log_h = (max(int(n), 4) - 1).bit_length()
+            if c.preprocessed_width == 0:
+                log_h = round_up_cluster(log_h, grid)
+            targets[c.name] = max(targets.get(c.name, 0), 1 << log_h)
+    return targets
+
+
+def generate_fixed(machine, record, targets):
+    """Generate this record's traces at the target heights and attach
+    them as record._fixed_traces (thread-safe: fixed_height is
+    thread-local)."""
+    chips = [c for c in machine.chips if c.air.included(record)]
+    emit_synthetic(machine, record)
+    if not getattr(record, "_deps_done", False):
+        for c in chips:
+            c.air.generate_dependencies(record, record)
+        try:
+            record._deps_done = True
+        except AttributeError:
+            pass
+    out = []
+    for c in chips:
+        with fixed_height(targets[c.name]):
+            out.append((c, c.air.generate_trace(record, record)))
+    record._fixed_traces = out
+    return out
 
 
 def round_up_cluster(log_h: int, grid: int = 1) -> int:
