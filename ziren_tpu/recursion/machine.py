@@ -143,30 +143,35 @@ def _writer_mult_cols(l: Layout, prefix: str, k: int):
 
 
 class ConstChip(_RecAir):
+    """8 constants per row (fully preprocessed; padding lanes mult=0)."""
+
     name = "RecConst"
+    LANES = 8
 
     def __init__(self, compiled):
         super().__init__(compiled)
         self.rows = compiled.const_rows
-        self.preprocessed_width = 3
+        self.preprocessed_width = 3 * self.LANES
 
     width = 1  # engine requires a main trace; a single is_real column
 
     def generate_preprocessed(self, program):
         rows = self.rows
-        n = max(1, len(rows))
-        prep = np.zeros((n, 3), dtype=np.uint32)
+        n = max(1, -(-len(rows) // self.LANES))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
         for i, (reg, val) in enumerate(rows):
-            prep[i] = (reg, val, self.c.mult(reg))
+            r, k = divmod(i, self.LANES)
+            prep[r, 3 * k : 3 * k + 3] = (reg, val, self.c.mult(reg))
         return pad_to_pow2(prep)
 
     def generate_trace(self, record, output):
-        n = max(1, len(self.rows))
+        n = max(1, -(-len(self.rows) // self.LANES))
         return pad_to_pow2(np.ones((n, 1), dtype=np.uint32))
 
     def eval(self, b):
-        reg, val, mult = b.prep_local
-        _send(b, reg, val, mult)
+        for k in range(self.LANES):
+            reg, val, mult = b.prep_local[3 * k : 3 * k + 3]
+            _send(b, reg, val, mult)
 
 
 class InputChip(_RecAir):
@@ -215,38 +220,43 @@ class InputChip(_RecAir):
 
 
 class HintChip(_RecAir):
-    """Unconstrained witness registers: the value column is free; the
-    program's own constraints pin hints down (e.g. bit decompositions)."""
+    """Unconstrained witness registers, 8 per row: value columns are free;
+    the program's own constraints pin hints down (bit decompositions,
+    Merkle paths). Padding lanes have mult=0."""
 
     name = "RecHint"
+    LANES = 8
 
     def __init__(self, compiled):
         super().__init__(compiled)
         self.rows = compiled.hint_rows
-        self.preprocessed_width = 2
+        self.preprocessed_width = 2 * self.LANES
 
-    width = 1
+    width = 8
 
     def generate_preprocessed(self, program):
         rows = self.rows
-        n = max(1, len(rows))
-        prep = np.zeros((n, 2), dtype=np.uint32)
+        n = max(1, -(-len(rows) // self.LANES))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
         for i, (reg, slot) in enumerate(rows):
-            prep[i] = (reg, self.c.mult(reg))
+            r, k = divmod(i, self.LANES)
+            prep[r, 2 * k : 2 * k + 2] = (reg, self.c.mult(reg))
         return pad_to_pow2(prep)
 
     def generate_trace(self, record, output):
         rows = self.rows
-        n = max(1, len(rows))
-        mat = np.zeros((n, 1), dtype=np.uint32)
+        n = max(1, -(-len(rows) // self.LANES))
+        mat = np.zeros((n, self.width), dtype=np.uint32)
+        regs = record.regs
         for i, (reg, slot) in enumerate(rows):
-            mat[i, 0] = record.regs[reg]
+            r, k = divmod(i, self.LANES)
+            mat[r, k] = regs[reg]
         return pad_to_pow2(mat)
 
     def eval(self, b):
-        reg, mult = b.prep_local
-        (val,) = b.main_local
-        _send(b, reg, val, mult)
+        for k in range(self.LANES):
+            reg, mult = b.prep_local[2 * k : 2 * k + 2]
+            _send(b, reg, b.main_local[k], mult)
 
 
 class OutputChip(_RecAir):
