@@ -6,10 +6,9 @@ import os
 import pytest
 
 
-@pytest.mark.skipif(os.environ.get("ZIREN_SLOW_TESTS") != "1",
-                    reason="full shrink+wrap chain is multi-minute; set "
-                           "ZIREN_SLOW_TESTS=1")
 def test_wrap_chain_end_to_end():
+    """~2 min: the full compress -> shrink -> wrap ladder (ungated — the
+    recursion-chip optimizations brought it down from ~8 min)."""
     from test_stark_engine import FibonacciAir, Record, fib_pv
     from ziren_tpu.recursion.pipeline import compress, shrink, wrap_bn254
     from ziren_tpu.sdk import ProverClient
