@@ -41,27 +41,46 @@ def main():
 
         budget = int(os.environ.get("ZIREN_BENCH_BUDGET_S", "2400"))
         env = dict(os.environ, ZIREN_BENCH_CHILD="1")
+
+        # canary: a trivial device op must complete quickly, else the
+        # accelerator transport is dead (it can wedge for hours) — skip
+        # straight to the host fallback instead of burning the budget
+        try:
+            canary = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "(jnp.arange(8) * 3 + 1).block_until_ready();"
+                 "print('ok')"],
+                env=dict(os.environ), timeout=180, capture_output=True,
+                text=True, start_new_session=True,
+            )
+            device_alive = "ok" in canary.stdout
+        except subprocess.TimeoutExpired:
+            device_alive = False
+        if not device_alive:
+            budget = 0  # device attempt skipped below
         # file-backed stdout + process-group kill: accelerator transport
         # helpers can inherit pipe fds and hang a pipe-based wait forever
-        with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f:
-            proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, stdout=f, stderr=subprocess.DEVNULL,
-                start_new_session=True,
-            )
-            try:
-                proc.wait(timeout=budget)
-            except subprocess.TimeoutExpired:
+        if budget > 0:
+            with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f:
+                proc = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, stdout=f, stderr=subprocess.DEVNULL,
+                    start_new_session=True,
+                )
                 try:
-                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
-                except (ProcessLookupError, PermissionError):
-                    proc.kill()
-                proc.wait()
-            f.seek(0)
-            for line in f.read().splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return
+                    proc.wait(timeout=budget)
+                except subprocess.TimeoutExpired:
+                    try:
+                        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        proc.kill()
+                    proc.wait()
+                f.seek(0)
+                for line in f.read().splitlines():
+                    if line.startswith("{"):
+                        print(line)
+                        return
         # fallback: host prover, smaller workload — always yields a number
         os.environ["ZIREN_DEVICE"] = "0"
         os.environ["ZIREN_BENCH_CHILD"] = "1"
