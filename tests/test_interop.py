@@ -65,3 +65,26 @@ def test_mips_shard_proof_reference_roundtrip():
     back = deserialize_shard_proof_reference(machine, blob)
     assert back.chip_names == sp.chip_names
     assert serialize_shard_proof_reference(machine, vk, back) == blob
+
+
+def test_picus_export_all_chips():
+    """Every MIPS chip's AIR exports to a Picus constraint module with the
+    symbolic constraint count (stark/picus.py; reference crates/picus)."""
+    import tempfile
+
+    from ziren_tpu.machine.mips import mips_machine
+    from ziren_tpu.stark.picus import export_chip, export_machine
+
+    machine = mips_machine()
+    with tempfile.TemporaryDirectory() as d:
+        paths = export_machine(machine, d)
+        assert len(paths) == len(machine.chips)
+    for chip in machine.chips:
+        text = export_chip(chip, machine.num_public_values)
+        n_asserts = text.count("(assert (= 0 ")
+        # eval() constraints only: the engine-generated permutation
+        # constraints are on top of these (chip.num_constraints includes
+        # them, so the export count is a strict positive lower bound)
+        assert 0 < n_asserts <= chip.num_constraints
+        assert text.count("(") == text.count(")")
+        assert f"(begin-module {chip.name})" in text
