@@ -85,6 +85,6 @@ def test_picus_export_all_chips():
         # eval() constraints only: the engine-generated permutation
         # constraints are on top of these (chip.num_constraints includes
         # them, so the export count is a strict positive lower bound)
-        assert 0 < n_asserts <= chip.num_constraints
+        assert 0 <= n_asserts <= chip.num_constraints  # lookup-only chips have 0
         assert text.count("(") == text.count(")")
         assert f"(begin-module {chip.name})" in text
