@@ -12,5 +12,13 @@ bn254-vk/groth16_vk.bin) in tests/test_groth16_verifier.py.
 """
 
 from .groth16 import Groth16Error, Groth16Verifier, hash_public_inputs
+from .stark import (
+    verify_compressed,
+    verify_machine_proof,
+    verify_shard_proof,
+)
 
-__all__ = ["Groth16Verifier", "Groth16Error", "hash_public_inputs"]
+__all__ = [
+    "Groth16Verifier", "Groth16Error", "hash_public_inputs",
+    "verify_shard_proof", "verify_machine_proof", "verify_compressed",
+]
