@@ -75,42 +75,97 @@ class ProvingKey:
     r1cs: R1CS
 
 
-def _qap_polys(r1cs: R1CS):
-    """Interpolate u_i, v_i, w_i over the 2^k domain (coefficient form)."""
+def _domain_size(r1cs: R1CS) -> int:
     m = max(1, len(r1cs.a))
-    log_n = max(1, (m - 1).bit_length())
-    n = 1 << log_n
-    w_root = _root_of_unity(log_n)
-    # inverse NTT matrixless: values -> coeffs via INTT
-    xs = [pow(w_root, i, R) for i in range(n)]
+    return 1 << max(1, (m - 1).bit_length())
 
-    def intt(vals):
-        # naive O(n^2) — domains here are tiny (one row per constraint)
+
+def _ntt(vals: list, invert: bool = False) -> list:
+    """Iterative radix-2 Cooley-Tukey over Fr (python ints), O(n log n)."""
+    n = len(vals)
+    assert n & (n - 1) == 0
+    a = [v % R for v in vals]
+    # bit-reversal permutation
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    length = 2
+    while length <= n:
+        w = _root_of_unity(length.bit_length() - 1)
+        if invert:
+            w = pow(w, R - 2, R)
+        half = length >> 1
+        ws = [1] * half
+        for i in range(1, half):
+            ws[i] = ws[i - 1] * w % R
+        for start in range(0, n, length):
+            for i in range(half):
+                u = a[start + i]
+                v = a[start + i + half] * ws[i] % R
+                a[start + i] = (u + v) % R
+                a[start + i + half] = (u - v) % R
+        length <<= 1
+    if invert:
         n_inv = pow(n, R - 2, R)
-        coeffs = []
-        for j in range(n):
-            acc = 0
-            wj = pow(xs[j], R - 2, R) if xs[j] else 0
-            for i in range(n):
-                acc += vals[i] * pow(wj, i, R)
-            coeffs.append(acc * n_inv % R)
-        return coeffs
-
-    polys = {"a": [], "b": [], "c": []}
-    for name, rows in (("a", r1cs.a), ("b", r1cs.b), ("c", r1cs.c)):
-        per_wire = [[0] * n for _ in range(r1cs.num_wires)]
-        for k, row in enumerate(rows):
-            for i, coeff in row.items():
-                per_wire[i][k] = coeff % R
-        polys[name] = [intt(v) for v in per_wire]
-    return polys, n
+        a = [x * n_inv % R for x in a]
+    return a
 
 
-def _poly_eval(coeffs, x: int) -> int:
-    acc = 0
-    for c in reversed(coeffs):
-        acc = (acc * x + c) % R
-    return acc
+def _batch_inv(vals: list) -> list:
+    """Montgomery batch inversion (zeros pass through as zero)."""
+    pref = []
+    acc = 1
+    for v in vals:
+        pref.append(acc)
+        if v:
+            acc = acc * v % R
+    inv = pow(acc, R - 2, R)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            out[i] = inv * pref[i] % R
+            inv = inv * vals[i] % R
+    return out
+
+
+def _lagrange_at(tau: int, n: int) -> list:
+    """L_k(tau) for the size-n NTT domain: w^k (tau^n - 1) / (n (tau - w^k))."""
+    w = _root_of_unity(n.bit_length() - 1)
+    zh = (pow(tau, n, R) - 1) % R
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * w % R
+    denoms = [(n * (tau - wk)) % R for wk in pows]
+    invs = _batch_inv(denoms)
+    return [pows[k] * zh % R * invs[k] % R for k in range(n)]
+
+
+def _qap_evals_at_tau(r1cs: R1CS, tau: int, n: int):
+    """u_i(tau), v_i(tau), w_i(tau) straight from the sparse rows via the
+    Lagrange basis — O(n + nnz), no per-wire interpolation."""
+    lag = _lagrange_at(tau, n)
+    u = [0] * r1cs.num_wires
+    v = [0] * r1cs.num_wires
+    w = [0] * r1cs.num_wires
+    for k, row in enumerate(r1cs.a):
+        lk = lag[k]
+        for i, coeff in row.items():
+            u[i] = (u[i] + coeff * lk) % R
+    for k, row in enumerate(r1cs.b):
+        lk = lag[k]
+        for i, coeff in row.items():
+            v[i] = (v[i] + coeff * lk) % R
+    for k, row in enumerate(r1cs.c):
+        lk = lag[k]
+        for i, coeff in row.items():
+            w[i] = (w[i] + coeff * lk) % R
+    return u, v, w
 
 
 def setup(r1cs: R1CS, seed: bytes = b"ziren-groth16-dev") -> ProvingKey:
@@ -125,14 +180,12 @@ def setup(r1cs: R1CS, seed: bytes = b"ziren-groth16-dev") -> ProvingKey:
         felt(b"alpha"), felt(b"beta"), felt(b"gamma"), felt(b"delta"),
         felt(b"tau"),
     )
-    polys, n = _qap_polys(r1cs)
+    n = _domain_size(r1cs)
     t_tau = (pow(tau, n, R) - 1) % R
     gamma_inv = pow(gamma, R - 2, R)
     delta_inv = pow(delta, R - 2, R)
 
-    u = [_poly_eval(p, tau) for p in polys["a"]]
-    v = [_poly_eval(p, tau) for p in polys["b"]]
-    w = [_poly_eval(p, tau) for p in polys["c"]]
+    u, v, w = _qap_evals_at_tau(r1cs, tau, n)
 
     n_pub = r1cs.num_public
     k_pub = [
@@ -151,24 +204,51 @@ def setup(r1cs: R1CS, seed: bytes = b"ziren-groth16-dev") -> ProvingKey:
     delta1 = bp.g1_mul(G1, delta)
     delta2 = bp.g2_mul(G2, delta)
 
+    zt_scalars = []
+    acc = t_tau * delta_inv % R
+    for _ in range(n):
+        zt_scalars.append(acc)
+        acc = acc * tau % R
+
     vk_bytes = _marshal_vk(
-        alpha1, beta2, gamma2, delta2,
-        [bp.g1_mul(G1, kv) for kv in k_pub],
+        alpha1, beta2, gamma2, delta2, _g1_fixed_batch(k_pub),
     )
     return ProvingKey(
         vk_bytes=vk_bytes,
         alpha1=alpha1, beta1=beta1, beta2=beta2,
         delta1=delta1, delta2=delta2,
-        a_tau=[bp.g1_mul(G1, x) for x in u],
-        b_tau1=[bp.g1_mul(G1, x) for x in v],
-        b_tau2=[bp.g2_mul(G2, x) for x in v],
-        l_tau=[bp.g1_mul(G1, x) for x in l_priv],
-        zt=[
-            bp.g1_mul(G1, pow(tau, i, R) * t_tau % R * delta_inv % R)
-            for i in range(n)
-        ],
+        a_tau=_g1_fixed_batch(u),
+        b_tau1=_g1_fixed_batch(v),
+        b_tau2=_g2_fixed_batch(v),
+        l_tau=_g1_fixed_batch(l_priv),
+        zt=_g1_fixed_batch(zt_scalars),
         r1cs=r1cs,
     )
+
+
+def _g1_fixed_batch(scalars):
+    """scalar*G1 for many scalars (native fixed-base when available)."""
+    from . import bn254_curve_native as bcn
+
+    if bcn.available():
+        return bcn.g1_fixed(G1, [s % R for s in scalars])
+    return [bp.g1_mul(G1, s) for s in scalars]
+
+
+def _g2_fixed_batch(scalars):
+    from . import bn254_curve_native as bcn
+
+    if bcn.available():
+        out = []
+        for p in bcn.g2_fixed(
+            ((int(G2[0].c[0]), int(G2[0].c[1])),
+             (int(G2[1].c[0]), int(G2[1].c[1]))),
+            [s % R for s in scalars],
+        ):
+            out.append(None if p is None
+                       else (bp.FQ2(p[0]), bp.FQ2(p[1])))
+        return out
+    return [bp.g2_mul(G2, s) for s in scalars]
 
 
 def prove(pk: ProvingKey, witness: list, rand_seed: bytes = b"r") -> bytes:
@@ -184,22 +264,39 @@ def prove(pk: ProvingKey, witness: list, rand_seed: bytes = b"r") -> bytes:
             == r1cs.eval_row(rc, witness)
         ), "witness does not satisfy the R1CS"
 
-    # h(X) = (A(X) B(X) - C(X)) / t(X), exact polynomial division
-    polys, n = _qap_polys(r1cs)
+    # h(X) = (A(X) B(X) - C(X)) / (X^n - 1) via coset evaluation:
+    # on g*H the zeroifier is the CONSTANT g^n - 1, so h is three INTTs,
+    # three coset NTTs, a pointwise combine and one INTT back.
+    n = _domain_size(r1cs)
+    a_ev = [0] * n
+    b_ev = [0] * n
+    c_ev = [0] * n
+    for k in range(len(r1cs.a)):
+        a_ev[k] = r1cs.eval_row(r1cs.a[k], witness)
+        b_ev[k] = r1cs.eval_row(r1cs.b[k], witness)
+        c_ev[k] = r1cs.eval_row(r1cs.c[k], witness)
+    g = 5  # Fr multiplicative generator (not a 2^k-th root of unity)
+    zh_coset_inv = pow((pow(g, n, R) - 1) % R, R - 2, R)
 
-    def combine(ps):
-        out = [0] * n
-        for wi, p in enumerate(ps):
-            aw = witness[wi]
-            if aw:
-                for j in range(n):
-                    out[j] = (out[j] + aw * p[j]) % R
-        return out
+    def coset_evals(evals):
+        coeffs = _ntt(evals, invert=True)
+        shifted = []
+        gp = 1
+        for c in coeffs:
+            shifted.append(c * gp % R)
+            gp = gp * g % R
+        return _ntt(shifted)
 
-    a_poly = combine(polys["a"])
-    b_poly = combine(polys["b"])
-    c_poly = combine(polys["c"])
-    h_coeffs = _div_by_t(a_poly, b_poly, c_poly, n)
+    ac, bc, cc = coset_evals(a_ev), coset_evals(b_ev), coset_evals(c_ev)
+    h_coset = [(x * y - z) % R * zh_coset_inv % R for x, y, z in zip(ac, bc, cc)]
+    h_shift = _ntt(h_coset, invert=True)
+    g_inv = pow(g, R - 2, R)
+    h_coeffs = []
+    gp = 1
+    for c in h_shift:
+        h_coeffs.append(c * gp % R)
+        gp = gp * g_inv % R
+    assert h_coeffs[-1] == 0, "h degree overflow: t(X) does not divide A·B−C"
 
     def felt(tag: bytes) -> int:
         wb = b"".join(x.to_bytes(32, "little") for x in witness[:2])
@@ -210,10 +307,16 @@ def prove(pk: ProvingKey, witness: list, rand_seed: bytes = b"r") -> bytes:
     r_rand, s_rand = felt(b"r"), felt(b"s")
 
     def msm(points, scalars):
+        from . import bn254_curve_native as bcn
+
+        pairs = [(p, s % R) for p, s in zip(points, scalars)
+                 if s % R != 0 and p is not None]
+        if not pairs:
+            return None
+        if bcn.available():
+            return bcn.g1_msm([p for p, _ in pairs], [s for _, s in pairs])
         acc = None
-        for p, s in zip(points, scalars):
-            if s % R == 0 or p is None:
-                continue
+        for p, s in pairs:
             acc = bp._add(acc, bp.g1_mul(p, s))
         return acc
 
@@ -242,32 +345,22 @@ def prove(pk: ProvingKey, witness: list, rand_seed: bytes = b"r") -> bytes:
     )
 
 
-def _div_by_t(a_poly, b_poly, c_poly, n):
-    """h = (A·B − C) / (X^n − 1): schoolbook product, exact long division."""
-    q = [0] * (2 * n - 1)
-    for i, ai in enumerate(a_poly):
-        if ai:
-            for j, bj in enumerate(b_poly):
-                q[i + j] = (q[i + j] + ai * bj) % R
-    for i, ci in enumerate(c_poly):
-        q[i] = (q[i] - ci) % R
-    # divide by X^n - 1: h[k] = q[k+n] + h[k+n] (h has degree <= n-2)
-    h = [0] * n
-    rem = list(q)
-    for k in range(len(q) - 1, n - 1, -1):
-        coef = rem[k]
-        h[k - n] = coef
-        rem[k] = 0
-        rem[k - n] = (rem[k - n] + coef) % R
-    assert all(v == 0 for v in rem), "t(X) does not divide A·B − C"
-    return h
-
-
 def _msm2(points, scalars):
+    from . import bn254_curve_native as bcn
+
+    pairs = [(p, s % R) for p, s in zip(points, scalars)
+             if s % R != 0 and p is not None]
+    if not pairs:
+        return None
+    if bcn.available():
+        got = bcn.g2_msm(
+            [((int(p[0].c[0]), int(p[0].c[1])),
+              (int(p[1].c[0]), int(p[1].c[1]))) for p, _ in pairs],
+            [s for _, s in pairs],
+        )
+        return None if got is None else (bp.FQ2(got[0]), bp.FQ2(got[1]))
     acc = None
-    for p, s in zip(points, scalars):
-        if s % R == 0 or p is None:
-            continue
+    for p, s in pairs:
         acc = bp._add(acc, bp.g2_mul(p, s))
     return acc
 
