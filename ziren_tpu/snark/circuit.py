@@ -30,9 +30,12 @@ from __future__ import annotations
 from ziren_tpu.core.bn254 import FR, KB_P
 
 P = KB_P
-# reduce a Felt once its bound threatens Fr soundness: products of two
-# bounded values must stay below FR (253.5 bits) with headroom for sums
-_BOUND_LIMIT = 1 << 120
+# reduce a Felt once its bound threatens Fr soundness: every intermediate
+# (including a 2x headroom for the lifted subtraction/add) must stay below
+# FR (253.5 bits). Wider capacity = rarer reductions: a reduce costs
+# ~bound_bits constraints, so amortized cost per mul falls as the chain
+# runs longer between reductions (gnark babybear reduceFast rationale).
+_BOUND_LIMIT = 1 << 248
 _W = 4  # ext degree
 
 
@@ -297,8 +300,10 @@ def fmul(a: Felt, b: Felt) -> Felt:
     if a.bound * b.bound >= _BOUND_LIMIT:
         if a.bound >= b.bound:
             a = reduce(a)
-        if a.bound * b.bound >= _BOUND_LIMIT:
+        else:
             b = reduce(b)
+        if a.bound * b.bound >= _BOUND_LIMIT:
+            a, b = reduce(a), reduce(b)
     bld = a.bld if a.var.lc or not b.var.lc else b.bld
     out = bld.mul(a.var, b.var)
     return Felt(out, a.bound * b.bound)
@@ -395,24 +400,34 @@ def esub(a: Ext, b: Ext) -> Ext:
     return Ext([fsub(x, y) for x, y in zip(a.c, b.c)])
 
 
+def _pair_mul(a0, a1, b0, b1):
+    """(a0 + a1 x)(b0 + b1 x) via Karatsuba: 3 muls, result (z0, z1, z2)."""
+    m0 = fmul(a0, b0)
+    m1 = fmul(a1, b1)
+    m2 = fmul(fadd(a0, a1), fadd(b0, b1))
+    return m0, fsub(m2, fadd(m0, m1)), m1
+
+
 def emul(a: Ext, b: Ext) -> Ext:
-    """Schoolbook with x^4 = 3 wraparound; products accumulate lazily so
-    each component costs 16 muls + at most one reduce downstream."""
-    prod = [[fmul(a.c[i], b.c[j]) for j in range(_W)] for i in range(_W)]
-    out = []
-    for k in range(_W):
-        acc = None
-        for i in range(_W):
-            j = k - i
-            if 0 <= j < _W:
-                acc = prod[i][j] if acc is None else fadd(acc, prod[i][j])
-        for i in range(_W):
-            j = k + _W - i
-            if 0 <= j < _W:
-                t = fscale(prod[i][j], 3)
-                acc = t if acc is None else fadd(acc, t)
-        out.append(acc)
-    return Ext(out)
+    """Two-level Karatsuba with x^4 = 3 wraparound: 9 wire muls (vs 16
+    schoolbook) — fewer muls means fewer accumulated bound bits, which is
+    what reduction range checks ultimately pay for."""
+    a0, a1, a2, a3 = a.c
+    b0, b1, b2, b3 = b.c
+    c0, c1, c2 = _pair_mul(a0, a1, b0, b1)            # AC
+    d0, d1, d2 = _pair_mul(a2, a3, b2, b3)            # BD
+    e0, e1, e2 = _pair_mul(fadd(a0, a2), fadd(a1, a3),
+                           fadd(b0, b2), fadd(b1, b3))  # (A+B)(C+D)
+    # AD + BC = e - c - d; result = AC + (AD+BC) x^2 + BD x^4, x^4 -> 3
+    m0 = fsub(e0, fadd(c0, d0))
+    m1 = fsub(e1, fadd(c1, d1))
+    m2 = fsub(e2, fadd(c2, d2))
+    return Ext([
+        fadd(c0, fscale(fadd(m2, d0), 3)),
+        fadd(c1, fscale(d1, 3)),
+        fadd(fadd(c2, m0), fscale(d2, 3)),
+        m1,
+    ])
 
 
 def emul_base(a: Ext, f: Felt) -> Ext:
@@ -432,7 +447,7 @@ def ext_select(bit: Var, t: Ext, f: Ext) -> Ext:
     return Ext([felt_select(bit, x, y) for x, y in zip(t.c, f.c)])
 
 
-def einv_hinted(a: Ext) -> Ext:
+def einv_hinted(a: Ext, canon_in: bool = True) -> Ext:
     """Hint the extension inverse and constrain a * inv == 1
     (reference: the gnark circuit hints all inversions)."""
     from ziren_tpu.core import ext as E
@@ -441,7 +456,7 @@ def einv_hinted(a: Ext) -> Ext:
     bld = a.bld
     vals = np.array([x.val for x in a.c], dtype=np.uint32)
     inv = E.einv(vals)
-    out = ext_wit(bld, [int(v) for v in inv], canon_in=True)
+    out = ext_wit(bld, [int(v) for v in inv], canon_in=canon_in)
     one = ext_const(bld, [1, 0, 0, 0])
     assert_ext_eq(emul(a, out), one)
     return out
