@@ -31,10 +31,12 @@ def test_reference_elf_executes():
     assert report.exit_code == 0
 
 
-def test_unimplemented_actions_raise():
+def test_groth16_prove_rejects_garbage():
+    """groth16_prove is implemented (snark/wrap_circuit.py); malformed
+    input fails fast rather than raising NotImplementedError."""
     client = ProverClient()
-    with pytest.raises(NotImplementedError):
-        client.groth16_prove(None, None)
+    with pytest.raises((TypeError, AttributeError, ValueError)):
+        client.groth16_prove((None, None, None))
 
 
 def test_compressed_prove():

@@ -1,21 +1,19 @@
 """BN254 wrap stage: compress -> shrink -> wrap_bn254 under the outer
-config, verified end to end with digest binding (sdk.verify_wrapped)."""
+config, verified end to end with digest binding (sdk.verify_wrapped), plus
+the wrap verifier compiled to a satisfiable R1CS (snark/wrap_circuit.py)."""
 
 import os
 
 import pytest
 
 
-def test_wrap_chain_end_to_end():
-    """~2 min: the full compress -> shrink -> wrap ladder (ungated — the
-    recursion-chip optimizations brought it down from ~8 min)."""
+@pytest.fixture(scope="module")
+def wrap_chain():
+    """One compress -> shrink -> wrap ladder shared by the module (~2 min)."""
     from test_stark_engine import FibonacciAir, Record, fib_pv
     from ziren_tpu.recursion.pipeline import compress, shrink, wrap_bn254
-    from ziren_tpu.sdk import ProverClient
     from ziren_tpu.stark.config import dev_config, outer_dev_config
     from ziren_tpu.stark.machine import StarkMachine
-    from ziren_tpu.stark.proof import MachineProof
-    from ziren_tpu.stark.verifier import VerificationError
 
     m = StarkMachine(dev_config(), [FibonacciAir()], num_public_values=3)
     pk, vk = m.setup()
@@ -24,8 +22,18 @@ def test_wrap_chain_end_to_end():
     rm, rvk, final_sp = compress(m, vk, proof)
     sm, svk, sproof, _ = shrink(rm, rvk, final_sp)
     ssp = sproof.shard_proofs[0]
-
     wm, wvk, wproof, _ = wrap_bn254(sm, svk, ssp, config=outer_dev_config())
+    return {"sm": sm, "svk": svk, "ssp": ssp, "sproof": sproof,
+            "wm": wm, "wvk": wvk, "wproof": wproof}
+
+
+def test_wrap_chain_end_to_end(wrap_chain):
+    from ziren_tpu.sdk import ProverClient
+    from ziren_tpu.stark.verifier import VerificationError
+
+    wm, wvk = wrap_chain["wm"], wrap_chain["wvk"]
+    wproof, sproof = wrap_chain["wproof"], wrap_chain["sproof"]
+    sm, svk, ssp = wrap_chain["sm"], wrap_chain["svk"], wrap_chain["ssp"]
     wsp = wproof.shard_proofs[0]
     assert isinstance(wsp.commitment.main, int)  # BN254 Fr commitment
     assert len(wsp.public_values) == 8  # compact digest
@@ -44,3 +52,44 @@ def test_wrap_chain_end_to_end():
     )
     with pytest.raises((VerificationError, AssertionError)):
         client.verify_wrapped((wm, wvk, wsp2), other)
+
+
+def test_wrap_circuit_satisfiable(wrap_chain):
+    """The outer STARK verifier compiles to a satisfiable R1CS on the real
+    wrap proof, and a tampered witness value breaks it (the Groth16-provable
+    artifact; full prove exercised in tools/groth16_wrap.py + gated
+    test below)."""
+    from ziren_tpu.snark.wrap_circuit import build_wrap_circuit
+
+    wm, wvk = wrap_chain["wm"], wrap_chain["wvk"]
+    wsp = wrap_chain["wproof"].shard_proofs[0]
+    bld, publics = build_wrap_circuit(wm, wvk, wsp)
+    assert bld.num_constraints > 100_000
+    assert publics[0] == int(wvk.commit)
+    assert publics[1:] == [int(v) for v in wsp.public_values]
+    assert bld.check()
+
+    # tamper: flip one private witness wire -> some constraint breaks
+    bld.witness[bld.num_public + 5] = (bld.witness[bld.num_public + 5] + 1)
+    assert not bld.check()
+
+
+@pytest.mark.skipif(
+    os.environ.get("ZIREN_SLOW_TESTS") != "1",
+    reason="full Groth16 prove of the 3M-constraint wrap circuit (~30 min)",
+)
+def test_groth16_of_wrap_end_to_end(wrap_chain):
+    from ziren_tpu.snark.groth16 import prove, setup
+    from ziren_tpu.snark.wrap_circuit import build_wrap_circuit
+    from ziren_tpu.verifier import Groth16Verifier
+
+    wm, wvk = wrap_chain["wm"], wrap_chain["wvk"]
+    wsp = wrap_chain["wproof"].shard_proofs[0]
+    bld, publics = build_wrap_circuit(wm, wvk, wsp)
+    pk = setup(bld.to_r1cs(), seed=b"ziren-wrap-dev")
+    proof = prove(pk, bld.witness)
+    assert Groth16Verifier.verify_gnark_proof(proof, publics, pk.vk_bytes)
+    with pytest.raises(Exception):
+        bad = list(publics)
+        bad[1] = (bad[1] + 1) % 2130706433
+        Groth16Verifier.verify_gnark_proof(proof, bad, pk.vk_bytes)

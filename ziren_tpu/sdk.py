@@ -273,12 +273,39 @@ class ProverClient:
         return verify_compressed(vk.machine, vk.vk, rm, rvk, final_sp,
                                  pc_start=vk.program_pc_start)
 
-    def groth16_prove(self, *a, **k):
-        raise NotImplementedError(
-            "the BN254 wrap proof exists (wrap_prove); compiling its "
-            "verifier into a Groth16/Plonk circuit needs the gnark "
-            "toolchain (Go), unavailable in this environment — ROADMAP.md"
+    def groth16_prove(self, wrapped, seed: bytes = b"ziren-groth16-dev"):
+        """Compile the wrap proof's verifier to a BN254 R1CS
+        (snark/wrap_circuit.py) and Groth16-prove it with the in-house
+        prover — the reference's gnark stage (prover/src/lib.rs
+        wrap_groth16_bn254 + recursion/gnark-ffi), no Go needed.
+
+        wrapped: (wrap_machine, wrap_vk, wrap_shard_proof) from wrap_prove.
+        Returns a dict with gnark-layout `proof` bytes, `public_inputs`
+        ([vk commit Fr, 8 digest felts]) and `vk_bytes`; verify with
+        `groth16_verify`. EXPENSIVE: the dev-config circuit is ~3M
+        constraints (one-time setup ~15 min + prove ~10 min on 4 cores);
+        the setup is seed-derived dev-grade, like the reference's dummy
+        artifacts (prover/src/build.rs)."""
+        from ziren_tpu.snark.groth16 import prove, setup
+        from ziren_tpu.snark.wrap_circuit import build_wrap_circuit
+
+        wm, wvk, wsp = wrapped
+        bld, publics = build_wrap_circuit(wm, wvk, wsp)
+        pk = setup(bld.to_r1cs(), seed=seed)
+        proof = prove(pk, bld.witness)
+        return {"proof": proof, "public_inputs": publics,
+                "vk_bytes": pk.vk_bytes}
+
+    @staticmethod
+    def groth16_verify(artifact) -> bool:
+        """Verify a groth16_prove artifact (pure-python pairing check)."""
+        from ziren_tpu.verifier import Groth16Verifier
+
+        return Groth16Verifier.verify_gnark_proof(
+            artifact["proof"], artifact["public_inputs"],
+            artifact["vk_bytes"],
         )
+
 
     plonk_prove = groth16_prove
 

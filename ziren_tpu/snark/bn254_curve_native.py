@@ -55,6 +55,60 @@ def available() -> bool:
     return _load() is not None
 
 
+_NTT_LIB = None
+_NTT_TRIED = False
+
+
+def _load_ntt():
+    global _NTT_LIB, _NTT_TRIED
+    if _NTT_TRIED:
+        return _NTT_LIB
+    with _LOCK:
+        if _NTT_TRIED:
+            return _NTT_LIB
+        _NTT_TRIED = True
+        if os.environ.get("ZIREN_NO_NATIVE_CURVE") == "1":
+            return None
+        so = os.path.join(_NATIVE_DIR, "libziren_bn254_ntt.so")
+        src = os.path.join(_NATIVE_DIR, "bn254_ntt.cpp")
+        try:
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                subprocess.check_call(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, src,
+                     "-lpthread"]
+                )
+            lib = ctypes.CDLL(so)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn254_ntt.argtypes = [u64p, ctypes.c_uint64, u64p,
+                                  ctypes.c_int, u64p]
+        _NTT_LIB = lib
+    return _NTT_LIB
+
+
+def ntt_available() -> bool:
+    return _load_ntt() is not None
+
+
+def ntt(vals, root: int, invert: bool, n_inv: int) -> list:
+    """In-place-semantics NTT over Fr: vals canonical ints, root the
+    forward primitive n-th root (pass its inverse + n_inv for invert)."""
+    lib = _load_ntt()
+    n = len(vals)
+    buf = b"".join(int(x).to_bytes(32, "little") for x in vals)
+    arr = np.frombuffer(buf, dtype=np.uint64).reshape(n, 4).copy()
+    r = _limbs([root], 4)[0].copy()
+    ni = _limbs([n_inv], 4)[0].copy()
+    lib.bn254_ntt(_ptr(arr), n,
+                  r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                  1 if invert else 0,
+                  ni.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    flat = arr.tobytes()
+    return [int.from_bytes(flat[32 * i: 32 * i + 32], "little")
+            for i in range(n)]
+
+
 def _limbs(vals, width: int) -> np.ndarray:
     out = np.zeros((len(vals), width), dtype=np.uint64)
     for i, v in enumerate(vals):

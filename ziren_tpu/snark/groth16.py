@@ -81,9 +81,19 @@ def _domain_size(r1cs: R1CS) -> int:
 
 
 def _ntt(vals: list, invert: bool = False) -> list:
-    """Iterative radix-2 Cooley-Tukey over Fr (python ints), O(n log n)."""
+    """Iterative radix-2 Cooley-Tukey over Fr, O(n log n); large domains
+    route through native/bn254_ntt.cpp."""
     n = len(vals)
     assert n & (n - 1) == 0
+    if n >= 1024:
+        from . import bn254_curve_native as bcn
+
+        if bcn.ntt_available():
+            root = _root_of_unity(n.bit_length() - 1)
+            if invert:
+                return bcn.ntt([v % R for v in vals],
+                               pow(root, R - 2, R), True, pow(n, R - 2, R))
+            return bcn.ntt([v % R for v in vals], root, False, 1)
     a = [v % R for v in vals]
     # bit-reversal permutation
     j = 0
