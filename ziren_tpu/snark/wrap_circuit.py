@@ -507,16 +507,32 @@ def _fri_verify(bld, ch, fri, rounds, proof):
     # alpha^{cnt[l]} as a running product per height (cnt[l] is monotone)
     height_power: dict[int, Ext] = {}
 
+    # radix-4 Horner: process 4 entries per outer step so the bound-driven
+    # reductions amortize over 4 terms instead of 1 (alpha^1..3 reduced once)
+    alpha2 = C.ext_reduce(emul(alpha, alpha))
+    alpha3 = C.ext_reduce(emul(alpha2, alpha))
+    alpha4 = C.ext_reduce(emul(alpha2, alpha2))
+    a_small = [None, alpha, alpha2, alpha3]
+
     def horner(vals_ext):
-        acc = vals_ext[-1]
-        for v in reversed(vals_ext[:-1]):
-            acc = eadd(emul(acc, alpha), v)
+        """sum_i alpha^i v_i (low index = low power)."""
+        groups = [vals_ext[i : i + 4] for i in range(0, len(vals_ext), 4)]
+        acc = None
+        for g in reversed(groups):
+            inner = g[0]
+            for j in range(1, len(g)):
+                inner = eadd(inner, emul(a_small[j], g[j]))
+            acc = inner if acc is None else eadd(emul(acc, alpha4), inner)
         return acc
 
     def horner_base(rows):
-        acc = ext_from_base(rows[-1])
-        for r in reversed(rows[:-1]):
-            acc = eadd(emul(acc, alpha), ext_from_base(r))
+        groups = [rows[i : i + 4] for i in range(0, len(rows), 4)]
+        acc = None
+        for g in reversed(groups):
+            inner = ext_from_base(g[0])
+            for j in range(1, len(g)):
+                inner = eadd(inner, emul_base(a_small[j], g[j]))
+            acc = inner if acc is None else eadd(emul(acc, alpha4), inner)
         return acc
 
     nq = len(query_bits)
