@@ -127,10 +127,27 @@ class CircuitFolder(_Builder):
         ]
         self._perm_local = mke(perm_local)
         self._perm_next = mke(perm_next)
+        self._beta_pows: list = []
 
     def perm_columns(self, width):
         assert len(self._perm_local) == width
         return self._perm_local, self._perm_next
+
+    def beta_power(self, j):
+        """beta^(j+1) as a reduced cached CFV (permutation.py rlc chains:
+        value j carries coefficient beta^(j+1))."""
+        from .circuit import ext_reduce
+
+        if not self._beta_pows:
+            self._beta_pows.append(self.perm_challenges[1])
+        while len(self._beta_pows) <= j:
+            self._beta_pows.append(CFV(
+                self,
+                ext_reduce(emul(self._as_ext(self._beta_pows[-1]),
+                                self._as_ext(self.perm_challenges[1]))),
+                True,
+            ))
+        return self._beta_pows[j]
 
     def lift(self, x):
         if isinstance(x, CFV):

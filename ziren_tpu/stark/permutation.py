@@ -92,15 +92,23 @@ def eval_permutation_constraints(folder, sends, receives, batch_size=2,
     perm_local, perm_next = folder.perm_columns(width)
     alpha, beta = folder.perm_challenges
 
+    # folders may expose pre-reduced beta powers (beta_power(j) -> beta^(j+1));
+    # the circuit folder does, so rlc chains don't re-pay emulated-field
+    # reductions per value (host numeric folders use the plain chain)
+    beta_power = getattr(folder, "beta_power", None)
     for entry, chunk in zip(perm_local[: width - 1], _chunks(sends, receives, batch_size)):
         rlcs = []
         mults = []
         for lookup, is_send in chunk:
             rlc = alpha + int(lookup.kind)
-            bpow = beta
-            for v in lookup.values:
-                rlc = rlc + bpow * v
-                bpow = bpow * beta
+            if beta_power is not None:
+                for j, v in enumerate(lookup.values):
+                    rlc = rlc + beta_power(j) * v
+            else:
+                bpow = beta
+                for v in lookup.values:
+                    rlc = rlc + bpow * v
+                    bpow = bpow * beta
             rlcs.append(rlc)
             mults.append(lookup.multiplicity if is_send else -lookup.multiplicity)
         product = rlcs[0]
