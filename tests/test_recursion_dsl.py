@@ -580,3 +580,41 @@ def test_shrink_compact_artifact():
     assert sm.verify(svk, sproof)
 
 
+
+
+def test_exp_rev_bits_chip():
+    """EXPREV: one narrow row per index bit (machine.py ExpRevBitsChip,
+    reference recursion ExpReverseBitsLen). Differential vs the host power
+    and a debug-constraints pass over the dedicated chip."""
+    import numpy as np
+
+    from ziren_tpu.core import field as F
+    from ziren_tpu.recursion.dsl import Tracer, interpret
+    from ziren_tpu.recursion.machine import prove_recursion
+
+    rng = np.random.default_rng(6)
+    t = Tracer(num_inputs=0, input_values=[])
+    g = F.two_adic_generator(13)
+    cases = []
+    for n in (1, 2, 5, 13):
+        bits_v = [int(b) for b in rng.integers(0, 2, n)]
+        idx = sum(b << i for i, b in enumerate(bits_v))
+        rev = int(F.reverse_bits_len(idx, n))
+        want = pow(g, rev, F.P_INT)
+        bits_h = [t.const(b) for b in bits_v]
+        out = t.exp_rev_bits(g, bits_h, reverse=True)
+        t.output(out)
+        cases.append(want)
+    prog = t.program()
+    assert interpret(prog) == cases
+    machine, pk, vk, proof, outputs = prove_recursion(prog, [])
+    assert outputs == cases
+    assert machine.verify(vk, proof)
+    # tampering the claimed output must break verification
+    import pytest
+
+    from ziren_tpu.stark.verifier import VerificationError
+
+    proof.shard_proofs[0].public_values[0] = (cases[0] + 1) % F.P_INT
+    with pytest.raises(VerificationError):
+        machine.verify(vk, proof)

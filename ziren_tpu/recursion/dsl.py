@@ -59,6 +59,9 @@ class Op(IntEnum):
     # fused FRI reduced-opening step (reference FriFold chip):
     # acc' = acc + ap * (ys - [row,0,0,0]);  ap' = ap * alpha
     FFOLD = 19
+    # out = prod_j (bit_j ? factor_j : 1) — g^reverse_bits(index) in one
+    # chip-row per bit (reference recursion ExpReverseBitsLen chip)
+    EXPREV = 20
 
 
 @dataclass
@@ -74,6 +77,8 @@ class RecursionProgram:
     sel8_inputs: tuple = ()
     # FFOLD ops: (acc_base, ap_base, alpha_base, ys_base, row_id)
     ffold_inputs: tuple = ()
+    # EXPREV ops: (bit_ids tuple, factor_consts tuple); op.a indexes this
+    exprev_inputs: tuple = ()
 
 
 class Felt:
@@ -155,6 +160,7 @@ class Tracer:
         self.p2_inputs: list = []
         self.sel8_inputs: list = []
         self.ffold_inputs: list = []
+        self.exprev_inputs: list = []
         self.hint_values: list = []
         self.input_values = (
             [int(v) % P for v in input_values] if input_values is not None
@@ -210,6 +216,13 @@ class Tracer:
             d = E.esub(yv, np.array([v[row], 0, 0, 0], dtype=np.uint32))
             v[dst : dst + 4] = [int(q) for q in E.eadd(av, E.emul(pv_, d))]
             v[dst + 4 : dst + 8] = [int(q) for q in E.emul(pv_, al)]
+        elif op == Op.EXPREV:
+            bit_ids, factors = self.exprev_inputs[a]
+            acc = 1
+            for r_id, f in zip(bit_ids, factors):
+                if v[r_id]:
+                    acc = (acc * f) % P
+            v[dst] = acc
         elif op == Op.SELECT:
             v[dst] = v[b] if v[a] else v[c]
         elif op == Op.ASSERT_EQ:
@@ -312,6 +325,23 @@ class Tracer:
         self._emit((Op.FFOLD, idx, 0, 0, out))
         return Ext(self, out), Ext(self, out + 4)
 
+    def exp_rev_bits(self, base: int, bits, reverse: bool = True) -> Felt:
+        """prod_j (bit_j ? base^(2^k_j) : 1) with k_j = n-1-j (reverse) or
+        j — one ExpRevBits chip row per bit instead of a select+mul ALU
+        chain (reference recursion ExpReverseBitsLen)."""
+        from ziren_tpu.core import field as F
+
+        n = len(bits)
+        factors = tuple(
+            pow(int(base), 1 << ((n - 1 - j) if reverse else j), F.P_INT)
+            for j in range(n)
+        )
+        idx = len(self.exprev_inputs)
+        self.exprev_inputs.append((tuple(f.r for f in bits), factors))
+        out = self._reg()
+        self._emit((Op.EXPREV, idx, 0, 0, out))
+        return Felt(self, out)
+
     def select8(self, cond: Felt, a8, b8) -> list:
         """out[k] = a8[k] if cond else b8[k], as ONE Select8 row."""
         idx = len(self.sel8_inputs)
@@ -334,6 +364,7 @@ class Tracer:
             p2_inputs=tuple(self.p2_inputs),
             sel8_inputs=tuple(self.sel8_inputs),
             ffold_inputs=tuple(self.ffold_inputs),
+            exprev_inputs=tuple(self.exprev_inputs),
         )
 
 
@@ -388,6 +419,13 @@ def interpret(program: RecursionProgram, inputs=(), return_regs=False,
                 regs[acc : acc + 4], E.emul(regs[ap : ap + 4], d))
             regs[dst + 4 : dst + 8] = E.emul(
                 regs[ap : ap + 4], regs[alpha : alpha + 4])
+        elif op == Op.EXPREV:
+            bit_ids, factors = program.exprev_inputs[a]
+            acc = 1
+            for r_id, f in zip(bit_ids, factors):
+                if regs[r_id]:
+                    acc = (acc * f) % P
+            regs[dst] = acc
         elif op == Op.SELECT:
             regs[dst] = regs[b] if regs[a] else regs[c]
         elif op == Op.ASSERT_EQ:

@@ -68,6 +68,7 @@ class _Compiled:
         self.p2_rows = []      # (ids16, out)
         self.sel8_rows = []    # (cond, a_ids8, b_ids8, out)
         self.ffold_rows = []   # (acc, ap, alpha, ys, row, out)
+        self.exprev_rows = []  # flat per-bit: (bit_id, factor, first, last, out, mult_slot)
         self.output_rows = []  # (reg, slot)
         n_out = 0
         for op, a, b, c, out in program.ops:
@@ -117,6 +118,14 @@ class _Compiled:
                 acc, ap, alpha, ys, row = program.ffold_inputs[a]
                 rd(acc, 4), rd(ap, 4), rd(alpha, 4), rd(ys, 4), rd(row)
                 self.ffold_rows.append((acc, ap, alpha, ys, row, out))
+            elif op == Op.EXPREV:
+                bit_ids, factors = program.exprev_inputs[a]
+                n_bits = len(bit_ids)
+                for j, (r_id, f) in enumerate(zip(bit_ids, factors)):
+                    rd(r_id)
+                    self.exprev_rows.append(
+                        (r_id, f, int(j == 0), int(j == n_bits - 1), out)
+                    )
             elif op == Op.OUTPUT:
                 rd(a)
                 self.output_rows.append((a, n_out))
@@ -558,6 +567,73 @@ class FriFoldChip(_RecAir):
             b.assert_zero(ap_o[k] - pa[k])
 
 
+class ExpRevBitsChip(_RecAir):
+    """g^reverse_bits(index) accumulator: ONE narrow row per index bit
+    (reference: recursion ExpReverseBitsLen chip) instead of a select+mul
+    BaseAlu chain per bit. Rows of one op chain acc through `chain`;
+    the last row sends the product to the out register."""
+
+    name = "RecExpRevBits"
+
+    def __init__(self, compiled):
+        super().__init__(compiled)
+        self.rows = compiled.exprev_rows
+        # bit_id, factor, is_first, chain, is_last, out_id, is_real, out_mult
+        self.preprocessed_width = 8
+
+    width = 3  # bit, step, acc
+
+    def generate_preprocessed(self, program):
+        rows = self.rows
+        n = max(1, len(rows))
+        prep = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
+        for i, (bit_id, factor, first, last, out) in enumerate(rows):
+            prep[i, 0] = bit_id
+            prep[i, 1] = factor
+            prep[i, 2] = first
+            prep[i, 3] = 1 - first  # chain: continues the previous row's op
+            prep[i, 4] = last
+            prep[i, 5] = out
+            prep[i, 6] = 1
+            prep[i, 7] = self.c.mult(out) if last else 0
+        return pad_to_pow2(prep)
+
+    def generate_trace(self, record, output):
+        rows = self.rows
+        n = max(1, len(rows))
+        mat = np.zeros((n, self.width), dtype=np.uint32)
+        regs = record.regs
+        P = 2130706433
+        acc = 1
+        for i, (bit_id, factor, first, last, out) in enumerate(rows):
+            bit = int(regs[bit_id])
+            step = (1 + bit * (factor - 1)) % P
+            acc = step if first else (acc * step) % P
+            mat[i, 0] = bit
+            mat[i, 1] = step
+            mat[i, 2] = acc
+        return pad_to_pow2(mat)
+
+    def eval(self, b):
+        prep = b.prep_local
+        bit_id, factor = prep[0], prep[1]
+        is_first, chain, is_last = prep[2], prep[3], prep[4]
+        out_id, is_real, out_mult = prep[5], prep[6], prep[7]
+        bit, step, acc = b.main_local[0], b.main_local[1], b.main_local[2]
+        n_chain = b.prep_next[3]
+        n_step = b.main_next[1]
+        n_acc = b.main_next[2]
+
+        b.when(is_real).assert_bool(bit)
+        b.when(is_real).assert_eq(step, 1 + bit * (factor - 1))
+        b.when(is_first).assert_eq(acc, step)
+        # within an op: acc' = acc * step' (next row's chain flag gates it;
+        # padding rows have chain = 0 so the boundary is inert)
+        b.when_transition().when(n_chain).assert_eq(n_acc, acc * n_step)
+        _recv(b, bit_id, bit, is_real)
+        _send(b, out_id, acc, out_mult)
+
+
 class RecPoseidon2Chip(_RecAir):
     name = "RecPoseidon2"
 
@@ -666,6 +742,7 @@ def recursion_machine(program: RecursionProgram, config=None) -> tuple:
         ExtAluChip(comp),
         Select8Chip(comp),
         FriFoldChip(comp),
+        ExpRevBitsChip(comp),
         RecPoseidon2Chip(comp),
         OutputChip(comp),
     ]

@@ -66,6 +66,8 @@ def traced_pow_by_bits(t: Tracer, base: int, bits, reverse: bool):
     product of select(bit_j, g^(2^k_j), 1) with constant squares of g."""
     from ziren_tpu.core import field as F
 
+    if len(bits) >= 2:
+        return t.exp_rev_bits(int(base), bits, reverse=reverse)
     acc = t.const(1)
     n = len(bits)
     for j, bit in enumerate(bits):
