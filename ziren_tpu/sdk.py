@@ -114,6 +114,10 @@ def _load(elf_or_program) -> Program:
     return load_elf(bytes(elf_or_program))
 
 
+# Groth16 CRS per wrap shape (see ProverClient.groth16_prove)
+_GROTH16_PK_CACHE: dict = {}
+
+
 class ProverClient:
     def __init__(self, config: str = "core"):
         self._config = core_config() if config == "core" else dev_config()
@@ -291,7 +295,21 @@ class ProverClient:
 
         wm, wvk, wsp = wrapped
         bld, publics = build_wrap_circuit(wm, wvk, wsp)
-        pk = setup(bld.to_r1cs(), seed=seed)
+        # the circuit is deterministic per wrap SHAPE (chip set + heights +
+        # fri params), so one CRS serves every program whose wrap lands on
+        # the same shape — the reference's shape-fixed gnark circuits.
+        key = (
+            seed,
+            tuple(wsp.chip_names),
+            tuple(v.log_degree for v in wsp.opened_values),
+            wm.config.fri.log_blowup, wm.config.fri.num_queries,
+            wm.config.fri.proof_of_work_bits,
+            bld.num_constraints,
+        )
+        pk = _GROTH16_PK_CACHE.get(key)
+        if pk is None:
+            pk = setup(bld.to_r1cs(), seed=seed)
+            _GROTH16_PK_CACHE[key] = pk
         proof = prove(pk, bld.witness)
         return {"proof": proof, "public_inputs": publics,
                 "vk_bytes": pk.vk_bytes}
