@@ -111,3 +111,27 @@ def test_device_prover_multishard():
     for h, d in zip(host, dev):
         assert_proofs_equal(h, d)
     assert machine.verify(vk, MachineProof(dev))
+
+
+def test_packed_upload_matches_plain():
+    """_to_dev_packed is bit-identical to _to_dev across column ranges."""
+    import jax
+
+    from ziren_tpu.core import field as F
+    from ziren_tpu.stark import jprover
+
+    rng = np.random.default_rng(7)
+    n, w = 512, 23
+    mat = np.zeros((n, w), np.uint32)
+    for c in range(w):
+        hi = [1, 2, 200, 256, 60000, 65536, F.P_INT][c % 7]
+        mat[:, c] = rng.integers(0, hi, n, dtype=np.uint32)
+    # force the packed path regardless of size
+    old = jprover._PACK_MIN_BYTES
+    jprover._PACK_MIN_BYTES = 0
+    try:
+        packed = np.asarray(jax.device_get(jprover._to_dev_packed(mat)))
+    finally:
+        jprover._PACK_MIN_BYTES = old
+    plain = np.asarray(jax.device_get(jprover._to_dev(mat)))
+    assert np.array_equal(packed, plain)

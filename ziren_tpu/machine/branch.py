@@ -97,12 +97,9 @@ class BranchChip(Air):
         eq_b = (a == bb).astype(np.uint32)
         w.set("eq_byte", eq_b)
         d = (a.astype(np.int64) - bb) % P
-        w.set(
-            "eq_inv",
-            np.array(
-                [[pow(int(x), P - 2, P) if x else 0 for x in row] for row in d]
-            ),
-        )
+        from ziren_tpu.core.field import finv
+
+        w.set("eq_inv", finv(d.astype(np.uint32)))  # finv(0) == 0
         w.set("eq01", eq_b[:, 0] * eq_b[:, 1])
         w.set("eq", eq_b.all(axis=1).astype(np.uint32))
         w.set("msb_a", (a[:, 3] >> 7) & 1)

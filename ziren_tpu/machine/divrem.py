@@ -222,12 +222,9 @@ class DivRemChip(Air):
         e = (rb == 0).astype(np.uint32)
         w.set("r_e", e)
         w.set("r_e01", e[:, 0] * e[:, 1])
-        w.set(
-            "r_inv",
-            np.array(
-                [[pow(int(v), P - 2, P) if v else 0 for v in row] for row in rb]
-            ),
-        )
+        from ziren_tpu.core.field import finv
+
+        w.set("r_inv", finv(rb.astype(np.uint32)))  # finv(0) == 0
         csum = np.array(
             [int(x) % P for x in (word_decompose_np(rows["c"]).sum(axis=1))]
         )

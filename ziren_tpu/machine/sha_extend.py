@@ -93,12 +93,9 @@ class ShaExtendChip(Air):
             w.set("i", iv)
             w.set("is_first", (iv == 16).astype(np.uint32))
             w.set("is_last", (iv == 63).astype(np.uint32))
-            w.set(
-                "i63_inv",
-                np.array(
-                    [pow(int(x - 63) % P, P - 2, P) if x != 63 else 0 for x in iv]
-                ),
-            )
+            from ziren_tpu.core.field import finv
+
+            w.set("i63_inv", finv(((iv - 63) % P).astype(np.uint32)))
             w15 = np.array([ev["reads"][1][1] for ev in events], dtype=np.int64)
             w2 = np.array([ev["reads"][3][1] for ev in events], dtype=np.int64)
             b15 = np.zeros((n, 32), dtype=np.uint32)

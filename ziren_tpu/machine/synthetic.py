@@ -52,17 +52,31 @@ def merged_rows(record, opcodes):
     cols = record.freeze()
     ops = op_array(record)
     mask = np.isin(ops, [int(o) for o in opcodes])
-    out = {k: list(cols[k][mask]) for k in ("pc", "next_pc", "next_next_pc", "a", "b", "c", "prev_a")}
-    out["opcode"] = list(ops[mask])
+    keys = ("pc", "next_pc", "next_next_pc", "a", "b", "c", "prev_a")
+    out = {k: cols[k][mask].astype(np.int64) for k in keys}
+    out["opcode"] = ops[mask].astype(np.int64)
     n_real = int(mask.sum())
-    for op in opcodes:
-        for a, b, c, hi in record.synthetic.get(int(op), []):
-            out["pc"].append(UNUSED_PC)
-            out["next_pc"].append(UNUSED_PC + 4)
-            out["next_next_pc"].append(UNUSED_PC + 8)
-            out["a"].append(a)
-            out["b"].append(b)
-            out["c"].append(c)
-            out["prev_a"].append(hi)
-            out["opcode"].append(int(op))
-    return {k: np.asarray(v, dtype=np.int64) for k, v in out.items()}, n_real
+    synth_blocks = [
+        (int(op), np.asarray(record.synthetic[int(op)], dtype=np.int64))
+        for op in opcodes
+        if record.synthetic.get(int(op))
+    ]
+    if synth_blocks:
+        abc = np.concatenate([blk for _op, blk in synth_blocks])  # (m, 4)
+        m = abc.shape[0]
+        out["pc"] = np.concatenate(
+            [out["pc"], np.full(m, UNUSED_PC, np.int64)]
+        )
+        out["next_pc"] = np.concatenate(
+            [out["next_pc"], np.full(m, UNUSED_PC + 4, np.int64)]
+        )
+        out["next_next_pc"] = np.concatenate(
+            [out["next_next_pc"], np.full(m, UNUSED_PC + 8, np.int64)]
+        )
+        for i, k in enumerate(("a", "b", "c", "prev_a")):
+            out[k] = np.concatenate([out[k], abc[:, i]])
+        out["opcode"] = np.concatenate(
+            [out["opcode"]]
+            + [np.full(len(blk), op, np.int64) for op, blk in synth_blocks]
+        )
+    return out, n_real

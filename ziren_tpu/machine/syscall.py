@@ -134,10 +134,10 @@ class SyscallChip(Air):
         w.set("lx_d0", d & 0xFF)
         w.set("lx_d1", d >> 8)
         P = 2130706433
-        inv = np.array(
-            [pow(int(s - 4246) % P, P - 2, P) if il else 0
-             for s, il in zip(sid, is_linux)],
-            dtype=np.uint32,
+        from ziren_tpu.core.field import finv
+
+        inv = finv(((sid - 4246) % P).astype(np.uint32)) * is_linux.astype(
+            np.uint32
         )
         w.set("lx_inv", inv)
         cw = np.zeros((n, 8), dtype=np.uint32)

@@ -64,6 +64,83 @@ def _to_dev(mat: np.ndarray) -> jnp.ndarray:
     return jf.mont_encode(jnp.asarray(np.ascontiguousarray(mat)))
 
 
+# Packed upload threshold: matrices at least this big go over the wire as
+# byte planes (the accelerator transport is bandwidth-bound at ~20 MB/s;
+# zkVM traces are overwhelmingly byte-range values, so plane packing cuts
+# the bytes moved ~3.5x). Smaller matrices keep the plain path — their
+# upload is cheap and reusing the existing mont_encode kernels avoids
+# minting new compile-cache entries for dozens of small shapes.
+_PACK_MIN_BYTES = 1 << 20
+
+
+def pack_planes(mat: np.ndarray, c1=None, c2=None):
+    """Byte-plane wire format of a canonical u32 matrix.
+
+    Returns (p0, p1, p2, inv1, inv2):
+      p0 (n, w)  u8  = mat & 0xff                      (always)
+      p1 (n, k1) u8  = (mat >> 8) & 0xff   for cols with max >= 2^8
+      p2 (n, k2) u16 = mat >> 16           for cols with max >= 2^16
+    k1/k2 are padded to a multiple of 4 (index -> an appended zeros column
+    on device) so the jit cache keys on (n, w, k1pad, k2pad) — stable
+    across shards even when a single column's range drifts past a byte
+    boundary between shards. c1/c2 override the column partition (batched
+    callers pass the batch-wide partition so every shard packs alike)."""
+    n, w = mat.shape
+    if c1 is None or c2 is None:
+        mx = mat.max(axis=0) if n else np.zeros(w, np.uint32)
+        c1 = np.flatnonzero(mx >= 1 << 8)
+        c2 = np.flatnonzero(mx >= 1 << 16)
+    p0 = (mat & 0xFF).astype(np.uint8)
+    p1 = ((mat[:, c1] >> 8) & 0xFF).astype(np.uint8)
+    p2 = (mat[:, c2] >> 16).astype(np.uint16)
+    k1p = -len(c1) % 4
+    k2p = -len(c2) % 4
+    if k1p:
+        p1 = np.concatenate([p1, np.zeros((n, k1p), np.uint8)], axis=1)
+    if k2p:
+        p2 = np.concatenate([p2, np.zeros((n, k2p), np.uint16)], axis=1)
+    # gather indices: default -> the zeros column appended on device
+    inv1 = np.full(w, p1.shape[1], np.int32)
+    inv1[c1] = np.arange(len(c1), dtype=np.int32)
+    inv2 = np.full(w, p2.shape[1], np.int32)
+    inv2[c2] = np.arange(len(c2), dtype=np.int32)
+    return p0, p1, p2, inv1, inv2
+
+
+def unpack_u32(p0, p1, p2, inv1, inv2):
+    """Traced reassembly of byte planes into the full u32 matrix."""
+    n = p0.shape[0]
+    x = p0.astype(jnp.uint32)
+    if p1.shape[1]:
+        pad1 = jnp.concatenate([p1, jnp.zeros((n, 1), jnp.uint8)], axis=1)
+        x = x | (jnp.take(pad1, inv1, axis=1).astype(jnp.uint32) << 8)
+    if p2.shape[1]:
+        pad2 = jnp.concatenate([p2, jnp.zeros((n, 1), jnp.uint16)], axis=1)
+        x = x | (jnp.take(pad2, inv2, axis=1).astype(jnp.uint32) << 16)
+    return x
+
+
+def _to_dev_packed(mat: np.ndarray) -> jnp.ndarray:
+    """Canonical host matrix -> device mont via byte-plane packing (the
+    accelerator transport is bandwidth-bound; zkVM traces are mostly
+    byte-range values, so plane packing cuts the bytes moved ~3.5x)."""
+    mat = np.ascontiguousarray(mat)
+    n, w = mat.shape
+    if mat.nbytes < _PACK_MIN_BYTES or n == 0 or w == 0:
+        return _to_dev(mat)
+    p0, p1, p2, inv1, inv2 = pack_planes(mat)
+    return _unpack_encode(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(inv1), jnp.asarray(inv2),
+    )
+
+
+@jax.jit
+def _unpack_encode(p0, p1, p2, inv1, inv2):
+    """Reassemble byte planes into the full u32 matrix and mont-encode."""
+    return jf.mont_encode(unpack_u32(p0, p1, p2, inv1, inv2))
+
+
 def _device_pk(machine, pk):
     """Device commit of the preprocessed traces (cached on the pk)."""
     dev = getattr(pk, "_device_data", None)
@@ -126,8 +203,9 @@ def dispatch_shard_device(machine, pk, record, challenger):
     public_values = pv.to_list() if hasattr(pv, "to_list") else list(pv)
     pv_np = np.asarray(public_values, dtype=np.uint32)
 
-    # upload all main traces (async) and the pk's preprocessed data
-    mains_dev = [_to_dev(t) for _, t in named_traces]
+    # upload all main traces (async, byte-plane packed) and the pk's
+    # preprocessed data
+    mains_dev = [_to_dev_packed(t) for _, t in named_traces]
     traces = [t for _, t in named_traces]
     heights = [t.shape[0] for _, t in named_traces]
     on_device = [h >= DEVICE_MIN_HEIGHT for h in heights]

@@ -26,7 +26,7 @@ from ziren_tpu.ops import jfield as jf
 from ziren_tpu.ops import jpcs
 from ziren_tpu.ops.jchallenger import JChallenger
 from . import jfolder
-from .jprover import assemble_proof, dev_open
+from .jprover import assemble_proof, dev_open, pack_planes, unpack_u32
 from .proof import MachineProof
 from .shape import fix_shape
 
@@ -46,8 +46,13 @@ def _build_prove_fn(machine, pk, chips, trace_domains, ch_template):
     log_blowup = fri.log_blowup
     prep_doms = [dom for _n, dom, _d, _lo in pk.chip_information]
 
-    def prove_one(pv_raw, mains_raw, preps_raw):
-        mains = [jf.mont_encode(m) for m in mains_raw]
+    def prove_one(pv_raw, mains_packed, preps_raw):
+        # mains arrive byte-plane packed (see jprover.pack_planes): the
+        # accelerator transport is bandwidth-bound and zkVM traces are
+        # mostly byte-range values, so planes cut the bytes moved ~3.5x
+        mains = [
+            jf.mont_encode(unpack_u32(*planes)) for planes in mains_packed
+        ]
         preps = [jf.mont_encode(p) for p in preps_raw]
         if preps:
             _, prep_data = jpcs.commit(list(zip(prep_doms, preps)), log_blowup)
@@ -202,12 +207,17 @@ def _get_step(machine, pk, chips, trace_domains, mesh, n_preps):
     # ONE compiled step proves n_dev shards (one per device); batches of the
     # mesh width stream through it, so graph size is independent of n.
     def body(pv_blk, mains_blk, preps_rep):
-        out = prove_one(pv_blk[0], [m[0] for m in mains_blk], list(preps_rep))
+        mains = [
+            (p0[0], p1[0], p2[0], inv1, inv2)
+            for p0, p1, p2, inv1, inv2 in mains_blk
+        ]
+        out = prove_one(pv_blk[0], mains, list(preps_rep))
         return jax.tree.map(lambda x: x[None], out)
 
     in_specs = (
         P("shard"),
-        tuple(P("shard") for _ in chips),
+        # per chip: (p0, p1, p2) sharded planes + replicated gather indices
+        tuple((P("shard"), P("shard"), P("shard"), P(), P()) for _ in chips),
         tuple(P() for _ in range(n_preps)),
     )
     step = jax.jit(
@@ -264,15 +274,34 @@ def prove_shards_sharded(
 
     step = _get_step(machine, pk, chips, trace_domains, mesh, len(preps))
 
+    # batch-wide byte-plane partition per chip (every shard packs alike so
+    # the stacked planes share one shape)
+    partitions = []
+    for o in order:
+        mx = np.zeros(fixed[0][o][1].shape[1], np.uint64)
+        for i in range(n):
+            np.maximum(mx, fixed[i][o][1].max(axis=0), out=mx)
+        partitions.append(
+            (np.flatnonzero(mx >= 1 << 8), np.flatnonzero(mx >= 1 << 16))
+        )
+
     got_batches = []
     for b0 in range(0, n, n_dev):
         idxs = [min(b0 + j, n - 1) for j in range(n_dev)]
         pv_stack = jnp.asarray(np.stack([pv_list[i] for i in idxs]))
-        mains_stack = tuple(
-            jnp.asarray(np.stack([fixed[i][o][1] for i in idxs]))
-            for o in order
-        )
-        got_batches.append(step(pv_stack, mains_stack, preps))
+        mains_stack = []
+        for o, (c1, c2) in zip(order, partitions):
+            planes = [pack_planes(fixed[i][o][1], c1, c2) for i in idxs]
+            mains_stack.append(
+                (
+                    jnp.asarray(np.stack([p[0] for p in planes])),
+                    jnp.asarray(np.stack([p[1] for p in planes])),
+                    jnp.asarray(np.stack([p[2] for p in planes])),
+                    jnp.asarray(planes[0][3]),
+                    jnp.asarray(planes[0][4]),
+                )
+            )
+        got_batches.append(step(pv_stack, tuple(mains_stack), preps))
     got_all = jax.device_get(
         jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *got_batches)
     )
