@@ -50,6 +50,27 @@ def test_rpv_compress_complete(two_shard):
     )
     assert S.digest_is_zero((gx, gy))
 
+    # allowed-vk registry root threading: the root RPV carries the
+    # registry root the tree ran under (joins verified the lift children's
+    # vk MEMBERSHIP against it in-circuit); the consumer can pin it
+    reg = mp.build_lift_registry(machine, vk, proof.shard_proofs)
+    assert rpv[mp.RPV_VK_ROOT : mp.RPV_VK_ROOT + 8] == [
+        int(v) for v in reg.root
+    ]
+    mp.verify_compressed(machine, vk, rm, rvk, final_sp,
+                         pc_start=prog.pc_start, vk_root=reg.root)
+    bad_root = [int(reg.root[0]) ^ 1] + [int(v) for v in reg.root[1:]]
+    with pytest.raises(VerificationError, match="allowed-vk root"):
+        mp.verify_compressed(machine, vk, rm, rvk, final_sp,
+                             pc_start=prog.pc_start, vk_root=bad_root)
+    # a registry that lacks the lift vk cannot build the tree: the join's
+    # membership opening does not exist
+    from ziren_tpu.recursion.vk_registry import VkRegistry
+
+    foreign = VkRegistry([np.arange(8, dtype=np.uint32) + 1])
+    with pytest.raises(KeyError):
+        mp.compress(machine, vk, proof, registry=foreign)
+
 
 def test_rpv_rejects_tampered_global_sum(two_shard):
     """Tampering one shard's septic global cumulative sum is rejected while

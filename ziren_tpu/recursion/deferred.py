@@ -226,8 +226,14 @@ def attach_deferred(core_side, deferred_side, config=None):
         t.assert_eq(d_h[DPV_END + i], c_h[RPV_START_RECON + i])
         t.assert_eq(rpv[RPV_START_RECON + i], zero)
         t.assert_eq(rpv[RPV_END_RECON + i], d_h[DPV_END + i])
-    # every other RPV field passes through unchanged
-    for i in range(RPV_START_RECON):
+    # every other RPV field passes through unchanged (incl. the vk-registry
+    # root beyond the recon digests)
+    from .mips_pipeline import RPV_VK_ROOT
+
+    passthrough = list(range(RPV_START_RECON)) + list(
+        range(RPV_VK_ROOT, RPV_VK_ROOT + 8)
+    )
+    for i in passthrough:
         if i == RPV_IS_COMPLETE:
             continue
         t.assert_eq(rpv[i], c_h[i])

@@ -80,7 +80,8 @@ RPV_IS_COMPLETE = 197
 RPV_PC_START = 198  # program entry (the MIPS vk's extra observation)
 RPV_START_RECON = 199  # 8: deferred reconstruct digest at the range start
 RPV_END_RECON = 207  # 8: deferred reconstruct digest at the range end
-RPV_WIDTH = 215
+RPV_VK_ROOT = 215  # 8: allowed-vk registry Merkle root (zeros = unpinned)
+RPV_WIDTH = 223
 
 
 def shard_global_digest(machine, shard_proof):
@@ -111,12 +112,18 @@ def _is_complete(rpv) -> bool:
     )
 
 
-def shard_rpv(machine, vk, shard_proof, reconstruct_digest=None) -> list:
+def shard_rpv(machine, vk, shard_proof, reconstruct_digest=None,
+              vk_root=None) -> list:
     """Host-side RecursionPublicValues for one MIPS shard proof.
 
     reconstruct_digest: the deferred-chain digest this core range sits on
     (core leaves do not advance the chain: start == end). Zeros when the
-    guest made no VERIFY_ZKM_PROOF claims."""
+    guest made no VERIFY_ZKM_PROOF claims.
+
+    vk_root: the allowed-vk registry Merkle root this tree runs under
+    (recursion/vk_registry.py). Lifts only CARRY it; joins verify their
+    leaf children's recursion vks against it in-circuit (reference
+    prover/src/shapes.rs vk_map + machine/compress.rs vk Merkle proofs)."""
     pv = [int(v) for v in shard_proof.public_values]
     dig = shard_global_digest(machine, shard_proof)
     extras = [int(x) for x in vk.extra_observations]
@@ -150,6 +157,9 @@ def shard_rpv(machine, vk, shard_proof, reconstruct_digest=None) -> list:
     rd = [int(v) for v in (reconstruct_digest or [0] * 8)]
     rpv[RPV_START_RECON : RPV_START_RECON + 8] = rd
     rpv[RPV_END_RECON : RPV_END_RECON + 8] = rd
+    rpv[RPV_VK_ROOT : RPV_VK_ROOT + 8] = [
+        int(v) for v in (vk_root if vk_root is not None else [0] * 8)
+    ]
     rpv[RPV_IS_COMPLETE] = 1 if _is_complete(rpv) else 0
     return rpv
 
@@ -159,6 +169,10 @@ def combine_rpv(rpv_a: list, rpv_b: list) -> list:
     in-circuit combination exactly)."""
     out = [0] * RPV_WIDTH
     assert rpv_a[RPV_VK : RPV_VK + 8] == rpv_b[RPV_VK : RPV_VK + 8]
+    assert (
+        rpv_a[RPV_VK_ROOT : RPV_VK_ROOT + 8]
+        == rpv_b[RPV_VK_ROOT : RPV_VK_ROOT + 8]
+    ), "vk-registry root mismatch between children"
     assert rpv_a[RPV_DIGEST : RPV_DEFERRED + 8] == rpv_b[RPV_DIGEST : RPV_DEFERRED + 8]
     assert rpv_a[RPV_NEXT_PC] == rpv_b[RPV_START_PC], "pc chain broken"
     assert rpv_a[RPV_NEXT_SHARD] == rpv_b[RPV_START_SHARD], "shard chain broken"
@@ -214,6 +228,7 @@ def combine_rpv(rpv_a: list, rpv_b: list) -> list:
     out[RPV_END_RECON : RPV_END_RECON + 8] = rpv_b[
         RPV_END_RECON : RPV_END_RECON + 8
     ]
+    out[RPV_VK_ROOT : RPV_VK_ROOT + 8] = rpv_a[RPV_VK_ROOT : RPV_VK_ROOT + 8]
     out[RPV_IS_COMPLETE] = 1 if _is_complete(out) else 0
     return out
 
@@ -241,13 +256,24 @@ def _bind_completeness(t, rpv, digest_point):
 
 
 def lift_shard(machine, vk, shard_proof, config=None,
-               reconstruct_digest=None):
+               reconstruct_digest=None, vk_root=None, setup_only=False):
     """One recursion proof attesting one MIPS shard proof, public values =
     the canonical RPV. The shard's own 231 public values enter as HINTS,
     bound by the traced shard verifier's transcript, and every RPV field is
-    asserted against them in-circuit."""
+    asserted against them in-circuit.
+
+    vk_root is CARRIED (an unconstrained input at the leaf): a lift cannot
+    attest its own vk's registry membership — the parent join does, against
+    this field. The traced program never reads the root handles, so the
+    lift vk is independent of the root value (what lets the registry be
+    built from setup-only lifts before any proving).
+
+    setup_only=True: trace + setup (populating the shape cache) and return
+    (rec_machine, rec_vk, None) without proving — used to enumerate the
+    registry's lift vks."""
     rpv_vals = shard_rpv(machine, vk, shard_proof,
-                         reconstruct_digest=reconstruct_digest)
+                         reconstruct_digest=reconstruct_digest,
+                         vk_root=vk_root)
     extras = [int(x) for x in vk.extra_observations]
     t = Tracer(num_inputs=RPV_WIDTH, input_values=rpv_vals)
     rpv = [t.input(i) for i in range(RPV_WIDTH)]
@@ -292,16 +318,30 @@ def lift_shard(machine, vk, shard_proof, config=None,
 
     prog = t.program()
     key = ("mlift", len(extras)) + _shape_key(machine, shard_proof, vk)
+    if setup_only:
+        from .pipeline import _setup_cached
+
+        rm, rvk = _setup_cached(key, prog, config)
+        return rm, rvk, None
     rm, rvk, rproof = _prove_cached(key, prog, rpv_vals, t.hint_values,
                                     config, tracer=t)
     return rm, rvk, rproof.shard_proofs[0]
 
 
-def join(side_a, side_b, config=None):
+def join(side_a, side_b, config=None, registry=None,
+         leaf_flags=(False, False)):
     """One recursion proof attesting two adjacent child recursion proofs
     (lifts or joins), chaining their boundaries and accumulating their
-    septic sums. Children's recursion vks are pinned in-circuit, so the
-    join's own vk transitively attests the whole verifier tree below."""
+    septic sums.
+
+    Child vk binding (reference machine/compress.rs vk Merkle proofs +
+    prover/src/shapes.rs vk_map): a LEAF child (leaf_flags[i]=True, a lift)
+    with a `registry` enters as a HINTED vk whose registry MEMBERSHIP is
+    verified in-circuit against the RPV's vk_root field — so one join
+    program covers every allowed lift vk. A non-leaf child (a join) is
+    pinned as constants: its own vk transitively attests the subtree, and
+    the root-field chain (asserted below) carries the registry root up
+    unchanged either way."""
     (ma, vka, spa), (mb, vkb, spb) = side_a, side_b
     rpv_a = [int(v) for v in spa.public_values]
     rpv_b = [int(v) for v in spb.public_values]
@@ -312,10 +352,23 @@ def join(side_a, side_b, config=None):
     rpv = [t.input(i) for i in range(RPV_WIDTH)]
     a_h = [t.hint(v) for v in rpv_a]
     b_h = [t.hint(v) for v in rpv_b]
-    # children's recursion vks pinned as constants; child RPVs are hints
-    # bound by the child transcript replay inside traced_verify_shard
-    vk_a = [t.const(int(v)) for v in vka.commit]
-    vk_b = [t.const(int(v)) for v in vkb.commit]
+    root_h = rpv[RPV_VK_ROOT : RPV_VK_ROOT + 8]
+
+    def child_vk_handles(vk_c, is_leaf):
+        """Hinted + membership-verified for registry leaves, else consts."""
+        if registry is not None and is_leaf:
+            from .vk_registry import traced_membership
+
+            vk_h = [t.hint(int(v)) for v in vk_c.commit]
+            idx, path = registry.membership(vk_c.commit)
+            traced_membership(t, vk_h, root_h, idx, path)
+            return vk_h
+        return [t.const(int(v)) for v in vk_c.commit]
+
+    # child RPVs are hints bound by the child transcript replay inside
+    # traced_verify_shard; child vks bound per the policy above
+    vk_a = child_vk_handles(vka, leaf_flags[0])
+    vk_b = child_vk_handles(vkb, leaf_flags[1])
     traced_verify_shard(t, ma, vka, spa, a_h, vk_a)
     traced_verify_shard(t, mb, vkb, spb, b_h, vk_b)
 
@@ -326,6 +379,7 @@ def join(side_a, side_b, config=None):
             t.assert_eq(rpv[off + i], a_h[off + i])
 
     eq3(RPV_VK, 8)  # same inner MIPS machine
+    eq3(RPV_VK_ROOT, 8)  # same allowed-vk registry root
     eq3(RPV_DIGEST, 32)  # same committed digest
     eq3(RPV_DEFERRED, 8)
     eq3(RPV_PC_START)
@@ -375,7 +429,8 @@ def join(side_a, side_b, config=None):
     _bind_completeness(t, rpv, dig)
 
     prog = t.program()
-    key = (("mjoin",) + _shape_key(ma, spa, vka)
+    key = (("mjoin", registry.depth if registry is not None else None,
+            tuple(leaf_flags)) + _shape_key(ma, spa, vka)
            + _shape_key(mb, spb, vkb))
     rm, rvk, rproof = _prove_cached(key, prog, out_vals, t.hint_values,
                                     config, tracer=t)
@@ -386,35 +441,84 @@ REQUIRED_CHIPS = {"Program", "Cpu", "Byte", "MemoryInit", "MemoryFinal",
                   "MemoryLocal", "Global"}
 
 
+def build_lift_registry(machine, vk, shard_proofs, config=None):
+    """The allowed-vk registry for these shards: one SETUP-ONLY lift per
+    distinct proof shape (no proving — lift vks are input-independent), its
+    vks committed in a Poseidon2 Merkle tree (recursion/vk_registry.py)."""
+    import numpy as np
+
+    from .pipeline import _shape_key
+    from .vk_registry import VkRegistry
+
+    seen = {}
+    for sp in shard_proofs:
+        key = _shape_key(machine, sp, vk)
+        if key in seen:
+            continue
+        _rm, rvk, _ = lift_shard(machine, vk, sp, config=config,
+                                 setup_only=True)
+        seen[key] = np.asarray(rvk.commit, np.uint32)
+    return VkRegistry(list(seen.values()))
+
+
 def compress(machine, vk, machine_proof, config=None,
-             reconstruct_digest=None):
+             reconstruct_digest=None, registry=None):
     """Lift every MIPS shard, then reduce pairwise to ONE recursion proof
     whose public values are the root RPV (is_complete = 1 for a full
     halting execution). Every layer chains boundaries and accumulates the
-    septic global sum in-circuit."""
-    layer = []
-    for sp in machine_proof.shard_proofs:
+    septic global sum in-circuit.
+
+    registry: an allowed-vk VkRegistry (default: built from these shards'
+    shapes via setup-only lifts). Its root rides every RPV's vk_root field;
+    first-layer joins verify their lift children's vks as registry MEMBERS
+    in-circuit, and upper joins pin their (join) children as constants
+    while chaining the root field — so the final proof carries the registry
+    root it ran under, checkable by the consumer (verify_compressed)."""
+    shard_proofs = machine_proof.shard_proofs
+    for sp in shard_proofs:
         missing = REQUIRED_CHIPS - set(sp.chip_names)
         assert not missing, f"shard missing required chips: {sorted(missing)}"
-        layer.append(lift_shard(machine, vk, sp, config=config,
-                                reconstruct_digest=reconstruct_digest))
+    if registry is None:
+        registry = build_lift_registry(machine, vk, shard_proofs,
+                                       config=config)
+    else:
+        # fail fast: every reachable lift vk must be a registry member
+        # (setup-only, cached) before any proving starts
+        for sp in shard_proofs:
+            _rm, rvk, _ = lift_shard(machine, vk, sp, config=config,
+                                     setup_only=True)
+            registry.membership(rvk.commit)
+    root = [int(v) for v in registry.root]
+    layer = [
+        lift_shard(machine, vk, sp, config=config,
+                   reconstruct_digest=reconstruct_digest, vk_root=root)
+        for sp in shard_proofs
+    ]
+    leaf = [True] * len(layer)
     while len(layer) > 1:
-        nxt = []
+        nxt, nleaf = [], []
         for i in range(0, len(layer) - 1, 2):
-            nxt.append(join(layer[i], layer[i + 1], config=config))
+            nxt.append(join(layer[i], layer[i + 1], config=config,
+                            registry=registry,
+                            leaf_flags=(leaf[i], leaf[i + 1])))
+            nleaf.append(False)
         if len(layer) % 2:
             nxt.append(layer[-1])
-        layer = nxt
+            nleaf.append(leaf[-1])
+        layer, leaf = nxt, nleaf
     return layer[0]
 
 
 def verify_compressed(machine, vk, rec_machine, rec_vk, final_sp,
-                      pc_start=None):
+                      pc_start=None, vk_root=None):
     """Host-side root checks for a compressed proof (reference
     verify.rs:299 verify_compressed): the single recursion proof verifies,
     its RPV pins the expected MIPS vk and program entry, and is_complete=1
     (which in-circuit implies shard 1..halt coverage, exit 0 and a balanced
-    septic digest). Returns the committed_value_digest bytes."""
+    septic digest). vk_root (when given) must match the RPV's registry-root
+    field — the single trust anchor for which lift verifiers were allowed
+    (reference verify.rs vk Merkle-root check). Returns the
+    committed_value_digest bytes."""
     from ziren_tpu.stark.proof import MachineProof
     from ziren_tpu.stark.verifier import VerificationError
 
@@ -424,6 +528,10 @@ def verify_compressed(machine, vk, rec_machine, rec_vk, final_sp,
         raise VerificationError("compressed proof: bad public-value width")
     if rpv[RPV_VK : RPV_VK + 8] != [int(v) for v in vk.commit]:
         raise VerificationError("compressed proof: wrong MIPS vk")
+    if vk_root is not None and rpv[RPV_VK_ROOT : RPV_VK_ROOT + 8] != [
+        int(v) for v in vk_root
+    ]:
+        raise VerificationError("compressed proof: wrong allowed-vk root")
     if rpv[RPV_IS_COMPLETE] != 1:
         raise VerificationError("compressed proof: incomplete execution")
     extras = [int(x) for x in vk.extra_observations]

@@ -61,12 +61,10 @@ def _config_key(config):
             fri.num_queries, fri.proof_of_work_bits)
 
 
-def _prove_cached(key, prog, inputs, hints, config, tracer=None):
-    from .machine import _Record
-    import numpy as np
-
-    from .dsl import Op
-
+def _setup_cached(key, prog, config):
+    """Setup (or fetch) the recursion machine + keys for a traced program.
+    Setup depends only on the PROGRAM, never on input/hint values — which
+    is what lets the allowed-vk registry be enumerated without proving."""
     cached = _SHAPE_CACHE.get(key)
     if cached is None:
         rm, _comp = recursion_machine(prog, config)
@@ -74,12 +72,23 @@ def _prove_cached(key, prog, inputs, hints, config, tracer=None):
         if len(_SHAPE_CACHE) > 64:
             _SHAPE_CACHE.clear()
         _SHAPE_CACHE[key] = (rm, rpk, rvk, (len(prog.ops), prog.num_regs))
-    else:
-        rm, rpk, rvk, sig = cached
-        assert sig == (len(prog.ops), prog.num_regs), (
-            "shape-cache collision: cached recursion program does not match "
-            "the freshly traced one"
-        )
+        return rm, rvk
+    rm, rpk, rvk, sig = cached
+    assert sig == (len(prog.ops), prog.num_regs), (
+        "shape-cache collision: cached recursion program does not match "
+        "the freshly traced one"
+    )
+    return rm, rvk
+
+
+def _prove_cached(key, prog, inputs, hints, config, tracer=None):
+    from .machine import _Record
+    import numpy as np
+
+    from .dsl import Op
+
+    _setup_cached(key, prog, config)
+    rm, rpk, rvk, _sig = _SHAPE_CACHE[key]
     if tracer is not None and tracer.input_values is not None:
         # the concrete tracer already evaluated every op — reuse its values
         vals = tracer.vals + [0] * (prog.num_regs - len(tracer.vals))

@@ -78,15 +78,8 @@ def traced_membership(t, vk_handles8, root8, index: int, path):
 
 def registry_for_lifts(machine, vk, shard_proofs, config=None, grid: int = 1):
     """Build the registry of lift vks reachable from these shard proofs'
-    shapes: lift each DISTINCT shape once (cached) and collect the vks."""
-    from .mips_pipeline import lift_shard
-    from .pipeline import _shape_key
+    shapes: one SETUP-ONLY lift per DISTINCT shape (lift vks are
+    input-independent, so no proving is needed to enumerate them)."""
+    from .mips_pipeline import build_lift_registry
 
-    seen = {}
-    for sp in shard_proofs:
-        key = _shape_key(machine, sp, vk)
-        if key in seen:
-            continue
-        rm, rvk, _ = lift_shard(machine, vk, sp, config=config)
-        seen[key] = np.asarray(rvk.commit, np.uint32)
-    return VkRegistry(list(seen.values()))
+    return build_lift_registry(machine, vk, shard_proofs, config=config)

@@ -267,15 +267,19 @@ class ProverClient:
             )
         return True
 
-    def verify_compressed(self, compressed, vk: ZirenVerifyingKey) -> bytes:
+    def verify_compressed(self, compressed, vk: ZirenVerifyingKey,
+                          vk_root=None) -> bytes:
         """Verify a compressed proof at the root: one recursion proof whose
-        RPV pins the MIPS vk + program entry with is_complete=1. Returns
-        the committed_value_digest bytes."""
+        RPV pins the MIPS vk + program entry with is_complete=1. vk_root
+        (when given) must match the allowed-vk registry root the tree ran
+        under (recursion/vk_registry.py; reference prover vk_map root
+        check). Returns the committed_value_digest bytes."""
         from ziren_tpu.recursion.mips_pipeline import verify_compressed
 
         rm, rvk, final_sp = compressed
         return verify_compressed(vk.machine, vk.vk, rm, rvk, final_sp,
-                                 pc_start=vk.program_pc_start)
+                                 pc_start=vk.program_pc_start,
+                                 vk_root=vk_root)
 
     def groth16_prove(self, wrapped, seed: bytes = b"ziren-groth16-dev"):
         """Compile the wrap proof's verifier to a BN254 R1CS
@@ -323,6 +327,20 @@ class ProverClient:
             artifact["proof"], artifact["public_inputs"],
             artifact["vk_bytes"],
         )
+
+    @staticmethod
+    def export_verifier_contract(artifact_or_vk_bytes,
+                                 name: str = "ZirenGroth16Verifier") -> str:
+        """The Solidity verifier contract for a groth16_prove artifact (or
+        raw gnark-layout vk bytes) — the reference's gnark ExportSolidity
+        stage (snark/contract.py). Deploy it and call verifyRawProof with
+        the artifact's public_inputs + 256-byte proof."""
+        from ziren_tpu.snark.contract import export_solidity
+
+        vk_bytes = (artifact_or_vk_bytes["vk_bytes"]
+                    if isinstance(artifact_or_vk_bytes, dict)
+                    else artifact_or_vk_bytes)
+        return export_solidity(vk_bytes, name=name)
 
 
     plonk_prove = groth16_prove
