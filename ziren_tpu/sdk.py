@@ -14,9 +14,9 @@ verify over guest ELFs with a write-based stdin).
 Modes: config="core" uses the production FRI parameters (84 queries,
 16 PoW bits); config="dev" the fast 8-query test parameters. The full
 recursion ladder is wired: compressed_prove (with deferred sub-proofs) ->
-shrink_prove -> wrap_prove (BN254 outer config). groth16/plonk wrapping of
-the wrap proof needs a gnark toolchain (ROADMAP.md) and raises
-NotImplementedError.
+shrink_prove -> wrap_prove (BN254 outer config) -> groth16_prove (in-house
+Groth16 over the wrap-verifier R1CS) -> export_verifier_contract.
+Backends: create_prover() selects cpu / mock / network (ZIREN_PROVER).
 """
 
 from __future__ import annotations
@@ -116,6 +116,34 @@ def _load(elf_or_program) -> Program:
 
 # Groth16 CRS per wrap shape (see ProverClient.groth16_prove)
 _GROTH16_PK_CACHE: dict = {}
+
+
+def create_prover(mode: str | None = None, config: str = "core",
+                  endpoint: str | None = None):
+    """Backend-selecting factory (reference sdk/src/lib.rs:46-168
+    ProverClient::{new,mock,cpu,cuda,network} keyed on ZKM_PROVER):
+
+      mode "cpu"/"local" (default) -> ProverClient (in-process, TPU-backed
+        when an accelerator is present), "mock" -> MockProver (no real
+        proofs, digest checks only), "network" -> network.NetworkProver
+        against `endpoint` (or ZIREN_PROVER_ENDPOINT).
+    Mode defaults to the ZIREN_PROVER env var."""
+    import os
+
+    mode = (mode or os.environ.get("ZIREN_PROVER", "cpu")).lower()
+    if mode in ("cpu", "local", "tpu"):
+        return ProverClient(config=config)
+    if mode == "mock":
+        return MockProver(config=config)
+    if mode == "network":
+        from ziren_tpu.network import NetworkProver
+
+        endpoint = endpoint or os.environ.get("ZIREN_PROVER_ENDPOINT")
+        if not endpoint:
+            raise ValueError("network prover needs an endpoint "
+                             "(ZIREN_PROVER_ENDPOINT)")
+        return NetworkProver(endpoint, config=config)
+    raise ValueError(f"unknown prover mode {mode!r}")
 
 
 class ProverClient:
@@ -379,4 +407,33 @@ class ProverClient:
                 "claimed public values do not match the proof's "
                 "committed_value_digest"
             )
+        return True
+
+
+class MockProver(ProverClient):
+    """No real proofs — executes the guest and fabricates an empty proof
+    carrying the real public values; verify checks only the digest binding
+    (reference sdk/src/provers/mock.rs:190: MockProver "verifies digests
+    only"). For SDK-flow tests and host development loops."""
+
+    def prove(self, pk: ZirenProvingKey, stdin: ZirenStdin | None = None,
+              shard_size: int | None = None):
+        values, _report = self.execute(pk.program, stdin=stdin)
+        out = ZirenProofWithPublicValues(None, values)
+        out._records = []
+        return out
+
+    def compressed_prove(self, pk, stdin=None, shard_size=None,
+                         deferred=None):
+        return self.prove(pk, stdin=stdin, shard_size=shard_size)
+
+    def verify(self, proof: ZirenProofWithPublicValues,
+               vk: ZirenVerifyingKey) -> bool:
+        from ziren_tpu.stark.verifier import VerificationError
+
+        if proof.proof is not None:  # a real proof: do the real check
+            return super().verify(proof, vk)
+        if proof.public_values is None:
+            raise VerificationError("mock proof without public values")
+        proof.public_values.digest_words()  # raises on unbindable streams
         return True
