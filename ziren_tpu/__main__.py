@@ -6,9 +6,13 @@ vkey over guest ELFs).
     python -m ziren_tpu prove guest.elf -o proof.bin [--config core|dev]
     python -m ziren_tpu verify guest.elf proof.bin [--config core|dev]
     python -m ziren_tpu vkey guest.elf
+    python -m ziren_tpu serve [--host H] [--port P] [--config core|dev]
 
 `verify` re-derives the verifying key from the ELF (vk = commitment over the
 preprocessed traces), so the proof file alone plus the guest binary suffice.
+`serve` runs the prover RPC service (ziren_tpu/network — the reference's
+GPU-container ProverService analogue, crates/cuda/proto/api.proto); point
+clients at it with create_prover("network", endpoint=...).
 """
 
 from __future__ import annotations
@@ -46,7 +50,23 @@ def main(argv=None):
             p.add_argument("--shard-size", type=int, default=None)
         if name == "verify":
             p.add_argument("proof")
+    srv = sub.add_parser("serve")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=3000)
+    srv.add_argument("--config", default="core", choices=["core", "dev"])
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        from ziren_tpu.network import ProverServer
+
+        server = ProverServer(host=args.host, port=args.port,
+                              config=args.config)
+        print(f"prover service listening on {server.endpoint}", flush=True)
+        try:
+            server.start()._thread.join()
+        except KeyboardInterrupt:
+            server.stop()
+        return 0
 
     elf = open(args.elf, "rb").read()
     client = _client(args.config)
