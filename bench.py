@@ -3,25 +3,33 @@
 
 Metric: **core_prove_khz** — end-to-end MIPS cycles proven per millisecond
 (execute + trace generation + commit + LogUp permutation + quotient + FRI
-open, per shard, core FRI config: log_blowup=1, 84 queries, 16 PoW bits).
+open, per shard). The proving config ACTUALLY USED is reported in
+detail.config; the primary path runs the production core FRI config
+(log_blowup=1, 84 queries, 16 PoW bits — reference
+crates/stark/src/kb31_poseidon2.rs:54-65), the same parameters behind the
+reference's published numbers.
 
 Workload: iterative fibonacci n=58218, the reference's headline benchmark
 (BASELINE.md: 14,985 ms on a 32-vCPU r6a.8xlarge, CPU prover). The guest
 loop costs ~6 cycles/iteration (~350k cycles), so the reference's core rate
 is ~25 kHz; we pin the baseline at 25 kHz. BASELINE.md target: >=5x.
+vs_baseline is only computed against that baseline when the run used the
+core config; a reduced-parameter fallback run reports vs_baseline=null
+(a dev-config rate is not comparable to the production-parameter 25 kHz).
 
 The prover backend is selected by stark/backend.py: the device (TPU)
 shard prover (stark/jprover.py) when JAX has an accelerator, the host
 numpy/native prover otherwise. A warmup prove of the first shard triggers
-kernel compilation outside the timed region; the timed region re-runs the
-executor and proves every shard (fresh records), i.e. the full pipeline.
+kernel compilation outside the timed region; the persistent compile cache
+(JAX_COMPILATION_CACHE_DIR) makes warmup cheap on every run after the
+first.
 
-Robustness: the device attempt runs as a budgeted SUBPROCESS
-(ZIREN_BENCH_BUDGET_S, default 2400 s — device kernel compiles through a
-tunneled accelerator can be slow when the persistent compile cache at
-JAX_COMPILATION_CACHE_DIR is cold). If it exceeds the budget or fails, the
-bench falls back to the host prover on a smaller workload so the driver
-always receives a number.
+Budget: the whole bench must fit the driver's timeout. The device attempt
+runs as a budgeted SUBPROCESS (ZIREN_BENCH_BUDGET_S, default 900 s); a
+120 s canary aborts early if the accelerator transport is wedged. On
+timeout/failure it falls back to the host prover on a smaller workload —
+still under the CORE config so the number stays comparable — and labels
+the JSON accordingly.
 """
 
 from __future__ import annotations
@@ -32,15 +40,55 @@ import subprocess
 import sys
 import time
 
+BASELINE_KHZ = 25.0  # reference CPU core-prove rate (see module docstring)
+
+
+def _emit(khz: float, *, config: str, detail: dict) -> None:
+    vs = round(khz / BASELINE_KHZ, 3) if config == "core" else None
+    detail["config"] = config
+    print(json.dumps({
+        "metric": "core_prove_khz",
+        "value": round(khz, 3),
+        "unit": "kHz",
+        "vs_baseline": vs,
+        "detail": detail,
+    }))
+
+
+def _run_child(budget: int) -> bool:
+    """Run this script as a budgeted child; True if it printed a result."""
+    import signal
+    import tempfile
+
+    env = dict(os.environ, ZIREN_BENCH_CHILD="1")
+    # file-backed stdout + process-group kill: accelerator transport
+    # helpers can inherit pipe fds and hang a pipe-based wait forever
+    with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=f, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        try:
+            proc.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
+        f.seek(0)
+        for line in f.read().splitlines():
+            if line.startswith("{"):
+                print(line)
+                return True
+    return False
+
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/ziren_jax")
     if os.environ.get("ZIREN_BENCH_CHILD") != "1":
-        import signal
-        import tempfile
-
-        budget = int(os.environ.get("ZIREN_BENCH_BUDGET_S", "2400"))
-        env = dict(os.environ, ZIREN_BENCH_CHILD="1")
+        budget = int(os.environ.get("ZIREN_BENCH_BUDGET_S", "900"))
 
         # canary: a trivial device op must complete quickly, else the
         # accelerator transport is dead (it can wedge for hours) — skip
@@ -51,41 +99,21 @@ def main():
                  "import jax, jax.numpy as jnp;"
                  "(jnp.arange(8) * 3 + 1).block_until_ready();"
                  "print('ok')"],
-                env=dict(os.environ), timeout=180, capture_output=True,
+                env=dict(os.environ), timeout=120, capture_output=True,
                 text=True, start_new_session=True,
             )
             device_alive = "ok" in canary.stdout
         except subprocess.TimeoutExpired:
             device_alive = False
-        if not device_alive:
-            budget = 0  # device attempt skipped below
-        # file-backed stdout + process-group kill: accelerator transport
-        # helpers can inherit pipe fds and hang a pipe-based wait forever
-        if budget > 0:
-            with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f:
-                proc = subprocess.Popen(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, stdout=f, stderr=subprocess.DEVNULL,
-                    start_new_session=True,
-                )
-                try:
-                    proc.wait(timeout=budget)
-                except subprocess.TimeoutExpired:
-                    try:
-                        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
-                    except (ProcessLookupError, PermissionError):
-                        proc.kill()
-                    proc.wait()
-                f.seek(0)
-                for line in f.read().splitlines():
-                    if line.startswith("{"):
-                        print(line)
-                        return
-        # fallback: host prover, smaller workload — always yields a number
+
+        if device_alive and _run_child(budget):
+            return
+        # fallback: host prover, smaller workload, SAME core config so the
+        # kHz stays an apples-to-apples production-parameter rate
         os.environ["ZIREN_DEVICE"] = "0"
         os.environ["ZIREN_BENCH_CHILD"] = "1"
-        os.environ.setdefault("ZIREN_BENCH_FIB_N", "4000")
-        os.environ.setdefault("ZIREN_BENCH_SHARD_SIZE", str(1 << 13))
+        os.environ.setdefault("ZIREN_BENCH_FIB_N", "10000")
+        os.environ.setdefault("ZIREN_BENCH_SHARD_SIZE", str(1 << 14))
 
     from ziren_tpu.executor.asm import fibonacci_program
     from ziren_tpu.machine.mips import (
@@ -94,6 +122,7 @@ def main():
         verify_mips_proof,
     )
     from ziren_tpu.stark.backend import backend_name
+    from ziren_tpu.stark.config import core_config
 
     n = int(os.environ.get("ZIREN_BENCH_FIB_N", "58218"))
     # keep shards a hair under 2^16 cycles: the branch+delay-slot rule can
@@ -102,7 +131,7 @@ def main():
     shard_size = int(os.environ.get("ZIREN_BENCH_SHARD_SIZE", str((1 << 16) - 64)))
 
     program = fibonacci_program(n)
-    machine = mips_machine()
+    machine = mips_machine(core_config())
     pk, vk = machine.setup(program)
 
     # warmup: fix the batch shape and prove the first shard — with one
@@ -123,25 +152,14 @@ def main():
 
     assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
 
-    khz = cycles / dt / 1e3
-    baseline_khz = 25.0  # reference CPU core-prove rate (see docstring)
-    print(
-        json.dumps(
-            {
-                "metric": "core_prove_khz",
-                "value": round(khz, 3),
-                "unit": "kHz",
-                "vs_baseline": round(khz / baseline_khz, 3),
-                "detail": {
-                    "workload": f"fibonacci({n})",
-                    "cycles": cycles,
-                    "shards": len(records),
-                    "prove_s": round(dt, 3),
-                    "backend": backend_name(),
-                },
-            }
-        )
-    )
+    _emit(cycles / dt / 1e3, config="core", detail={
+        "workload": f"fibonacci({n})",
+        "cycles": cycles,
+        "shards": len(records),
+        "prove_s": round(dt, 3),
+        "backend": backend_name(),
+        "fri": "log_blowup=1, 84 queries, 16 PoW bits",
+    })
 
 
 if __name__ == "__main__":

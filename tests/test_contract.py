@@ -10,6 +10,10 @@ pairing equation through the same BN254 precompile semantics
 (verifier/bn254_pairing). A proof the contract logic accepts must be
 exactly one our portable verifier accepts."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import hashlib
 import re
 
@@ -45,7 +49,9 @@ def _contract_verify(src: str, program_vkey: bytes, public_values: bytes,
         return int.from_bytes(body[off : off + 32], "big")
 
     ax, ay = word(0), word(32)
-    neg_a = (ax, 0 if ay == 0 else bp.Q - (ay % bp.Q))
+    if ax >= bp.Q or ay >= bp.Q:  # contract reverts InvalidProof
+        return False
+    neg_a = (ax, 0 if ay == 0 else bp.Q - ay)
     b_pt = (bp.FQ2((word(96), word(64))), bp.FQ2((word(160), word(128))))
     c_pt = (word(192), word(224))
     k = [(c[f"K{i}_X"], c[f"K{i}_Y"]) for i in range(3)]
@@ -103,6 +109,13 @@ def test_contract_matches_portable_verifier():
     # wrong selector rejected
     assert not _contract_verify(
         src, vkey_hash_bytes, pv_stream, b"\x00\x00\x00\x00" + prefixed[4:])
+    # malleated proof (A.y re-encoded as A.y + Q) rejected
+    ay = int.from_bytes(prefixed[36:68], "big")
+    mall = prefixed[:36] + (ay + bp.Q).to_bytes(32, "big") + prefixed[68:]
+    assert not _contract_verify(src, vkey_hash_bytes, pv_stream, mall)
+    # `fixed` is a reserved Solidity keyword; it must not appear as an
+    # identifier anywhere in the generated source
+    assert not re.search(r"\bfixed\b", src)
 
 
 def test_contract_generic_inputs():

@@ -6,6 +6,11 @@ compressed proof is only COMPLETE when the chain lands exactly on the
 deferred_proofs_digest the guest committed.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import numpy as np
 import pytest
 

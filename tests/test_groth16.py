@@ -3,6 +3,11 @@ in-house Groth16 prover (ziren_tpu/snark): bilinearity, gnark byte-format
 round-trips against the reference's committed vk artifacts, and a full
 setup -> prove -> verify -> tamper cycle."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import json
 import os
 

@@ -5,6 +5,11 @@ prover is platform-generic jnp code, so CPU execution checks the exact same
 computation graph that runs on TPU.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import os
 
 import numpy as np

@@ -1,6 +1,11 @@
 """Multi-shard continuation: sharded execution, per-shard proofs, the septic
 global memory argument, and public-value chaining."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import numpy as np
 import pytest
 

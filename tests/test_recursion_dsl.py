@@ -1,6 +1,11 @@
 """Recursion DSL tracer + interpreter (round-2 groundwork, see
 docs/recursion_design.md)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import os
 
 import numpy as np

@@ -6,6 +6,11 @@ Reference: crates/recursion/circuit/src/machine/core.rs (lift),
 machine/compress.rs (join), crates/prover/src/verify.rs (root checks).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import copy
 
 import numpy as np

@@ -6,6 +6,10 @@ jitted shard_map. Proofs must verify AND be bit-identical to the eager
 device prover on same-shaped records.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 
 from test_jprover import assert_proofs_equal

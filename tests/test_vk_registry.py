@@ -2,6 +2,10 @@
 host, and the in-circuit membership gadget proving on the recursion
 machine (recursion/vk_registry.py)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 
 from ziren_tpu.recursion.vk_registry import (

@@ -2,6 +2,11 @@
 config, verified end to end with digest binding (sdk.verify_wrapped), plus
 the wrap verifier compiled to a satisfiable R1CS (snark/wrap_circuit.py)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import os
 
 import pytest

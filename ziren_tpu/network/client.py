@@ -5,9 +5,9 @@ locally)."""
 
 from __future__ import annotations
 
-import pickle
 import urllib.request
 
+from ziren_tpu.network import wire
 from ziren_tpu.sdk import ProverClient, ZirenVerifyingKey
 
 
@@ -41,12 +41,14 @@ class NetworkProver:
 
     def _call(self, method: str, req: dict) -> dict:
         url = f"{self.endpoint}/twirp/ProverService/{method}"
-        data = pickle.dumps(req)
+        data = wire.dumps(req)
         http_req = urllib.request.Request(
             url, data=data,
             headers={"Content-Type": "application/octet-stream"})
         with urllib.request.urlopen(http_req, timeout=self.timeout) as resp:
-            envelope = pickle.loads(resp.read())
+            # allowlisted deserialization: a malicious/MITM'd server must
+            # not get code execution on the client either
+            envelope = wire.loads(resp.read())
         if not envelope.get("ok"):
             raise NetworkProverError(envelope.get("error", "remote failure"))
         return envelope["result"]

@@ -4,32 +4,37 @@ server wiring).
 
 A ThreadingHTTPServer wrapping one in-process ProverClient. Method routes
 mirror the reference's twirp layout (`/twirp/ProverService/<Method>`);
-payloads are binary-pickled dicts — the bincode analogue, appropriate for
-the same trust domain the reference uses it in (a local container / a
-machine-room DCN link), NOT the open internet.
+payloads are pickled dicts DESERIALIZED THROUGH AN ALLOWLIST
+(network/wire.py) so a request body cannot smuggle arbitrary callables —
+the data-only posture of the reference's bincode payloads. Binds loopback
+by default; intended for the trust domain the reference uses it in (a
+local container / a machine-room DCN link), NOT the open internet.
 
 Programs/keys are registered once per Setup and addressed by a program id
-(sha256 of the instruction words) so ProveCore requests stay small — the
-reference keeps proving keys server-side the same way (api.proto
-SetupRequest/ProveCoreRequest)."""
+(sha256 of the decoded instructions + load base + memory image) so
+ProveCore requests stay small — the reference keeps proving keys
+server-side the same way (api.proto SetupRequest/ProveCoreRequest)."""
 
 from __future__ import annotations
 
 import hashlib
-import pickle
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from ziren_tpu.network import wire
 from ziren_tpu.sdk import ProverClient, ZirenStdin
 
 
 def program_id(program) -> str:
-    """sha256 over the decoded instruction stream + entry pc — the Setup
-    handle (asm-built programs have no raw words, so hash the decoded
-    fields, which are what the Program chip commits to)."""
+    """sha256 over everything the preprocessed commitment binds: entry pc,
+    load base, the decoded instruction stream (asm-built programs have no
+    raw words, so hash the decoded fields, which are what the Program chip
+    commits to), AND the initial memory image — two guests with identical
+    code but different data sections must not collide, or Setup would
+    silently reuse the first program's proving key."""
     h = hashlib.sha256()
-    h.update(struct.pack("<I", program.pc_start))
+    h.update(struct.pack("<II", program.pc_start, program.pc_base))
     for ins in program.instructions:
         h.update(struct.pack(
             "<IIIIBB", ins.opcode.value & 0xFFFFFFFF,
@@ -37,6 +42,9 @@ def program_id(program) -> str:
             ins.op_c & 0xFFFFFFFF,
             int(ins.imm_b), int(ins.imm_c),
         ))
+    for addr in sorted(program.image):
+        h.update(struct.pack("<II", addr & 0xFFFFFFFF,
+                             program.image[addr] & 0xFFFFFFFF))
     return h.hexdigest()
 
 
@@ -123,11 +131,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         length = int(self.headers.get("Content-Length", "0"))
         try:
-            req = pickle.loads(self.rfile.read(length)) if length else {}
+            req = wire.loads(self.rfile.read(length)) if length else {}
             resp = handler(req)
-            body = pickle.dumps({"ok": True, "result": resp})
+            body = wire.dumps({"ok": True, "result": resp})
         except Exception as e:  # error envelope, twirp-style
-            body = pickle.dumps({"ok": False, "error": repr(e)})
+            body = wire.dumps({"ok": False, "error": repr(e)})
         self.send_response(200)
         self.send_header("Content-Type", "application/octet-stream")
         self.send_header("Content-Length", str(len(body)))

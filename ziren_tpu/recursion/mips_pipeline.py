@@ -516,9 +516,18 @@ def verify_compressed(machine, vk, rec_machine, rec_vk, final_sp,
     its RPV pins the expected MIPS vk and program entry, and is_complete=1
     (which in-circuit implies shard 1..halt coverage, exit 0 and a balanced
     septic digest). vk_root (when given) must match the RPV's registry-root
-    field — the single trust anchor for which lift verifiers were allowed
-    (reference verify.rs vk Merkle-root check). Returns the
-    committed_value_digest bytes."""
+    field, which pins the LIFT vks the tree's first-layer joins accepted
+    (reference verify.rs vk Merkle-root check).
+
+    TRUST MODEL: rec_vk itself (the root join/lift verifier) is NOT checked
+    against the registry here — the registry holds lift vks only, and a
+    prover who substitutes an arbitrary recursion program could emit any
+    RPV including any vk_root. The CONSUMER must therefore pin rec_vk
+    out-of-band (it is a deterministic function of the machine + shape
+    universe, like the reference's vk_map members); vk_root alone is not a
+    sufficient trust anchor until join vks are enumerated into the registry
+    (reference crates/prover/src/shapes.rs build_vk_map covers compress
+    shapes too). Returns the committed_value_digest bytes."""
     from ziren_tpu.stark.proof import MachineProof
     from ziren_tpu.stark.verifier import VerificationError
 
