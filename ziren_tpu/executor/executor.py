@@ -570,7 +570,12 @@ class Executor:
         for rec in records:
             rec.public_values.committed_value_digest = list(digest)
             rec.public_values.exit_code = self.exit_code
-        return records
+        # deferred-event split: move large init/finalize sets into
+        # standalone memory shards + populate the addr-bits pv chain
+        from .split import finalize_memory
+
+        self.records = finalize_memory(records)
+        return self.records
 
     def postprocess(self):
         self.record.shard_initial = dict(self.shard_initial)
@@ -598,6 +603,11 @@ class Executor:
         pv.deferred_proofs_digest = list(self.deferred_digest[:8]) + [0] * max(
             0, 8 - len(self.deferred_digest)
         )
+        # this record carries the memory endpoints: bind the addr-bit chain
+        from .split import ensure_zero_address, set_last_memory_bits
+
+        ensure_zero_address(self.record)
+        set_last_memory_bits(self.record)
 
     # -- ALU semantics -----------------------------------------------------
     @staticmethod

@@ -271,6 +271,10 @@ class NativeExecutor:
         pv = record.public_values
         pv.start_pc = self.program.pc_start
         pv.next_pc = lib.ziren_exec_pc(h)
+        from .split import ensure_zero_address, set_last_memory_bits
+
+        ensure_zero_address(record)
+        set_last_memory_bits(record)
         pv.exit_code = lib.ziren_exec_exit_code(h)
         pv.shard = 1
         pv.execution_shard = 1
@@ -351,11 +355,15 @@ class NativeExecutor:
             )
             records.append(rec)
             lo = end
-        # memory init/finalize events live in the last record
+        # memory init/finalize events land in the last record, then the
+        # split pass redistributes them (bit-exact vs the python executor:
+        # both run the same post-pass)
         records[-1].mem_init = full.mem_init
         records[-1].mem_final = full.mem_final
-        self.records = records
-        return records
+        from .split import finalize_memory
+
+        self.records = finalize_memory(records)
+        return self.records
 
     def peek_register(self, reg: int) -> int:
         return int(self.lib.ziren_exec_peek(self.h, reg))

@@ -55,6 +55,7 @@ def _recv_alu(b, L, opcode_expr):
 
 class AddSubChip(Air):
     name = "AddSub"
+    cycle_chip = True
     OPS = (Opcode.ADD, Opcode.SUB)
     COLS = _passthrough_layout().add("is_add").add("is_sub").add("carry", 4)
     width = COLS.width
@@ -106,6 +107,7 @@ class AddSubChip(Air):
 
 class BitwiseChip(Air):
     name = "Bitwise"
+    cycle_chip = True
     OPS = (Opcode.AND, Opcode.OR, Opcode.XOR, Opcode.NOR)
     COLS = (
         _passthrough_layout().add("is_and").add("is_or").add("is_xor").add("is_nor")
@@ -162,6 +164,7 @@ class LtChip(Air):
     flips the result when the sign bits differ."""
 
     name = "Lt"
+    cycle_chip = True
     OPS = (Opcode.SLT, Opcode.SLTU)
     COLS = (
         _passthrough_layout()

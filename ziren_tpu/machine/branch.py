@@ -36,6 +36,7 @@ COLS.add("is_real")
 
 class BranchChip(Air):
     name = "Branch"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

@@ -78,6 +78,7 @@ _IMMUTABLE_OPS = BRANCH_OPCODES | (STORE_OPCODES - {Opcode.SC}) | {Opcode.TEQ}
 
 class CpuChip(Air):
     name = "Cpu"
+    cycle_chip = True
     width = COLS.width
 
     def generate_dependencies(self, record, output):

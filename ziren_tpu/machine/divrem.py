@@ -52,6 +52,7 @@ def _s32(x):
 
 class DivRemChip(Air):
     name = "DivRem"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

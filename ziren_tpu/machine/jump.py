@@ -29,6 +29,7 @@ COLS.add("is_real")
 
 class JumpChip(Air):
     name = "Jump"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

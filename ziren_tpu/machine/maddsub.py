@@ -40,6 +40,7 @@ def _s32(x):
 
 class MaddSubChip(Air):
     name = "MaddSub"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

@@ -47,6 +47,7 @@ _HALF_OPS = (Opcode.LH, Opcode.LHU, Opcode.SH)
 
 class MemoryInstructionsChip(Air):
     name = "MemoryInstructions"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

@@ -21,6 +21,12 @@ PV_NEXT_PC = 41
 PV_EXIT_CODE = 42
 PV_SHARD = 43
 PV_EXECUTION_SHARD = 44
+# memory init/finalize address chains, 32 little-endian bits each
+# (reference air/public_values.rs:22-60; constrained by memory_global.py)
+PV_PREV_INIT_ADDR = 45
+PV_LAST_INIT_ADDR = 77
+PV_PREV_FIN_ADDR = 109
+PV_LAST_FIN_ADDR = 141
 
 
 def instruction_message(

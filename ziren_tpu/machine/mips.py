@@ -92,44 +92,87 @@ def mips_machine(config=None) -> StarkMachine:
 
 def verify_mips_proof(machine, vk, proof, pc_start=None):
     """machine.verify + the cross-shard public-value chaining rules
-    (reference: crates/prover/src/verify.rs:120-298)."""
+    (reference: crates/prover/src/verify.rs:60-298). Shards come in two
+    kinds: execution shards (contain the Cpu chip) and standalone memory
+    shards from deferred-event splitting (no Cpu; carry MemoryInit/Final
+    endpoints and chain the addr-bits pv fields)."""
     from ziren_tpu.stark.verifier import VerificationError
     from .messages import (
         PV_EXECUTION_SHARD,
         PV_EXIT_CODE,
+        PV_LAST_FIN_ADDR,
+        PV_LAST_INIT_ADDR,
         PV_NEXT_PC,
+        PV_PREV_FIN_ADDR,
+        PV_PREV_INIT_ADDR,
         PV_SHARD,
         PV_START_PC,
     )
 
     machine.verify(vk, proof)
     shards = proof.shard_proofs
-    # chips a shard proof may never omit (reference verify.rs: the CPU /
-    # memory / global chips are mandatory; event-driven chips are optional
-    # because omitting one with live events breaks the lookup balance)
-    required = {"Program", "Cpu", "Byte", "MemoryInit", "MemoryFinal",
-                "MemoryLocal", "Global"}
+    if len(shards) > 1 << 16:
+        raise VerificationError("too many shards")
+    # chips a shard proof may never omit (reference verify.rs: omitting an
+    # event-driven chip with live events breaks the lookup balance / septic
+    # digest, so only the always-on chips need an explicit presence check)
+    required = {"Program", "Byte", "MemoryLocal", "Global"}
     for i, sp in enumerate(shards):
-        missing = required - set(sp.chip_names)
+        names = set(sp.chip_names)
+        missing = required - names
         if missing:
             raise VerificationError(f"shard {i}: missing chips {sorted(missing)}")
+        if "Cpu" not in names and not ({"MemoryInit", "MemoryFinal"} & names):
+            raise VerificationError(f"shard {i}: no Cpu and no memory endpoints")
+
     digest0 = shards[0].public_values[:40]
+    exec_shard = 0
+    prev_last_init = [0] * 32
+    prev_last_fin = [0] * 32
     for i, sp in enumerate(shards):
         pv = sp.public_values
-        if pv[PV_SHARD] != i + 1 or pv[PV_EXECUTION_SHARD] != i + 1:
+        names = set(sp.chip_names)
+        has_cpu = "Cpu" in names
+        if pv[PV_SHARD] != i + 1:
             raise VerificationError(f"shard {i}: bad shard numbering")
+        # execution shard increments exactly on Cpu shards
+        if has_cpu:
+            exec_shard += 1
+            if pv[PV_EXECUTION_SHARD] != exec_shard:
+                raise VerificationError(f"shard {i}: bad execution shard")
         if pv[:40] != digest0:
             raise VerificationError(f"shard {i}: committed digest mismatch")
+        # pc chaining
         if i > 0 and pv[PV_START_PC] != shards[i - 1].public_values[PV_NEXT_PC]:
             raise VerificationError(f"shard {i}: pc chain broken")
-        if i > 0 and pv[PV_START_PC] == 0:
+        # (i > 0: synthetic test programs legitimately enter at pc 0)
+        if i > 0 and has_cpu and pv[PV_START_PC] == 0:
             raise VerificationError(f"shard {i}: started after halt")
+        if not has_cpu and pv[PV_START_PC] != pv[PV_NEXT_PC]:
+            raise VerificationError(f"shard {i}: non-cpu shard moved pc")
+        if pv[PV_EXIT_CODE] != 0:
+            raise VerificationError(f"shard {i}: nonzero exit code")
+        # memory init/finalize addr-bits chain (reference verify.rs:188-232)
+        pi = pv[PV_PREV_INIT_ADDR : PV_PREV_INIT_ADDR + 32]
+        li = pv[PV_LAST_INIT_ADDR : PV_LAST_INIT_ADDR + 32]
+        pf = pv[PV_PREV_FIN_ADDR : PV_PREV_FIN_ADDR + 32]
+        lf = pv[PV_LAST_FIN_ADDR : PV_LAST_FIN_ADDR + 32]
+        for bit in (*pi, *li, *pf, *lf):
+            if bit not in (0, 1):
+                raise VerificationError(f"shard {i}: non-boolean addr bit")
+        if list(pi) != prev_last_init:
+            raise VerificationError(f"shard {i}: init addr-bit chain broken")
+        if list(pf) != prev_last_fin:
+            raise VerificationError(f"shard {i}: finalize addr-bit chain broken")
+        if "MemoryInit" not in names and list(li) != list(pi):
+            raise VerificationError(f"shard {i}: init bits moved without chip")
+        if "MemoryFinal" not in names and list(lf) != list(pf):
+            raise VerificationError(f"shard {i}: finalize bits moved without chip")
+        prev_last_init, prev_last_fin = list(li), list(lf)
     if pc_start is not None and shards[0].public_values[PV_START_PC] != pc_start:
         raise VerificationError("first shard start_pc != program entry")
     if shards[-1].public_values[PV_NEXT_PC] != 0:
         raise VerificationError("last shard did not halt")
-    if shards[-1].public_values[PV_EXIT_CODE] != 0:
-        raise VerificationError("nonzero exit code")
     return True
 
 

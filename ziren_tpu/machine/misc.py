@@ -97,6 +97,7 @@ class MiscChip(Air):
     shift/add sub-operations (reference: misc/others/air.rs eval_ext/eval_ins)."""
 
     name = "MiscInstrs"
+    cycle_chip = True
     OPS = (Opcode.SEXT, Opcode.WSBH, Opcode.TEQ, Opcode.EXT, Opcode.INS)
     COLS = _base_cols()
     COLS.add("is_sext").add("is_wsbh").add("is_teq").add("is_ext").add("is_ins")
@@ -289,6 +290,7 @@ class MovCondChip(Air):
     """MEQ (MOVZ): a = (c == 0) ? b : prev_a; MNE (MOVN): inverse."""
 
     name = "MovCond"
+    cycle_chip = True
     OPS = (Opcode.MEQ, Opcode.MNE)
     COLS = _base_cols()
     COLS.add("is_meq").add("is_mne").add("mov")
@@ -351,6 +353,7 @@ class CloClzChip(Air):
     bit-decomposition documented here)."""
 
     name = "CloClz"
+    cycle_chip = True
     OPS = (Opcode.CLZ, Opcode.CLO)
     COLS = _base_cols(extra_words=())
     COLS.add("is_clz").add("is_clo")

@@ -32,6 +32,7 @@ COLS.add("is_real")
 
 class MulChip(Air):
     name = "Mul"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

@@ -72,6 +72,7 @@ def _eval_bits(b, L, is_real):
 
 class ShiftLeftChip(Air):
     name = "ShiftLeft"
+    cycle_chip = True
     COLS = Layout().add("pc").add("next_pc").add("next_next_pc")
     COLS.word("a").word("b").word("c")
     _bits_layout(COLS)
@@ -153,6 +154,7 @@ SR_FLAGS = ["is_srl", "is_sra", "is_ror"]
 
 class ShiftRightChip(Air):
     name = "ShiftRight"
+    cycle_chip = True
     COLS = Layout().add("pc").add("next_pc").add("next_next_pc")
     COLS.word("a").word("b").word("c")
     _bits_layout(COLS)

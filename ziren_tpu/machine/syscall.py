@@ -93,6 +93,7 @@ COLS.add("is_real")
 
 class SyscallChip(Air):
     name = "SyscallInstrs"
+    cycle_chip = True
     width = COLS.width
 
     def _rows(self, record):

@@ -103,6 +103,10 @@ def _is_complete(rpv) -> bool:
         and rpv[RPV_NEXT_PC] == 0
         and rpv[RPV_EXIT_CODE] == 0
         and rpv[RPV_START_PC] == rpv[RPV_PC_START]
+        # the memory address chains anchor at zero (bootstrap), so the
+        # per-shard strict orderings compose into one global ordering
+        and all(v == 0 for v in rpv[RPV_PREV_INIT_ADDR : RPV_PREV_INIT_ADDR + 32])
+        and all(v == 0 for v in rpv[RPV_PREV_FIN_ADDR : RPV_PREV_FIN_ADDR + 32])
         and S.digest_is_zero((gx, gy))
         # every VERIFY_ZKM_PROOF claim is discharged: the deferred chain
         # starts at zero and reconstructs the claimed digest
@@ -136,8 +140,11 @@ def shard_rpv(machine, vk, shard_proof, reconstruct_digest=None,
     rpv[RPV_NEXT_PC] = pv[PV_NEXT_PC]
     rpv[RPV_START_SHARD] = pv[PV_SHARD]
     rpv[RPV_NEXT_SHARD] = pv[PV_SHARD] + 1
+    # the execution-shard counter advances only across Cpu shards
+    # (standalone memory shards from deferred splitting carry it unchanged)
+    has_cpu = "Cpu" in shard_proof.chip_names
     rpv[RPV_START_EXEC_SHARD] = pv[PV_EXECUTION_SHARD]
-    rpv[RPV_NEXT_EXEC_SHARD] = pv[PV_EXECUTION_SHARD] + 1
+    rpv[RPV_NEXT_EXEC_SHARD] = pv[PV_EXECUTION_SHARD] + (1 if has_cpu else 0)
     rpv[RPV_PREV_INIT_ADDR : RPV_PREV_INIT_ADDR + 32] = pv[
         PV_PREV_INIT_ADDR : PV_PREV_INIT_ADDR + 32
     ]
@@ -252,6 +259,9 @@ def _bind_completeness(t, rpv, digest_point):
         t.assert_eq(
             ic * (rpv[RPV_END_RECON + i] - rpv[RPV_DEFERRED + i]), zero
         )
+    for i in range(32):
+        t.assert_eq(ic * rpv[RPV_PREV_INIT_ADDR + i], zero)
+        t.assert_eq(ic * rpv[RPV_PREV_FIN_ADDR + i], zero)
     assert_digest_zero(t, ic, digest_point)
 
 
@@ -295,11 +305,27 @@ def lift_shard(machine, vk, shard_proof, config=None,
     t.assert_eq(rpv[RPV_START_SHARD], pv_h[PV_SHARD])
     t.assert_eq(rpv[RPV_NEXT_SHARD], pv_h[PV_SHARD] + 1)
     t.assert_eq(rpv[RPV_START_EXEC_SHARD], pv_h[PV_EXECUTION_SHARD])
-    t.assert_eq(rpv[RPV_NEXT_EXEC_SHARD], pv_h[PV_EXECUTION_SHARD] + 1)
+    # chip presence is static per proof shape (part of the lift's shape
+    # key), so the per-kind rules compile into the traced program
+    # (reference circuit/machine/core.rs shard-kind constraints)
+    has_cpu = "Cpu" in shard_proof.chip_names
+    if has_cpu:
+        t.assert_eq(rpv[RPV_NEXT_EXEC_SHARD], pv_h[PV_EXECUTION_SHARD] + 1)
+    else:
+        t.assert_eq(rpv[RPV_NEXT_EXEC_SHARD], pv_h[PV_EXECUTION_SHARD])
+        # a non-cpu (memory) shard cannot move the pc
+        t.assert_eq(pv_h[PV_START_PC], pv_h[PV_NEXT_PC])
     eq_range(RPV_PREV_INIT_ADDR, PV_PREV_INIT_ADDR, 32)
     eq_range(RPV_LAST_INIT_ADDR, PV_LAST_INIT_ADDR, 32)
     eq_range(RPV_PREV_FIN_ADDR, PV_PREV_FIN_ADDR, 32)
     eq_range(RPV_LAST_FIN_ADDR, PV_LAST_FIN_ADDR, 32)
+    # shards without memory endpoint chips must carry the chains unchanged
+    if "MemoryInit" not in shard_proof.chip_names:
+        for i in range(32):
+            t.assert_eq(pv_h[PV_PREV_INIT_ADDR + i], pv_h[PV_LAST_INIT_ADDR + i])
+    if "MemoryFinal" not in shard_proof.chip_names:
+        for i in range(32):
+            t.assert_eq(pv_h[PV_PREV_FIN_ADDR + i], pv_h[PV_LAST_FIN_ADDR + i])
     t.assert_eq(rpv[RPV_EXIT_CODE], pv_h[PV_EXIT_CODE])
     # core leaves carry the deferred reconstruct digest unchanged
     for i in range(8):
@@ -437,8 +463,7 @@ def join(side_a, side_b, config=None, registry=None,
     return rm, rvk, rproof.shard_proofs[0]
 
 
-REQUIRED_CHIPS = {"Program", "Cpu", "Byte", "MemoryInit", "MemoryFinal",
-                  "MemoryLocal", "Global"}
+REQUIRED_CHIPS = {"Program", "Byte", "MemoryLocal", "Global"}
 
 
 def build_lift_registry(machine, vk, shard_proofs, config=None):

@@ -33,6 +33,9 @@ class Air:
     preprocessed_width: int = 0
     local_only: bool = False
     commit_scope = LookupScope.Local
+    # cycle-driven chips leave shards with no execution cycles (standalone
+    # memory/precompile shards from deferred-event splitting have none)
+    cycle_chip: bool = False
 
     def eval(self, b):
         raise NotImplementedError
@@ -52,7 +55,7 @@ class Air:
         pass
 
     def included(self, record) -> bool:
-        return True
+        return not self.cycle_chip or record.num_cycles > 0
 
     def num_rows(self, record):
         """Real (pre-padding) trace rows for this record, or None when

@@ -115,11 +115,12 @@ def round_up_cluster(log_h: int, grid: int = 1) -> int:
 def fix_shape(machine, records, grid: int = 1):
     """Generate traces for every record at a common per-chip shape.
 
-    Returns (shape, [per-record [(chip, trace)]]). All records must include
-    the same chip set (shards of one continuation run do). Chips with a
-    preprocessed trace keep their natural height (it is pinned by the vk);
-    others are padded to the per-chip max over the batch, rounded up to the
-    `grid` log-height cluster.
+    Returns (shape, [per-record [(chip, trace)]]). Records may include
+    different chip sets (deferred-event splitting yields cpu-less memory
+    shards); each chip's target is the max over the records that include
+    it. Chips with a preprocessed trace keep their natural height (it is
+    pinned by the vk); others are padded to the per-chip max over the
+    batch, rounded up to the `grid` log-height cluster.
     """
     if len(records) > 1:
         # trace generation is numpy-heavy (releases the GIL): shards
@@ -135,11 +136,7 @@ def fix_shape(machine, records, grid: int = 1):
             )
     else:
         per_record = [_gen_traces(machine, r) for r in records]
-    names0 = [c.name for c, _ in per_record[0]]
-    for traces in per_record[1:]:
-        assert [c.name for c, _ in traces] == names0, (
-            "fix_shape needs a uniform chip set across records"
-        )
+    machine_order = {c.name: i for i, c in enumerate(machine.chips)}
 
     targets = {}
     for traces in per_record:
@@ -169,7 +166,10 @@ def fix_shape(machine, records, grid: int = 1):
 
     shape = Shape(
         tuple(
-            sorted(targets.items(), key=lambda kv: (-kv[1], names0.index(kv[0])))
+            sorted(
+                targets.items(),
+                key=lambda kv: (-kv[1], machine_order[kv[0]]),
+            )
         )
     )
     return shape, fixed
