@@ -1,0 +1,108 @@
+"""In-house Plonk+KZG over BN254 (snark/plonk.py) against the ported
+reference verifier (verifier/plonk.py — crates/verifier/src/plonk)."""
+
+import pytest
+
+from ziren_tpu.snark.circuit import CircuitBuilder
+from ziren_tpu.snark.plonk import from_r1cs, prove, setup
+from ziren_tpu.verifier.plonk import (
+    PlonkError,
+    load_proof,
+    load_vk,
+    verify_plonk,
+)
+
+
+def _cubic_circuit(x_val=3):
+    """x^3 + x + 5 == out, out public."""
+    bld = CircuitBuilder()
+    out = bld.public(x_val**3 + x_val + 5)
+    x = bld.wit(x_val)
+    x2 = bld.mul(x, x)
+    x3 = bld.mul(x2, x)
+    bld.assert_zero_var(x3 + x + bld.const(5) - out)
+    assert bld.check()
+    return bld
+
+
+def _prove_cubic():
+    bld = _cubic_circuit()
+    cs, publics = from_r1cs(bld.to_r1cs(), bld.witness)
+    pk = setup(cs)
+    return prove(pk, publics), pk.vk_bytes, publics
+
+
+def test_plonk_e2e_roundtrip():
+    proof, vk_bytes, publics = _prove_cubic()
+    assert verify_plonk(proof, vk_bytes, publics)
+
+
+def test_plonk_byte_layouts_parse():
+    proof, vk_bytes, publics = _prove_cubic()
+    vk = load_vk(vk_bytes)
+    assert vk.nb_public == 1
+    assert vk.size >= 6 and vk.size & (vk.size - 1) == 0
+    p = load_proof(proof)
+    assert len(p.claimed_values) == 5
+    assert len(proof) == 768
+
+
+def test_plonk_rejects_wrong_public_input():
+    proof, vk_bytes, publics = _prove_cubic()
+    with pytest.raises(PlonkError):
+        verify_plonk(proof, vk_bytes, [publics[0] + 1])
+
+
+def test_plonk_rejects_tampered_proof():
+    proof, vk_bytes, publics = _prove_cubic()
+    from ziren_tpu.verifier.groth16 import Groth16Error
+
+    for off in (0, 200, 384 + 16, 520):  # lro commit, h, claimed value, z
+        bad = bytearray(proof)
+        bad[off + 20] ^= 1
+        # an off-curve point is rejected at parse time (Groth16Error from
+        # the shared point codec); an on-curve tamper fails the pairing
+        with pytest.raises((PlonkError, Groth16Error)):
+            verify_plonk(bytes(bad), vk_bytes, publics)
+
+
+def test_plonk_wider_circuit_with_bits():
+    """Exercise addition-gate chains (bit decompositions are wide LCs)."""
+    bld = CircuitBuilder()
+    val = 0xDEADBEEF
+    out = bld.public(val)
+    x = bld.wit(val)
+    bits = bld.bits_of(x, 32)
+    acc = bld.const(0)
+    for i, b in enumerate(bits):
+        acc = acc + b.scale(1 << i)
+    bld.assert_zero_var(acc - out)
+    assert bld.check()
+    cs, publics = from_r1cs(bld.to_r1cs(), bld.witness)
+    pk = setup(cs)
+    proof = prove(pk, publics)
+    assert verify_plonk(proof, pk.vk_bytes, publics)
+
+
+@pytest.mark.slow
+def test_plonk_wrap_proof():
+    """The full ladder: core -> compress -> shrink -> wrap -> Plonk
+    (the reference's wrap_plonk_bn254 stage)."""
+    from ziren_tpu.executor.asm import fibonacci_program
+    from ziren_tpu.sdk import ProverClient, ZirenStdin
+
+    client = ProverClient(config="dev")
+    program = fibonacci_program(30)
+    pk, vk = client.setup(program)
+    proof = client.prove(pk, ZirenStdin())
+    compressed = client.compressed_prove(pk, ZirenStdin())
+    shrunk = client.shrink_prove(compressed)
+    wrapped = client.wrap_prove(shrunk)
+    artifact = client.plonk_prove(wrapped)
+    assert client.plonk_verify(artifact)
+    bad = dict(artifact)
+    bad["public_inputs"] = [int(artifact["public_inputs"][0]) + 1] + list(
+        artifact["public_inputs"][1:]
+    )
+    with pytest.raises(PlonkError):
+        client.plonk_verify(bad)

@@ -32,6 +32,51 @@ from ziren_tpu.core import poseidon2 as p2
 P = F.P_INT
 
 
+# -- pure-int ext4 arithmetic (x^4 = 3) -------------------------------------
+# The tracer evaluates every op inline as python ints; routing 4-element ops
+# through numpy cost ~90us each in per-call overhead (the lift hot loop runs
+# ~100k of them). These mirror core/ext.py exactly over int 4-lists.
+
+
+def _pemul(a, b):
+    a0, a1, a2, a3 = a
+    b0, b1, b2, b3 = b
+    return [
+        (a0 * b0 + 3 * (a1 * b3 + a2 * b2 + a3 * b1)) % P,
+        (a0 * b1 + a1 * b0 + 3 * (a2 * b3 + a3 * b2)) % P,
+        (a0 * b2 + a1 * b1 + a2 * b0 + 3 * a3 * b3) % P,
+        (a0 * b3 + a1 * b2 + a2 * b1 + a3 * b0) % P,
+    ]
+
+
+_PGAMMA = pow(3, (P - 1) // 4, P)
+_PFROB = [
+    [pow(pow(_PGAMMA, k, P), i, P) for i in range(4)] for k in range(4)
+]
+
+
+def _peinv(a):
+    def frob(x, k):
+        g = _PFROB[k]
+        return [x[i] * g[i] % P for i in range(4)]
+
+    b = _pemul(frob(a, 1), frob(a, 2))
+    b = _pemul(b, frob(a, 3))
+    n0 = _pemul(a, b)[0]
+    inv = pow(n0, P - 2, P)
+    return [x * inv % P for x in b]
+
+
+def _p2_single(vals16):
+    """One Poseidon2 permutation over int lists (native C when available)."""
+    from ziren_tpu.core import p2_native
+
+    if p2_native.available():
+        st = np.array(vals16, dtype=np.uint32).reshape(1, 16)
+        return [int(x) for x in p2_native.permute(st)[0]]
+    return [int(x) for x in p2.permute(np.array(vals16, dtype=np.uint32))]
+
+
 class Op(IntEnum):
     CONST = 0
     ADD = 1
@@ -186,36 +231,42 @@ class Tracer:
             v[dst] = (v[a] * v[b]) % P
         elif op == Op.INV:
             v[dst] = pow(v[a], P - 2, P)
-        elif op in (Op.EADD, Op.ESUB, Op.EMUL, Op.EINV,
-                    Op.EADDB, Op.ESUBB, Op.EMULB):
-            fn = {Op.EADD: E.eadd, Op.ESUB: E.esub, Op.EMUL: E.emul,
-                  Op.EADDB: E.eadd, Op.ESUBB: E.esub, Op.EMULB: E.emul}.get(op)
-            x = np.array(v[a : a + 4], dtype=np.uint32)
-            if op == Op.EINV:
-                r = E.einv(x)
-            elif op in (Op.EADDB, Op.ESUBB, Op.EMULB):
-                y = np.array([v[b], 0, 0, 0], dtype=np.uint32)
-                r = fn(x, y)
-            else:
-                r = fn(x, np.array(v[b : b + 4], dtype=np.uint32))
-            v[dst : dst + 4] = [int(q) for q in r]
+        elif op == Op.EADD:
+            v[dst : dst + 4] = [(x + y) % P for x, y in
+                                zip(v[a : a + 4], v[b : b + 4])]
+        elif op == Op.ESUB:
+            v[dst : dst + 4] = [(x - y) % P for x, y in
+                                zip(v[a : a + 4], v[b : b + 4])]
+        elif op == Op.EMUL:
+            v[dst : dst + 4] = _pemul(v[a : a + 4], v[b : b + 4])
+        elif op == Op.EADDB:
+            v[dst] = (v[a] + v[b]) % P
+            v[dst + 1 : dst + 4] = v[a + 1 : a + 4]
+        elif op == Op.ESUBB:
+            v[dst] = (v[a] - v[b]) % P
+            v[dst + 1 : dst + 4] = v[a + 1 : a + 4]
+        elif op == Op.EMULB:
+            s = v[b]
+            v[dst : dst + 4] = [x * s % P for x in v[a : a + 4]]
+        elif op == Op.EINV:
+            v[dst : dst + 4] = _peinv(v[a : a + 4])
         elif op == Op.POSEIDON2:
             ids = self.p2_inputs[a]
-            r = p2.permute(np.array([v[i] for i in ids], dtype=np.uint32))
-            v[dst : dst + 16] = [int(q) for q in r]
+            v[dst : dst + 16] = _p2_single([v[i] for i in ids])
         elif op == Op.SELECT8:
             cond, a8, b8 = self.sel8_inputs[a]
+            src = a8 if v[cond] else b8
             for k in range(8):
-                v[dst + k] = v[a8[k]] if v[cond] else v[b8[k]]
+                v[dst + k] = v[src[k]]
         elif op == Op.FFOLD:
             acc, ap, alpha, ys, row = self.ffold_inputs[a]
-            av = np.array(v[acc : acc + 4], dtype=np.uint32)
-            pv_ = np.array(v[ap : ap + 4], dtype=np.uint32)
-            al = np.array(v[alpha : alpha + 4], dtype=np.uint32)
-            yv = np.array(v[ys : ys + 4], dtype=np.uint32)
-            d = E.esub(yv, np.array([v[row], 0, 0, 0], dtype=np.uint32))
-            v[dst : dst + 4] = [int(q) for q in E.eadd(av, E.emul(pv_, d))]
-            v[dst + 4 : dst + 8] = [int(q) for q in E.emul(pv_, al)]
+            pv_ = v[ap : ap + 4]
+            d = list(v[ys : ys + 4])
+            d[0] = (d[0] - v[row]) % P
+            pd = _pemul(pv_, d)
+            v[dst : dst + 4] = [(x + y) % P for x, y in
+                                zip(v[acc : acc + 4], pd)]
+            v[dst + 4 : dst + 8] = _pemul(pv_, v[alpha : alpha + 4])
         elif op == Op.EXPREV:
             bit_ids, factors = self.exprev_inputs[a]
             acc = 1

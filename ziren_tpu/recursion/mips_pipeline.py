@@ -514,19 +514,44 @@ def compress(machine, vk, machine_proof, config=None,
                                      setup_only=True)
             registry.membership(rvk.commit)
     root = [int(v) for v in registry.root]
-    layer = [
-        lift_shard(machine, vk, sp, config=config,
-                   reconstruct_digest=reconstruct_digest, vk_root=root)
-        for sp in shard_proofs
-    ]
+    # worker-pool tree reduce (reference prover/src/lib.rs:649-830): lifts
+    # are independent, as are the joins within one layer. The setup caches
+    # are pre-warmed above (setup-only lifts), so workers only trace+prove;
+    # tracing is GIL-bound but the prove legs (numpy/native/device) overlap.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("ZIREN_RECURSION_WORKERS",
+                                 str(min(len(shard_proofs), os.cpu_count() or 4))))
+
+    def one_lift(sp):
+        return lift_shard(machine, vk, sp, config=config,
+                          reconstruct_digest=reconstruct_digest,
+                          vk_root=root)
+
+    if workers > 1 and len(shard_proofs) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            layer = list(pool.map(one_lift, shard_proofs))
+    else:
+        layer = [one_lift(sp) for sp in shard_proofs]
     leaf = [True] * len(layer)
     while len(layer) > 1:
-        nxt, nleaf = [], []
-        for i in range(0, len(layer) - 1, 2):
-            nxt.append(join(layer[i], layer[i + 1], config=config,
-                            registry=registry,
-                            leaf_flags=(leaf[i], leaf[i + 1])))
-            nleaf.append(False)
+        pairs = [
+            (layer[i], layer[i + 1], (leaf[i], leaf[i + 1]))
+            for i in range(0, len(layer) - 1, 2)
+        ]
+
+        def one_join(p):
+            a, b, flags = p
+            return join(a, b, config=config, registry=registry,
+                        leaf_flags=flags)
+
+        if workers > 1 and len(pairs) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                nxt = list(pool.map(one_join, pairs))
+        else:
+            nxt = [one_join(p) for p in pairs]
+        nleaf = [False] * len(nxt)
         if len(layer) % 2:
             nxt.append(layer[-1])
             nleaf.append(leaf[-1])

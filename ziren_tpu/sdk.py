@@ -149,6 +149,13 @@ def create_prover(mode: str | None = None, config: str = "core",
 class ProverClient:
     def __init__(self, config: str = "core"):
         self._config = core_config() if config == "core" else dev_config()
+        # shrink stage config (reference InnerSC::compressed): higher
+        # blowup, fewer queries -> smaller proof for the wrap to verify
+        from ziren_tpu.stark.config import (compressed_config,
+                                            compressed_dev_config)
+
+        self._shrink_config = (compressed_config() if config == "core"
+                               else compressed_dev_config())
 
     # -- execute ----------------------------------------------------------
     def execute(self, elf_or_program, stdin: ZirenStdin | None = None):
@@ -265,7 +272,8 @@ class ProverClient:
         from ziren_tpu.recursion.pipeline import shrink
 
         rm, rvk, final_sp = compressed
-        sm, svk, sproof, _ = shrink(rm, rvk, final_sp, config=self._config)
+        sm, svk, sproof, _ = shrink(rm, rvk, final_sp,
+                                    config=self._shrink_config)
         return sm, svk, sproof.shard_proofs[0]
 
     def wrap_prove(self, shrunk, outer=None):
@@ -371,7 +379,40 @@ class ProverClient:
         return export_solidity(vk_bytes, name=name)
 
 
-    plonk_prove = groth16_prove
+    def plonk_prove(self, wrapped, seed: bytes = b"ziren-plonk-dev"):
+        """Compile the wrap proof's verifier to the SAME BN254 R1CS as the
+        Groth16 path and prove it with the in-house Plonk+KZG prover
+        (snark/plonk.py) — the reference's gnark Plonk stage
+        (gnark-ffi/src/plonk_bn254.rs). Returns gnark-layout `proof` bytes
+        + `public_inputs` + `vk_bytes` (crates/verifier/src/plonk
+        converter layouts); verify with `plonk_verify`. The gate count is
+        several times the R1CS constraint count (linear combinations
+        materialize into addition-gate chains), so this is the SLOWEST
+        wrap backend — use Groth16 unless a Plonk artifact is required."""
+        from ziren_tpu.snark.plonk import from_r1cs, prove, setup
+        from ziren_tpu.snark.wrap_circuit import build_wrap_circuit
+
+        wm, wvk, wsp = wrapped
+        bld, _publics = build_wrap_circuit(wm, wvk, wsp)
+        # NOTE: the Plonk pk wires the WITNESS (PlonkCS carries values), so
+        # unlike Groth16 only the SRS could be reused across proofs; the
+        # per-proof setup cost is dominated by the fixed-base SRS batch.
+        cs, cs_publics = from_r1cs(bld.to_r1cs(), bld.witness)
+        pk = setup(cs, seed=seed)
+        proof = prove(pk, cs_publics)
+        return {"proof": proof, "public_inputs": cs_publics,
+                "vk_bytes": pk.vk_bytes}
+
+    @staticmethod
+    def plonk_verify(artifact) -> bool:
+        """Verify a plonk_prove artifact (ported reference verifier:
+        crates/verifier/src/plonk/verify.rs)."""
+        from ziren_tpu.verifier.plonk import verify_plonk
+
+        return verify_plonk(
+            artifact["proof"], artifact["vk_bytes"],
+            artifact["public_inputs"],
+        )
 
     def verify(self, proof: ZirenProofWithPublicValues,
                vk: ZirenVerifyingKey) -> bool:

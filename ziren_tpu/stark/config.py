@@ -34,6 +34,21 @@ def dev_config() -> StarkConfig:
     return StarkConfig(FriConfig(log_blowup=1, num_queries=8, proof_of_work_bits=4))
 
 
+def compressed_config() -> StarkConfig:
+    """The shrink stage's config (reference kb31_poseidon2.rs:217
+    compressed_fri_config): higher blowup, fewer queries — same ~100-bit
+    target but a SMALLER proof, so the wrap circuit that verifies it (and
+    ultimately the Groth16 wrap R1CS) shrinks."""
+    queries = int(os.environ.get("FRI_QUERIES", "42"))
+    return StarkConfig(FriConfig(log_blowup=2, num_queries=queries, proof_of_work_bits=16))
+
+
+def compressed_dev_config() -> StarkConfig:
+    """Dev-scale shrink config: same blowup/query RATIO as compressed()
+    relative to core (half the queries, double the blowup)."""
+    return StarkConfig(FriConfig(log_blowup=2, num_queries=4, proof_of_work_bits=4))
+
+
 # ---------------------------------------------------------------------------
 # Outer (wrap) config: KoalaBear values, BN254 commitments & transcript
 # (reference: crates/recursion/core/src/stark/config.rs

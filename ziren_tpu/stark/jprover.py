@@ -25,6 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .backend import ensure_compile_cache
+
+ensure_compile_cache()
+
 from ziren_tpu.core import ext as E
 from ziren_tpu.core import field as F
 from ziren_tpu.ops import jfield as jf
