@@ -567,8 +567,12 @@ class Executor:
         digest = list(self.committed_values[:8]) + [0] * max(
             0, 8 - len(self.committed_values)
         )
+        deferred = list(self.deferred_digest[:8]) + [0] * max(
+            0, 8 - len(self.deferred_digest)
+        )
         for rec in records:
             rec.public_values.committed_value_digest = list(digest)
+            rec.public_values.deferred_proofs_digest = list(deferred)
             rec.public_values.exit_code = self.exit_code
         # deferred-event split: move large init/finalize sets into
         # standalone memory shards + populate the addr-bits pv chain

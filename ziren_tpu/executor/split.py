@@ -56,14 +56,16 @@ class SplitOpts:
 
     @staticmethod
     def from_env() -> "SplitOpts":
-        o = SplitOpts()
-        if "ZIREN_SPLIT_MEMORY" in os.environ:
-            o.memory = int(os.environ["ZIREN_SPLIT_MEMORY"])
-        if "ZIREN_COMBINE_MEMORY_THRESHOLD" in os.environ:
-            o.combine_memory_threshold = int(
-                os.environ["ZIREN_COMBINE_MEMORY_THRESHOLD"]
-            )
-        return o
+        """RAM-tiered defaults + env overrides via the central options
+        (stark/opts.py ZirenCoreOpts.auto, reference ZKMCoreOpts)."""
+        from ziren_tpu.stark.opts import ZirenCoreOpts
+
+        s = ZirenCoreOpts.auto().split_opts
+        return SplitOpts(
+            memory=s.memory,
+            combine_memory_threshold=s.combine_memory_threshold,
+            deferred=s.deferred,
+        )
 
 
 def addr_bits(addr: int) -> list:

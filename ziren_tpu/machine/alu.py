@@ -59,6 +59,8 @@ class AddSubChip(Air):
     OPS = (Opcode.ADD, Opcode.SUB)
     COLS = _passthrough_layout().add("is_add").add("is_sub").add("carry", 4)
     width = COLS.width
+    picus_inputs = ('pc', 'next_pc', 'next_next_pc', 'b', 'c', 'is_add', 'is_sub', 'is_real')
+    picus_outputs = ('a', 'carry')
 
     def num_rows(self, record):
         return count_rows(record, self.OPS)
@@ -108,6 +110,9 @@ class AddSubChip(Air):
 class BitwiseChip(Air):
     name = "Bitwise"
     cycle_chip = True
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "is_and",
+                    "is_or", "is_xor", "is_nor", "is_real")
+    picus_outputs = ("a",)
     OPS = (Opcode.AND, Opcode.OR, Opcode.XOR, Opcode.NOR)
     COLS = (
         _passthrough_layout().add("is_and").add("is_or").add("is_xor").add("is_nor")
@@ -166,6 +171,11 @@ class LtChip(Air):
     name = "Lt"
     cycle_chip = True
     OPS = (Opcode.SLT, Opcode.SLTU)
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "is_slt",
+                    "is_sltu", "is_real")
+    picus_outputs = ("a", "diff_flag", "all_eq", "cmp_b", "cmp_c",
+                     "ltu_result", "msb_b", "msb_c", "signs_differ",
+                     "diff_inv")
     COLS = (
         _passthrough_layout()
         .add("is_slt")

@@ -267,6 +267,11 @@ class MemoryInitChip(Air):
     name = "MemoryInit"
     COLS = _layout(with_ts=False)
     width = COLS.width
+    # determinism: given the (pv-chained) address stream, every ordering
+    # witness column is derived
+    picus_inputs = ("addr", "value", "is_real")
+    picus_outputs = ("addr_b", "df", "sel_lo", "sel_hi", "has_next", "fc",
+                     "prev_inv", "pdf", "psel_lo", "psel_hi")
 
     def included(self, record):
         return len(record.mem_init) > 0
@@ -312,6 +317,9 @@ class MemoryFinalChip(Air):
     name = "MemoryFinal"
     COLS = _layout(with_ts=True)
     width = COLS.width
+    picus_inputs = ("addr", "value", "shard", "clk", "is_real")
+    picus_outputs = ("addr_b", "df", "sel_lo", "sel_hi", "has_next", "fc",
+                     "prev_inv", "pdf", "psel_lo", "psel_hi")
 
     def included(self, record):
         return len(record.mem_final) > 0

@@ -197,7 +197,8 @@ class Tracer:
     values like sampled challenges — can be generated inline during tracing
     (the reference compiler's witness-stream generation)."""
 
-    def __init__(self, num_inputs: int = 0, input_values=None):
+    def __init__(self, num_inputs: int = 0, input_values=None,
+                 phantom: bool = False):
         self.ops: list = []
         self.n = 0
         self.num_inputs = num_inputs
@@ -212,6 +213,13 @@ class Tracer:
             else None
         )
         self.vals: list = []
+        # phantom tracing: no concrete evaluation, but host-side helpers
+        # that peek at values (septic hint points, bit decompositions) get
+        # distinct per-register pseudo-values so structure-preserving
+        # assertions (e.g. "the two added points differ") hold. Used to
+        # enumerate recursion programs/vks for shapes with NO real proof
+        # (reference prover/src/shapes.rs build_vk_map).
+        self.phantom = phantom
 
     def _emit(self, op_tuple):
         self.ops.append(op_tuple)
@@ -284,8 +292,13 @@ class Tracer:
             v[dst] = self.hint_values[a]
 
     def value(self, f) -> int:
-        """Concrete value of a Felt (requires input_values tracing)."""
-        return self.vals[f.r]
+        """Concrete value of a Felt (input_values tracing), a per-register
+        pseudo-value (phantom tracing), or 0."""
+        if self.input_values is not None:
+            return self.vals[f.r]
+        if self.phantom:
+            return (f.r * 0x9E3779B1 + 0x6A09E667) % P
+        return 0
 
     def _reg(self, k: int = 1) -> int:
         r = self.n
@@ -530,7 +543,7 @@ class TracedChallenger:
         concretely the bit hints are generated inline."""
         t = self.t
         s = self.sample()
-        s_val = t.vals[s.r] if t.input_values is not None else 0
+        s_val = t.value(s)
         bits = [t.hint((s_val >> i) & 1) for i in range(31)]
         acc = t.const(0)
         for i, bit in enumerate(bits):

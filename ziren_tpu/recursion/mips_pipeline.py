@@ -266,7 +266,8 @@ def _bind_completeness(t, rpv, digest_point):
 
 
 def lift_shard(machine, vk, shard_proof, config=None,
-               reconstruct_digest=None, vk_root=None, setup_only=False):
+               reconstruct_digest=None, vk_root=None, setup_only=False,
+               phantom=False):
     """One recursion proof attesting one MIPS shard proof, public values =
     the canonical RPV. The shard's own 231 public values enter as HINTS,
     bound by the traced shard verifier's transcript, and every RPV field is
@@ -280,12 +281,24 @@ def lift_shard(machine, vk, shard_proof, config=None,
 
     setup_only=True: trace + setup (populating the shape cache) and return
     (rec_machine, rec_vk, None) without proving — used to enumerate the
-    registry's lift vks."""
-    rpv_vals = shard_rpv(machine, vk, shard_proof,
-                         reconstruct_digest=reconstruct_digest,
-                         vk_root=vk_root)
+    registry's lift vks.
+
+    phantom=True (implies setup_only): `shard_proof` is a STRUCTURAL
+    stand-in (recursion/shape_universe.py phantom_shard_proof) with garbage
+    values — the tracer runs without concrete evaluation, so the SAME
+    program (and lift vk) falls out for any real proof of that shape: the
+    reference's offline vk enumeration (prover/src/shapes.rs
+    build_vk_map), no proving required."""
     extras = [int(x) for x in vk.extra_observations]
-    t = Tracer(num_inputs=RPV_WIDTH, input_values=rpv_vals)
+    if phantom:
+        setup_only = True
+        rpv_vals = None
+        t = Tracer(num_inputs=RPV_WIDTH, phantom=True)
+    else:
+        rpv_vals = shard_rpv(machine, vk, shard_proof,
+                             reconstruct_digest=reconstruct_digest,
+                             vk_root=vk_root)
+        t = Tracer(num_inputs=RPV_WIDTH, input_values=rpv_vals)
     rpv = [t.input(i) for i in range(RPV_WIDTH)]
     vk_h = rpv[RPV_VK : RPV_VK + 8]
     extra_h = [rpv[RPV_PC_START]] if extras else []

@@ -188,16 +188,27 @@ class ProverClient:
         )
 
     def prove(self, pk: ZirenProvingKey, stdin: ZirenStdin | None = None,
-              shard_size: int | None = None):
+              shard_size: int | None = None, canonical: bool = False):
         from ziren_tpu.executor import Executor
+        from ziren_tpu.machine.mips import execute_sharded
+        from ziren_tpu.stark.opts import ZirenCoreOpts
 
         buffers = stdin.buffers if stdin else None
         if shard_size:
             ex = Executor(pk.program, stdin=buffers, shard_size=shard_size)
             records = ex.run_sharded()
         else:
-            ex, record = execute(pk.program, stdin=buffers)
-            records = [record]
+            # RAM-tiered default shard size (reference ZKMCoreOpts::auto);
+            # short executions still land in a single shard
+            auto = ZirenCoreOpts.auto().shard_size
+            ex, records = execute_sharded(pk.program, auto, stdin=buffers)
+        shapes = None
+        if canonical:
+            from ziren_tpu.recursion.shape_universe import (
+                fix_records_to_clusters,
+            )
+
+            shapes = fix_records_to_clusters(pk.machine, records)
         proof = pk.machine.prove(pk.pk, records)
         out = ZirenProofWithPublicValues(
             proof,
@@ -206,12 +217,13 @@ class ProverClient:
             ),
         )
         out._records = records  # deferred-claim access for compressed_prove
+        out._cluster_shapes = shapes
         return out
 
     def compressed_prove(self, pk: ZirenProvingKey,
                          stdin: ZirenStdin | None = None,
                          shard_size: int | None = None,
-                         deferred=None):
+                         deferred=None, canonical: bool | None = None):
         """Core prove, then lift every shard and reduce to ONE recursion
         proof with canonical RecursionPublicValues: every tree layer chains
         shard boundaries and accumulates the septic global sum IN-CIRCUIT
@@ -230,7 +242,27 @@ class ProverClient:
         from ziren_tpu.recursion.mips_pipeline import compress
         from ziren_tpu.stark.verifier import VerificationError
 
-        core = self.prove(pk, stdin, shard_size=shard_size)
+        # canonical=True (env ZIREN_FIX_CORE_SHAPES=1, reference
+        # FIX_CORE_SHAPES): pad core shards to the cluster-shape universe
+        # and enumerate the allowed-vk registry from phantom lifts of those
+        # clusters, so the registry root is a (guest, shard size) constant
+        # rather than a per-run artifact (recursion/shape_universe.py).
+        import os as _os
+
+        if canonical is None:
+            canonical = _os.environ.get("ZIREN_FIX_CORE_SHAPES") == "1"
+        registry = None
+        core = self.prove(pk, stdin, shard_size=shard_size,
+                          canonical=canonical)
+        if canonical:
+            from ziren_tpu.recursion.shape_universe import (
+                build_canonical_registry,
+            )
+
+            registry = build_canonical_registry(
+                pk.machine, pk.vk, core._cluster_shapes,
+                config=self._config,
+            )
         claims = []
         for rec in core._records:
             claims.extend(getattr(rec, "deferred_proof_claims", []))
@@ -242,7 +274,7 @@ class ProverClient:
             )
         if not claims:
             return compress(pk.machine, pk.vk, core.proof,
-                            config=self._config)
+                            config=self._config, registry=registry)
 
         from ziren_tpu.recursion.mips_pipeline import RPV_DIGEST
 
@@ -262,7 +294,8 @@ class ProverClient:
         reconstruct = D.fold_claims(folded_claims)
         core_root = compress(pk.machine, pk.vk, core.proof,
                              config=self._config,
-                             reconstruct_digest=reconstruct)
+                             reconstruct_digest=reconstruct,
+                             registry=registry)
         chain = D.deferred_chain(deferred, config=self._config)
         return D.attach_deferred(core_root, chain, config=self._config)
 

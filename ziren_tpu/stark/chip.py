@@ -36,6 +36,11 @@ class Air:
     # cycle-driven chips leave shards with no execution cycles (standalone
     # memory/precompile shards from deferred-event splitting have none)
     cycle_chip: bool = False
+    # Picus determinism annotations (reference derive PicusAnnotations):
+    # Layout field names whose columns a determinism checker treats as
+    # free inputs vs derived outputs; requires a class-level COLS Layout.
+    picus_inputs: tuple = ()
+    picus_outputs: tuple = ()
 
     def eval(self, b):
         raise NotImplementedError

@@ -139,6 +139,123 @@ def _to_dev_packed(mat: np.ndarray) -> jnp.ndarray:
     )
 
 
+def upload_traces_packed(traces: list) -> list:
+    """Upload a whole shard's trace matrices as ONE wire buffer.
+
+    The tunneled accelerator pays a fixed per-transfer latency that
+    dominates when a shard means ~180 small uploads (3 byte planes + 2
+    gather indexes x ~36 chips). All planes and indexes are concatenated
+    into a single u8 buffer host-side, shipped once, and sliced/unpacked/
+    mont-encoded on device. Returns the per-trace mont device matrices.
+
+    CPU backend: falls back to per-matrix uploads — there is no transport
+    latency to amortize, and the fused whole-shard unpack graph chokes
+    XLA:CPU's codegen for tens of minutes (per-matrix kernels cache by
+    (rows, width) and stay warm)."""
+    try:
+        if jax.default_backend() == "cpu":
+            return [_to_dev_packed(t) for t in traces]
+    except Exception:  # pragma: no cover
+        pass
+    metas = []  # (kind, ...) per trace
+    segs = []
+
+    def seg(arr):
+        a = np.ascontiguousarray(arr).view(np.uint8).reshape(-1)
+        off = sum(s.size for s in segs)
+        segs.append(a)
+        return off, a.size
+
+    for t in traces:
+        t = np.ascontiguousarray(t)
+        n, w = t.shape
+        if t.nbytes < _PACK_MIN_BYTES or n == 0 or w == 0:
+            metas.append(("plain", (n, w), seg(t)))
+            continue
+        p0, p1, p2, inv1, inv2 = pack_planes(t)
+        metas.append((
+            "packed", (n, w, p1.shape[1], p2.shape[1]),
+            seg(p0), seg(p1), seg(p2), seg(inv1), seg(inv2),
+        ))
+    if not segs:
+        return [_to_dev(t) for t in traces]
+    big_host = np.concatenate(segs)
+    meta_key = tuple(
+        (m[0],) + (m[1],) + tuple(m[2:]) for m in metas
+    ) + (big_host.size,)
+    fn = _UNPACK_ALL_CACHE.get(meta_key)
+    if fn is None:
+        fn = jax.jit(lambda big: _unpack_all(big, metas))
+        if len(_UNPACK_ALL_CACHE) > 64:
+            _UNPACK_ALL_CACHE.clear()
+        _UNPACK_ALL_CACHE[meta_key] = fn
+    return list(fn(jnp.asarray(big_host)))
+
+
+_UNPACK_ALL_CACHE: dict = {}
+
+
+def _u32_from_bytes(b):
+    """(..., 4) u8 -> (...) u32 little-endian."""
+    b = b.astype(jnp.uint32)
+    return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+
+
+def _unpack_all(big, metas):
+    """Traced: slice one wire buffer into every trace matrix, unpack byte
+    planes and mont-encode — ONE device dispatch for the whole shard."""
+    out = []
+    for m in metas:
+        if m[0] == "plain":
+            (n, w), (off, sz) = m[1], m[2]
+            raw = _u32_from_bytes(big[off : off + sz].reshape(n, w, 4))
+            out.append(jf.mont_encode(raw))
+            continue
+        _kind, (n, w, k1, k2), s0, s1, s2, si1, si2 = m
+        p0 = big[s0[0] : s0[0] + s0[1]].reshape(n, w)
+        p1 = big[s1[0] : s1[0] + s1[1]].reshape(n, k1)
+        p2b = big[s2[0] : s2[0] + s2[1]].reshape(n, k2, 2).astype(jnp.uint32)
+        p2 = (p2b[..., 0] | (p2b[..., 1] << 8)).astype(jnp.uint16)
+        inv1 = _u32_from_bytes(
+            big[si1[0] : si1[0] + si1[1]].reshape(w, 4)
+        ).astype(jnp.int32)
+        inv2 = _u32_from_bytes(
+            big[si2[0] : si2[0] + si2[1]].reshape(w, 4)
+        ).astype(jnp.int32)
+        out.append(jf.mont_encode(unpack_u32(p0, p1, p2, inv1, inv2)))
+    return out
+
+
+def flatten_fetch(tree):
+    """Concatenate every leaf of a fetch pytree into ONE device u32 vector
+    (one transfer instead of hundreds of latency-bound small ones).
+    Returns (flat_device_array, (treedef, shapes))."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    shapes = []
+    flats = []
+    for l in leaves:
+        arr = jnp.asarray(l)
+        shapes.append(arr.shape)
+        flats.append(arr.reshape(-1).astype(jnp.uint32))
+    flat = (
+        jnp.concatenate(flats) if flats else jnp.zeros((0,), jnp.uint32)
+    )
+    return flat, (treedef, shapes)
+
+
+def unflatten_fetch(flat_np, meta):
+    """Host-side inverse of flatten_fetch over the fetched numpy vector."""
+    treedef, shapes = meta
+    flat_np = np.asarray(flat_np)
+    leaves = []
+    off = 0
+    for shp in shapes:
+        size = int(np.prod(shp)) if shp else 1
+        leaves.append(flat_np[off : off + size].reshape(shp))
+        off += size
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 @jax.jit
 def _unpack_encode(p0, p1, p2, inv1, inv2):
     """Reassemble byte planes into the full u32 matrix and mont-encode."""
@@ -207,9 +324,9 @@ def dispatch_shard_device(machine, pk, record, challenger):
     public_values = pv.to_list() if hasattr(pv, "to_list") else list(pv)
     pv_np = np.asarray(public_values, dtype=np.uint32)
 
-    # upload all main traces (async, byte-plane packed) and the pk's
-    # preprocessed data
-    mains_dev = [_to_dev_packed(t) for _, t in named_traces]
+    # upload all main traces as ONE wire buffer (the tunneled transport's
+    # per-transfer latency dominates otherwise) and the pk's prep data
+    mains_dev = upload_traces_packed([t for _, t in named_traces])
     traces = [t for _, t in named_traces]
     heights = [t.shape[0] for _, t in named_traces]
     on_device = [h >= DEVICE_MIN_HEIGHT for h in heights]
@@ -393,8 +510,11 @@ def dispatch_shard_device(machine, pk, record, challenger):
         [(data.widths[i], len(pts)) for i, pts in enumerate(points)]
         for data, points in open_rounds
     ]
+    # ONE device array per shard -> ONE transfer at fetch time
+    fetch_flat, fetch_meta = flatten_fetch(to_fetch)
     return {
-        "fetch": to_fetch,
+        "fetch": fetch_flat,
+        "fetch_meta": fetch_meta,
         "chips": chips,
         "trace_domains": trace_domains,
         "rounds_meta": rounds_meta,
@@ -406,9 +526,10 @@ def dispatch_shard_device(machine, pk, record, challenger):
 
 
 def finish_shard_device(pk, d, got):
-    """Host assembly from a dispatched shard's fetched pytree."""
+    """Host assembly from a dispatched shard's fetched flat buffer."""
+    tree = unflatten_fetch(got, d["fetch_meta"])
     return assemble_proof(
-        pk, d["chips"], d["trace_domains"], d["rounds_meta"], d["fri"], got,
+        pk, d["chips"], d["trace_domains"], d["rounds_meta"], d["fri"], tree,
         d["public_values"], d["global_sums"], has_prep=d["has_prep"],
     )
 

@@ -112,6 +112,15 @@ def export_chip(chip, num_public_values: int = 0) -> str:
         + ["sel_first", "sel_last", "sel_transition"]
     )
     lines += [f"(var {n})" for n in names]
+    # determinism i/o annotations (reference derive PicusAnnotations):
+    # Layout field names -> main_l column indices
+    layout = getattr(chip.air, "COLS", None)
+    for tag, fields in (("picus-input", chip.air.picus_inputs),
+                        ("picus-output", chip.air.picus_outputs)):
+        for fname in fields:
+            s = layout.slc(fname)
+            for i in range(s.start, s.stop):
+                lines.append(f"({tag} main_l{i})")
     for c in fl.constraints:
         lines.append(f"(assert (= 0 {_sexpr(c)}))")
     for direction, lks in (("send", fl.sends), ("receive", fl.receives)):
