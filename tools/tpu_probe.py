@@ -100,6 +100,22 @@ def main(n=58218, shard_size=(1 << 16) - 64):
     assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
     log("verified")
 
+    # warm single-shard attribution
+    ex, records = execute_sharded(program, shard_size)
+    t0 = time.time()
+    generate_fixed(machine, records[0], targets)
+    t_gen = time.time() - t0
+    t0 = time.time()
+    d = jprover.dispatch_shard_device(machine, pk, records[0], base.clone())
+    t_disp = time.time() - t0
+    t0 = time.time()
+    got = jax.device_get(d["fetch"])
+    t_fetch = time.time() - t0
+    t0 = time.time()
+    jprover.finish_shard_device(pk, d, got)
+    log(f"warm shard legs: gen {t_gen:.2f}s dispatch {t_disp:.2f}s "
+        f"fetch {t_fetch:.2f}s assemble {time.time() - t0:.2f}s")
+
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 58218
