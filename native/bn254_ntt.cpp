@@ -116,7 +116,194 @@ static inline Fr from_mont(const Fr &a) {
   return fr_mul(a, one);
 }
 
+static inline Fr fr_pow(const Fr &a_mont, const u64 e[4]) {
+  // square-and-multiply; result in Montgomery form (a_mont in Montgomery)
+  Fr one = {{1, 0, 0, 0}};
+  Fr r = to_mont(one);
+  Fr base = a_mont;
+  for (int limb = 0; limb < 4; ++limb) {
+    for (int bit = 0; bit < 64; ++bit) {
+      if ((e[limb] >> bit) & 1) r = fr_mul(r, base);
+      base = fr_mul(base, base);
+    }
+  }
+  return r;
+}
+
+static inline void p_minus_2(u64 e[4]) {
+  u64 b = 2;
+  for (int i = 0; i < 4; ++i) {
+    u64 v = FR_P[i];
+    e[i] = v - b;
+    b = (v < b) ? 1 : 0;
+  }
+}
+
+static inline Fr fr_inv_mont(const Fr &a_mont) {
+  u64 e[4];
+  p_minus_2(e);
+  return fr_pow(a_mont, e);
+}
+
+// Shared thread-parallel driver for the vector kernels below.
+template <typename Fn>
+static void fr_par(u64 total, Fn fn) {
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads == 0) nthreads = 4;
+  if (total < 4096 || nthreads <= 1) {
+    fn((u64)0, total);
+    return;
+  }
+  std::vector<std::thread> ts;
+  u64 chunk = (total + nthreads - 1) / nthreads;
+  for (unsigned t = 0; t < nthreads; ++t) {
+    u64 lo = t * chunk, hi = lo + chunk > total ? total : lo + chunk;
+    if (lo >= hi) break;
+    ts.emplace_back(fn, lo, hi);
+  }
+  for (auto &t : ts) t.join();
+}
+
 extern "C" {
+
+// Fr VECTOR KERNELS — the SNARK layer's pointwise hot loops
+// (snark/plonk.py quotient/grand-product/fold passes, snark/groth16.py
+// coset combine). All buffers are canonical-form 4x64 LE limbs.
+// Reference analogue: gnark's field vector ops behind backend/plonk —
+// rebuilt here so the python prover's O(n) passes run native+threaded.
+
+// op: 0=add, 1=sub, 2=mul. out may alias a or b.
+void bn254_fr_vec_op(const u64 *a, const u64 *b, u64 n, int op, u64 *out) {
+  const Fr *A = reinterpret_cast<const Fr *>(a);
+  const Fr *B = reinterpret_cast<const Fr *>(b);
+  Fr *O = reinterpret_cast<Fr *>(out);
+  if (op == 2) {
+    Fr r2;
+    memcpy(r2.v, FR_R2, 32);
+    fr_par(n, [&](u64 lo, u64 hi) {
+      for (u64 i = lo; i < hi; ++i)
+        O[i] = fr_mul(fr_mul(A[i], r2), B[i]);  // a*b canonical: 2 montmuls
+    });
+  } else if (op == 1) {
+    fr_par(n, [&](u64 lo, u64 hi) {
+      for (u64 i = lo; i < hi; ++i) O[i] = fr_sub(A[i], B[i]);
+    });
+  } else {
+    fr_par(n, [&](u64 lo, u64 hi) {
+      for (u64 i = lo; i < hi; ++i) O[i] = fr_add(A[i], B[i]);
+    });
+  }
+}
+
+// out = a * s (scalar); one montmul per element.
+void bn254_fr_vec_scale(const u64 *a, const u64 *s, u64 n, u64 *out) {
+  const Fr *A = reinterpret_cast<const Fr *>(a);
+  Fr *O = reinterpret_cast<Fr *>(out);
+  Fr sm = to_mont(*reinterpret_cast<const Fr *>(s));
+  fr_par(n, [&](u64 lo, u64 hi) {
+    for (u64 i = lo; i < hi; ++i) O[i] = fr_mul(A[i], sm);
+  });
+}
+
+// acc += s * c (scalar s, vector c) — the linearization accumulate.
+void bn254_fr_vec_axpy(u64 *acc, const u64 *s, const u64 *c, u64 n) {
+  Fr *A = reinterpret_cast<Fr *>(acc);
+  const Fr *C = reinterpret_cast<const Fr *>(c);
+  Fr sm = to_mont(*reinterpret_cast<const Fr *>(s));
+  fr_par(n, [&](u64 lo, u64 hi) {
+    for (u64 i = lo; i < hi; ++i) A[i] = fr_add(A[i], fr_mul(C[i], sm));
+  });
+}
+
+// out[i] = start * base^i — geometric progression (coset shifts, domain
+// points). Threads jump-start with fr_pow(base, lo).
+void bn254_fr_powers(const u64 *base, const u64 *start, u64 n, u64 *out) {
+  Fr *O = reinterpret_cast<Fr *>(out);
+  Fr bm = to_mont(*reinterpret_cast<const Fr *>(base));
+  Fr st = *reinterpret_cast<const Fr *>(start);
+  fr_par(n, [&](u64 lo, u64 hi) {
+    u64 e[4] = {lo, 0, 0, 0};
+    Fr cur = fr_mul(st, fr_pow(bm, e));  // canonical: st * base^lo
+    for (u64 i = lo; i < hi; ++i) {
+      O[i] = cur;
+      cur = fr_mul(cur, bm);
+    }
+  });
+}
+
+// Horner evaluation: out = sum coeffs[k] x^k (coeffs[0] = constant term).
+void bn254_fr_horner(const u64 *coeffs, u64 n, const u64 *x, u64 *out) {
+  const Fr *C = reinterpret_cast<const Fr *>(coeffs);
+  Fr xm = to_mont(*reinterpret_cast<const Fr *>(x));
+  Fr acc = {{0, 0, 0, 0}};
+  for (u64 k = n; k-- > 0;) acc = fr_add(fr_mul(acc, xm), C[k]);
+  memcpy(out, acc.v, 32);
+}
+
+// Synthetic division: out (len n-1) = (p(X) - p(x0)) / (X - x0).
+void bn254_fr_div_linear(const u64 *coeffs, u64 n, const u64 *x0, u64 *out) {
+  const Fr *C = reinterpret_cast<const Fr *>(coeffs);
+  Fr *O = reinterpret_cast<Fr *>(out);
+  Fr xm = to_mont(*reinterpret_cast<const Fr *>(x0));
+  Fr acc = {{0, 0, 0, 0}};
+  for (u64 k = n; k-- > 1;) {
+    acc = fr_add(fr_mul(acc, xm), C[k]);
+    O[k - 1] = acc;
+  }
+}
+
+// Running products: out[0] = 1, out[i] = a[0] * ... * a[i-1] (the Plonk
+// grand-product z over H). Sequential — one montmul per element.
+void bn254_fr_prefix_mul(const u64 *a, u64 n, u64 *out) {
+  const Fr *A = reinterpret_cast<const Fr *>(a);
+  Fr *O = reinterpret_cast<Fr *>(out);
+  Fr r2;
+  memcpy(r2.v, FR_R2, 32);
+  Fr one = {{1, 0, 0, 0}};
+  Fr run = one;  // canonical
+  for (u64 i = 0; i < n; ++i) {
+    O[i] = run;
+    run = fr_mul(fr_mul(run, r2), A[i]);
+  }
+}
+
+// Batched inversion (Montgomery trick), 0 -> 0. Chunked so per-task
+// scratch stays bounded (~16 MB) on multi-GB domains.
+void bn254_fr_batch_inv(const u64 *a, u64 n, u64 *out) {
+  const Fr *A = reinterpret_cast<const Fr *>(a);
+  Fr *O = reinterpret_cast<Fr *>(out);
+  const u64 CHUNK = 1ull << 18;
+  u64 ntasks = (n + CHUNK - 1) / CHUNK;
+  fr_par(ntasks, [&](u64 tlo, u64 thi) {
+    std::vector<Fr> am(CHUNK), pre(CHUNK);
+    Fr r2;
+    memcpy(r2.v, FR_R2, 32);
+    Fr one = {{1, 0, 0, 0}};
+    Fr one_m = to_mont(one);
+    for (u64 t = tlo; t < thi; ++t) {
+      u64 lo = t * CHUNK, hi = lo + CHUNK > n ? n : lo + CHUNK;
+      u64 m = hi - lo;
+      Fr run = one_m;
+      for (u64 i = 0; i < m; ++i) {
+        am[i] = fr_mul(A[lo + i], r2);  // to mont
+        bool zero = !(am[i].v[0] | am[i].v[1] | am[i].v[2] | am[i].v[3]);
+        pre[i] = run;
+        if (!zero) run = fr_mul(run, am[i]);
+      }
+      Fr inv = fr_inv_mont(run);
+      for (u64 i = m; i-- > 0;) {
+        bool zero = !(am[i].v[0] | am[i].v[1] | am[i].v[2] | am[i].v[3]);
+        if (zero) {
+          Fr z = {{0, 0, 0, 0}};
+          O[lo + i] = z;
+        } else {
+          O[lo + i] = from_mont(fr_mul(inv, pre[i]));
+          inv = fr_mul(inv, am[i]);
+        }
+      }
+    }
+  });
+}
 
 void bn254_ntt(u64 *vals, u64 n, const u64 *root, int invert,
                const u64 *n_inv) {

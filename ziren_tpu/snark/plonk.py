@@ -293,60 +293,29 @@ def setup(cs: PlonkCS, seed: bytes = b"ziren-plonk-dev") -> PlonkProvingKey:
 # ---------------------------------------------------------------------------
 
 
-def _coset_evals(coeffs: list, big_n: int, shift: int) -> list:
-    """coeffs (<= big_n) -> evaluations over shift * H_{big_n}."""
-    sh = 1
-    out = []
-    for c in coeffs:
-        out.append(c * sh % R)
-        sh = sh * shift % R
-    return _ntt(_pad(out, big_n))
-
-
-def _uncoset_coeffs(evals: list, shift: int) -> list:
-    coeffs = _ntt(evals, invert=True)
-    inv = pow(shift, R - 2, R)
-    sh = 1
-    out = []
-    for c in coeffs:
-        out.append(c * sh % R)
-        sh = sh * inv % R
-    return out
-
-
-def _poly_eval(coeffs: list, x: int) -> int:
-    acc = 0
-    for c in reversed(coeffs):
-        acc = (acc * x + c) % R
-    return acc
-
-
-def _div_by_linear(coeffs: list, x0: int) -> list:
-    """(p(X) - p(x0)) / (X - x0) by synthetic division."""
-    out = [0] * (len(coeffs) - 1)
-    acc = 0
-    for k in range(len(coeffs) - 1, 0, -1):
-        acc = (acc * x0 + coeffs[k]) % R
-        out[k - 1] = acc
-    return out
-
-
 def prove(pk: PlonkProvingKey, public_inputs) -> bytes:
     """Produce gnark-layout Plonk proof bytes for the key's wired witness
-    (PlonkCS carries the values; public_inputs must match its first wires)."""
+    (PlonkCS carries the values; public_inputs must match its first wires).
+
+    Every O(n)/O(4n) pointwise pass runs on FrVec (snark/frvec.py) — native
+    threaded Fr kernels — so wrap-scale circuits (~2^23 gates) spend their
+    time in NTTs and MSMs, not python loops."""
+    from .frvec import FrVec
+
     cs, n, omega = pk.cs, pk.n, pk.omega
     publics = [int(v) % R for v in public_inputs]
     assert len(publics) == cs.nb_public
     assert cs.check(publics), "witness does not satisfy the gates"
     v = cs.values
     cols = pk.perm_cols
-    l_ev = [v[cols[0][i]] for i in range(n)]
-    r_ev = [v[cols[1][i]] for i in range(n)]
-    o_ev = [v[cols[2][i]] for i in range(n)]
-    l_c = _ntt(l_ev, invert=True)
-    r_c = _ntt(r_ev, invert=True)
-    o_c = _ntt(o_ev, invert=True)
-    c_l, c_r, c_o = (_commit(pk.srs_g1, c) for c in (l_c, r_c, o_c))
+    l_ev = FrVec.from_ints([v[cols[0][i]] for i in range(n)])
+    r_ev = FrVec.from_ints([v[cols[1][i]] for i in range(n)])
+    o_ev = FrVec.from_ints([v[cols[2][i]] for i in range(n)])
+    l_c = l_ev.ntt(invert=True)
+    r_c = r_ev.ntt(invert=True)
+    o_c = o_ev.ntt(invert=True)
+    c_l, c_r, c_o = (_commit(pk.srs_g1, c.to_ints())
+                     for c in (l_c, r_c, o_c))
 
     vkb = pk.vk_bytes
     # re-derive the vk commitments for transcript binding
@@ -364,101 +333,87 @@ def prove(pk: PlonkProvingKey, public_inputs) -> bytes:
     beta = fs.fr(BETA)
 
     # grand product z
-    w_pows = [1] * n
-    for i in range(1, n):
-        w_pows[i] = w_pows[i - 1] * omega % R
+    w_pows = FrVec.powers(omega, n)
     u1, u2 = COSET_SHIFT, COSET_SHIFT * COSET_SHIFT % R
-    s1e, s2e, s3e = pk.s_evals
-    denoms = []
-    numers = []
-    for i in range(n):
-        numers.append(
-            (l_ev[i] + beta * w_pows[i] + gamma) % R
-            * ((r_ev[i] + beta * u1 % R * w_pows[i] + gamma) % R) % R
-            * ((o_ev[i] + beta * u2 % R * w_pows[i] + gamma) % R) % R
-        )
-        denoms.append(
-            (l_ev[i] + beta * s1e[i] + gamma) % R
-            * ((r_ev[i] + beta * s2e[i] + gamma) % R) % R
-            * ((o_ev[i] + beta * s3e[i] + gamma) % R) % R
-        )
-    dinv = _batch_inv(denoms)
-    z_ev = [1] * n
-    for i in range(n - 1):
-        z_ev[i + 1] = z_ev[i] * numers[i] % R * dinv[i] % R
-    assert z_ev[0] == 1
-    z_c = _ntt(z_ev, invert=True)
-    c_z = _commit(pk.srs_g1, z_c)
+    s1e, s2e, s3e = (FrVec.from_ints(s) for s in pk.s_evals)
+    numers = (
+        (l_ev + w_pows.scale(beta)).add_scalar(gamma)
+        * (r_ev + w_pows.scale(beta * u1 % R)).add_scalar(gamma)
+        * (o_ev + w_pows.scale(beta * u2 % R)).add_scalar(gamma)
+    )
+    denoms = (
+        (l_ev + s1e.scale(beta)).add_scalar(gamma)
+        * (r_ev + s2e.scale(beta)).add_scalar(gamma)
+        * (o_ev + s3e.scale(beta)).add_scalar(gamma)
+    )
+    z_ev = FrVec.prefix_mul(numers * FrVec.batch_inv(denoms))
+    assert z_ev.item(0) == 1
+    z_c = z_ev.ntt(invert=True)
+    c_z = _commit(pk.srs_g1, z_c.to_ints())
     fs.bind(ALPHA, g1_bytes(c_z))
     alpha = fs.fr(ALPHA)
 
     # quotient on a 4n coset
     big = 4 * n
     g = COSET_SHIFT
-    ce = lambda c: _coset_evals(c, big, g)
+
+    def ce(c):  # coeffs (FrVec, len <= big) -> evals over g * H_big
+        return (c * FrVec.powers(g, len(c))).pad(big).ntt()
+
     L = ce(l_c)
     Rv = ce(r_c)
     O = ce(o_c)
     Z = ce(z_c)
-    zw_c = [z_c[k] * w_pows[k % n] % R for k in range(n)]  # z(wX)
+    zw_c = z_c * w_pows  # z(wX): coeff k scaled by omega^k
     ZW = ce(zw_c)
-    Ql, Qr, Qm, Qo, Qk = (ce(pk.q_coeffs[k])
-                          for k in ("ql", "qr", "qm", "qo", "qk"))
-    S1, S2, S3 = (ce(c) for c in pk.s_coeffs)
-    pi_ev = _pad(publics, n)
-    PI = ce(_ntt(pi_ev, invert=True))
-    l1_c = [pow(n, R - 2, R)] * n  # L1 coeffs are all 1/n
-    L1 = ce(l1_c)
-    # X on the coset; Zh(X) = X^n - 1
+    q_v = {k: FrVec.from_ints(pk.q_coeffs[k])
+           for k in ("ql", "qr", "qm", "qo", "qk")}
+    Ql, Qr, Qm, Qo, Qk = (ce(q_v[k]) for k in ("ql", "qr", "qm", "qo", "qk"))
+    s_cv = [FrVec.from_ints(c) for c in pk.s_coeffs]
+    S1, S2, S3 = (ce(c) for c in s_cv)
+    PI = ce(FrVec.from_ints(_pad(publics, n)).ntt(invert=True))
+    L1 = ce(FrVec.powers(1, n, start=pow(n, R - 2, R)))  # L1 coeffs: 1/n
+    # X on the coset; Zh(X) = X^n - 1 (evals are a geometric sequence:
+    # (g * wb^k)^n = g^n * (wb^n)^k)
     wb = _root_of_unity(big.bit_length() - 1)
-    xs = [g]
-    for _ in range(big - 1):
-        xs.append(xs[-1] * wb % R)
-    zh = [(pow(x, n, R) - 1) % R for x in xs]
-    zh_inv = _batch_inv(zh)
-    h_ev = []
-    for k in range(big):
-        gate = (
-            Ql[k] * L[k] + Qr[k] * Rv[k] + Qm[k] * L[k] * Rv[k]
-            + Qo[k] * O[k] + Qk[k] + PI[k]
-        ) % R
-        x = xs[k]
-        t_id = (
-            (L[k] + beta * x + gamma)
-            * ((Rv[k] + beta * u1 % R * x + gamma) % R) % R
-            * ((O[k] + beta * u2 % R * x + gamma) % R) % R
-            * Z[k] % R
-        )
-        t_sig = (
-            (L[k] + beta * S1[k] + gamma)
-            * ((Rv[k] + beta * S2[k] + gamma) % R) % R
-            * ((O[k] + beta * S3[k] + gamma) % R) % R
-            * ZW[k] % R
-        )
-        perm = (t_sig - t_id) % R
-        start = L1[k] * ((Z[k] - 1) % R) % R
-        num = (gate + alpha * perm + alpha * alpha % R * start) % R
-        h_ev.append(num * zh_inv[k] % R)
-    h_c = _uncoset_coeffs(h_ev, g)
-    for c in h_c[3 * n + 6 :]:
-        assert c == 0, "quotient degree overflow"
+    xs = FrVec.powers(wb, big, start=g)
+    zh = FrVec.powers(pow(wb, n, R), big, start=pow(g, n, R)).add_scalar(R - 1)
+    zh_inv = FrVec.batch_inv(zh)
+    gate = Ql * L + Qr * Rv + Qm * L * Rv + Qo * O + Qk + PI
+    t_id = (
+        (L + xs.scale(beta)).add_scalar(gamma)
+        * (Rv + xs.scale(beta * u1 % R)).add_scalar(gamma)
+        * (O + xs.scale(beta * u2 % R)).add_scalar(gamma)
+        * Z
+    )
+    t_sig = (
+        (L + S1.scale(beta)).add_scalar(gamma)
+        * (Rv + S2.scale(beta)).add_scalar(gamma)
+        * (O + S3.scale(beta)).add_scalar(gamma)
+        * ZW
+    )
+    perm = t_sig - t_id
+    start_t = L1 * Z.add_scalar(R - 1)
+    num = gate + perm.scale(alpha) + start_t.scale(alpha * alpha % R)
+    h_c = (num * zh_inv).ntt(invert=True) * FrVec.powers(
+        pow(g, R - 2, R), big)
+    assert not h_c.a[3 * n + 6:].any(), "quotient degree overflow"
     chunk = n + 2
-    h_parts = [
-        _pad(h_c[i * chunk : (i + 1) * chunk], chunk) for i in range(3)
-    ]
-    c_h = [_commit(pk.srs_g1, hp) for hp in h_parts]
+    h_parts = [h_c.slice(i * chunk, (i + 1) * chunk).pad(chunk)
+               for i in range(3)]
+    c_h = [_commit(pk.srs_g1, hp.to_ints()) for hp in h_parts]
     for pt in c_h:
         fs.bind(ZETA, g1_bytes(pt))
     zeta = fs.fr(ZETA)
 
     # openings
-    l_z = _poly_eval(l_c, zeta)
-    r_z = _poly_eval(r_c, zeta)
-    o_z = _poly_eval(o_c, zeta)
-    s1_z = _poly_eval(pk.s_coeffs[0], zeta)
-    s2_z = _poly_eval(pk.s_coeffs[1], zeta)
+    l_z = l_c.horner(zeta)
+    r_z = r_c.horner(zeta)
+    o_z = o_c.horner(zeta)
+    s1_z = s_cv[0].horner(zeta)
+    s2_z = s_cv[1].horner(zeta)
     zeta_w = zeta * omega % R
-    zu = _poly_eval(z_c, zeta_w)
+    zu = z_c.horner(zeta_w)
 
     zh_zeta = (pow(zeta, n, R) - 1) % R
     lag1 = zh_zeta * pow((zeta - 1) % R, R - 2, R) % R * pow(n, R - 2, R) % R
@@ -472,24 +427,17 @@ def prove(pk: PlonkProvingKey, public_inputs) -> bytes:
     _s2 = (-(_s2 * alpha)) % R
     coeff_z = (alpha2_l1 + _s2) % R
     zeta_n2 = pow(zeta, n + 2, R)
-    lin_len = max(n, chunk)
-    lin = [0] * lin_len
-    q = pk.q_coeffs
-
-    def acc(coeffs, scale):
-        for k, c in enumerate(coeffs):
-            lin[k] = (lin[k] + scale * c) % R
-
-    acc(q["ql"], l_z)
-    acc(q["qr"], r_z)
-    acc(q["qm"], l_z * r_z % R)
-    acc(q["qo"], o_z)
-    acc(q["qk"], 1)
-    acc(pk.s_coeffs[2], _s1)
-    acc(z_c, coeff_z)
-    acc(h_parts[0], (-zh_zeta) % R)
-    acc(h_parts[1], (-(zeta_n2 * zh_zeta)) % R)
-    acc(h_parts[2], (-(zeta_n2 * zeta_n2 % R * zh_zeta)) % R)
+    lin = FrVec.zeros(max(n, chunk))
+    lin.axpy_(l_z, q_v["ql"])
+    lin.axpy_(r_z, q_v["qr"])
+    lin.axpy_(l_z * r_z % R, q_v["qm"])
+    lin.axpy_(o_z, q_v["qo"])
+    lin.axpy_(1, q_v["qk"])
+    lin.axpy_(_s1, s_cv[2])
+    lin.axpy_(coeff_z, z_c)
+    lin.axpy_((-zh_zeta) % R, h_parts[0])
+    lin.axpy_((-(zeta_n2 * zh_zeta)) % R, h_parts[1])
+    lin.axpy_((-(zeta_n2 * zeta_n2 % R * zh_zeta)) % R, h_parts[2])
 
     # PI at zeta (for the sanity check below only)
     pi_z = 0
@@ -503,28 +451,26 @@ def prove(pk: PlonkProvingKey, public_inputs) -> bytes:
     const_lin = const_lin * ((beta * s2_z + gamma + r_z) % R) % R
     const_lin = const_lin * ((o_z + gamma) % R) % R * alpha % R * zu % R
     const_lin = (-(const_lin - alpha2_l1 + pi_z)) % R
-    assert _poly_eval(lin, zeta) == const_lin, "linearization mismatch"
+    assert lin.horner(zeta) == const_lin, "linearization mismatch"
 
     # batched KZG opening at zeta
     digests_c = [None, c_l, c_r, c_o, vk.s[0], vk.s[1]]
-    digests_c[0] = _commit(pk.srs_g1, lin)
-    polys = [lin, l_c, r_c, o_c, pk.s_coeffs[0], pk.s_coeffs[1]]
+    digests_c[0] = _commit(pk.srs_g1, lin.to_ints())
+    polys = [lin, l_c, r_c, o_c, s_cv[0], s_cv[1]]
     claimed = [const_lin, l_z, r_z, o_z, s1_z, s2_z]
     from ziren_tpu.verifier.plonk import _derive_gamma
 
     gamma_f = _derive_gamma(zeta, digests_c, claimed, fr_bytes(zu))
     fs.bind(U, fr_bytes(gamma_f))
-    width = max(len(p) for p in polys)
-    folded = [0] * width
+    folded = FrVec.zeros(max(len(p) for p in polys))
     gpow = 1
     for p in polys:
-        for k, c in enumerate(p):
-            folded[k] = (folded[k] + gpow * c) % R
+        folded.axpy_(gpow, p)
         gpow = gpow * gamma_f % R
-    hq = _div_by_linear(folded, zeta)
-    c_hq = _commit(pk.srs_g1, hq)
-    hz = _div_by_linear(z_c, zeta_w)
-    c_hz = _commit(pk.srs_g1, hz)
+    hq = folded.div_linear(zeta)
+    c_hq = _commit(pk.srs_g1, hq.to_ints())
+    hz = z_c.div_linear(zeta_w)
+    c_hz = _commit(pk.srs_g1, hz.to_ints())
 
     out = bytearray()
     for pt in (c_l, c_r, c_o, *c_h):
