@@ -287,26 +287,18 @@ def prove(pk: ProvingKey, witness: list, rand_seed: bytes = b"r") -> bytes:
         c_ev[k] = r1cs.eval_row(r1cs.c[k], witness)
     g = 5  # Fr multiplicative generator (not a 2^k-th root of unity)
     zh_coset_inv = pow((pow(g, n, R) - 1) % R, R - 2, R)
+    from .frvec import FrVec
 
     def coset_evals(evals):
-        coeffs = _ntt(evals, invert=True)
-        shifted = []
-        gp = 1
-        for c in coeffs:
-            shifted.append(c * gp % R)
-            gp = gp * g % R
-        return _ntt(shifted)
+        return (FrVec.from_ints(evals).ntt(invert=True)
+                * FrVec.powers(g, n)).ntt()
 
     ac, bc, cc = coset_evals(a_ev), coset_evals(b_ev), coset_evals(c_ev)
-    h_coset = [(x * y - z) % R * zh_coset_inv % R for x, y, z in zip(ac, bc, cc)]
-    h_shift = _ntt(h_coset, invert=True)
-    g_inv = pow(g, R - 2, R)
-    h_coeffs = []
-    gp = 1
-    for c in h_shift:
-        h_coeffs.append(c * gp % R)
-        gp = gp * g_inv % R
-    assert h_coeffs[-1] == 0, "h degree overflow: t(X) does not divide A·B−C"
+    h_coset = (ac * bc - cc).scale(zh_coset_inv)
+    h_vec = h_coset.ntt(invert=True) * FrVec.powers(pow(g, R - 2, R), n)
+    assert h_vec.item(n - 1) == 0, \
+        "h degree overflow: t(X) does not divide A·B−C"
+    h_coeffs = h_vec.to_ints()
 
     def felt(tag: bytes) -> int:
         wb = b"".join(x.to_bytes(32, "little") for x in witness[:2])
