@@ -77,13 +77,16 @@ def _bit_reverse_rows(m: np.ndarray) -> np.ndarray:
     return m[F.bit_reverse_indices(n.bit_length() - 1)]
 
 
-def _mod_matmul_base_ext(mat: np.ndarray, ext_vec: np.ndarray) -> np.ndarray:
-    """(n, w) base @ (w, 4) ext -> (n, 4), via 16-bit limb split run as
-    float64 BLAS matmuls (limb products < 2^32, sums over w < 2^21 stay
-    < 2^53: exact)."""
+def _mod_matmul_base_ext_multi(mat: np.ndarray, ext_vecs: list) -> list:
+    """(n, w) base @ each (w, 4) ext -> list of (n, 4). All right-hand
+    sides share ONE 16-bit limb split of `mat` and ONE pair of BLAS
+    matmuls (limb products < 2^32, sums over w < 2^21 stay < 2^53: exact).
+    The prover opens every matrix at 2+ points (zeta, zeta_next), so
+    batching the points halves the float conversions and matmul count."""
     assert mat.shape[1] < (1 << 21)
     a = mat.astype(np.uint64)
-    v = ext_vec.astype(np.uint64)
+    k = len(ext_vecs)
+    v = np.hstack([np.asarray(x, np.uint64) for x in ext_vecs])  # (w, 4k)
     p = np.uint64(F.P_INT)
     a_lo = (a & np.uint64(0xFFFF)).astype(np.float64)
     a_hi = (a >> np.uint64(16)).astype(np.float64)
@@ -99,7 +102,13 @@ def _mod_matmul_base_ext(mat: np.ndarray, ext_vec: np.ndarray) -> np.ndarray:
         + (((s10 % p) << np.uint64(16)) % p)
         + (((s11 % p) << np.uint64(32)) % p)
     ) % p
-    return out.astype(np.uint32)
+    out = out.astype(np.uint32)
+    return [out[:, 4 * i: 4 * i + 4] for i in range(k)]
+
+
+def _mod_matmul_base_ext(mat: np.ndarray, ext_vec: np.ndarray) -> np.ndarray:
+    """(n, w) base @ (w, 4) ext -> (n, 4)."""
+    return _mod_matmul_base_ext_multi(mat, [ext_vec])[0]
 
 
 class KbMmcs:
@@ -171,7 +180,7 @@ class TwoAdicFriPcs:
         for data, points_per_mat in rounds:
             round_vals = []
             for i, pts in enumerate(points_per_mat):
-                mat_vals = [ntt.eval_at_ext_point(data.coeffs[i], z) for z in pts]
+                mat_vals = ntt.eval_at_ext_points(data.coeffs[i], pts)
                 round_vals.append(mat_vals)  # list over points of (w, 4)
             opened_values.append(round_vals)
 
@@ -187,6 +196,7 @@ class TwoAdicFriPcs:
                     ro[l] = E.ezero((1 << l,))
                     cnt[l] = 0
                 w = lde.shape[1]
+                per_point = []
                 for z, ys in zip(pts, mat_vals):
                     # inv(z - x) vectorized over the domain (shared across
                     # every matrix of this height opened at the same point)
@@ -203,13 +213,18 @@ class TwoAdicFriPcs:
                         inv_zmx = E.einv(zmx)
                         inv_cache[key] = inv_zmx
                     alpha_pows = E.epowers(alpha, cnt[l] + w)[cnt[l] :]  # (w,4)
-                    # sum_c alpha^{cnt+c} (y_c - m_c(x)) =
-                    #   (sum_c alpha^c y_c) - lde @ alpha_pows  (mod-matmul)
+                    per_point.append((ys, inv_zmx, alpha_pows))
+                    cnt[l] += w
+                # sum_c alpha^{cnt+c} (y_c - m_c(x)) =
+                #   (sum_c alpha^c y_c) - lde @ alpha_pows  (mod-matmul);
+                # all points of this matrix share one batched matmul
+                m_terms = _mod_matmul_base_ext_multi(
+                    lde, [ap for _, _, ap in per_point])
+                for (ys, inv_zmx, alpha_pows), m_term in zip(
+                        per_point, m_terms):
                     y_term = E.esum(E.emul(alpha_pows, ys), axis=0)  # (4,)
-                    m_term = _mod_matmul_base_ext(lde, alpha_pows)  # (n, 4)
                     acc = E.esub(np.broadcast_to(y_term, (1 << l, 4)), m_term)
                     ro[l] = E.eadd(ro[l], E.emul(acc, inv_zmx))
-                    cnt[l] += w
         # FRI commit phase on bit-reversed reduced openings
         inputs = sorted(ro.items(), reverse=True)
         shifts = self._make_shifts(inputs[0][0])
