@@ -36,6 +36,12 @@ COLS.add("is_real")
 
 class BranchChip(Air):
     name = "Branch"
+    # eq_inv is a free inverse witness: unclassified
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "a", "b", "c",
+                    "is_beq", "is_bne", "is_bgez", "is_bgtz", "is_blez",
+                    "is_bltz", "is_real")
+    picus_outputs = ("eq_byte", "eq01", "eq", "msb_a", "taken",
+                     "next_pc_word", "target", "t_carry")
     cycle_chip = True
     width = COLS.width
 

@@ -52,6 +52,13 @@ def _s32(x):
 
 class DivRemChip(Air):
     name = "DivRem"
+    # r_inv / c_nonzero_inv are free inverse witnesses (not unique): unclassified
+    picus_inputs = ("shard", "clk", "pc", "next_pc", "next_next_pc", "b",
+                    "c", "is_div", "is_divu", "is_mod", "is_modu", "is_real")
+    picus_outputs = ("a", "hi", "quotient", "remainder", "mlo", "mhi",
+                     "add_carry", "msb_b", "msb_c", "msb_r", "abs_c",
+                     "abs_r", "neg_c_carry", "neg_r_carry", "r_zero",
+                     "r_e", "r_e01")
     cycle_chip = True
     width = COLS.width
 

@@ -29,6 +29,9 @@ COLS.add("is_real")
 
 class JumpChip(Air):
     name = "Jump"
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "is_jump",
+                    "is_jumpi", "is_jumpdirect", "is_real")
+    picus_outputs = ("a", "next_pc_word", "target", "t_carry")
     cycle_chip = True
     width = COLS.width
 

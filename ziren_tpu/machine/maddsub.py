@@ -40,6 +40,10 @@ def _s32(x):
 
 class MaddSubChip(Air):
     name = "MaddSub"
+    picus_inputs = ("shard", "clk", "pc", "next_pc", "next_next_pc", "b",
+                    "c", "prev_a", "is_madd", "is_maddu", "is_msub",
+                    "is_msubu", "is_real")
+    picus_outputs = ("a", "mlo", "mhi", "acc_carry")
     cycle_chip = True
     width = COLS.width
 

@@ -97,6 +97,13 @@ class MiscChip(Air):
     shift/add sub-operations (reference: misc/others/air.rs eval_ext/eval_ins)."""
 
     name = "MiscInstrs"
+    # ab_inv is a free inverse witness: unclassified
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "prev_a",
+                    "is_sext", "is_wsbh", "is_teq", "is_ext", "is_ins",
+                    "is_real")
+    picus_outputs = ("a", "sel", "msb", "ab_e", "ab_e01", "ab_eq", "lsb",
+                     "msbd", "sll_val", "ror_val", "srl1_val", "srl_val",
+                     "add_val")
     cycle_chip = True
     OPS = (Opcode.SEXT, Opcode.WSBH, Opcode.TEQ, Opcode.EXT, Opcode.INS)
     COLS = _base_cols()
@@ -290,6 +297,10 @@ class MovCondChip(Air):
     """MEQ (MOVZ): a = (c == 0) ? b : prev_a; MNE (MOVN): inverse."""
 
     name = "MovCond"
+    # cz_inv is a free inverse witness: unclassified
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "prev_a",
+                    "is_meq", "is_mne", "is_real")
+    picus_outputs = ("a", "mov", "cz_e", "cz_e01", "cz_eq")
     cycle_chip = True
     OPS = (Opcode.MEQ, Opcode.MNE)
     COLS = _base_cols()
@@ -353,6 +364,10 @@ class CloClzChip(Air):
     bit-decomposition documented here)."""
 
     name = "CloClz"
+    # sel_inv is a free inverse witness: unclassified
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "is_clz",
+                    "is_clo", "is_real")
+    picus_outputs = ("a", "g", "all_zero", "sel", "clz_sel")
     cycle_chip = True
     OPS = (Opcode.CLZ, Opcode.CLO)
     COLS = _base_cols(extra_words=())

@@ -32,6 +32,12 @@ COLS.add("is_real")
 
 class MulChip(Air):
     name = "Mul"
+    # Picus determinism: operands/flags in, result words + mul witnesses out
+    # (hi_acc access columns are multiset-coupled, left unclassified)
+    picus_inputs = ("shard", "clk", "pc", "next_pc", "next_next_pc", "b",
+                    "c", "is_mul", "is_mult", "is_multu", "is_synth",
+                    "hi_real", "is_real")
+    picus_outputs = ("a", "hi", "msb_b", "msb_c", "product", "carry")
     cycle_chip = True
     width = COLS.width
 

@@ -72,6 +72,8 @@ def _eval_bits(b, L, is_real):
 
 class ShiftLeftChip(Air):
     name = "ShiftLeft"
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "is_real")
+    picus_outputs = ("a", "cb", "ch", "bs", "m1", "lo", "hi")
     cycle_chip = True
     COLS = Layout().add("pc").add("next_pc").add("next_next_pc")
     COLS.word("a").word("b").word("c")
@@ -154,6 +156,10 @@ SR_FLAGS = ["is_srl", "is_sra", "is_ror"]
 
 class ShiftRightChip(Air):
     name = "ShiftRight"
+    picus_inputs = ("pc", "next_pc", "next_next_pc", "b", "c", "is_srl",
+                    "is_sra", "is_ror", "is_real")
+    picus_outputs = ("a", "cb", "ch", "bs", "m1", "m2", "w", "shr",
+                     "carry", "carry4", "msb_b", "sign_byte")
     cycle_chip = True
     COLS = Layout().add("pc").add("next_pc").add("next_next_pc")
     COLS.word("a").word("b").word("c")

@@ -114,7 +114,11 @@ def export_chip(chip, num_public_values: int = 0) -> str:
     lines += [f"(var {n})" for n in names]
     # determinism i/o annotations (reference derive PicusAnnotations):
     # Layout field names -> main_l column indices
+    import sys
+
     layout = getattr(chip.air, "COLS", None)
+    if layout is None:  # some chips keep COLS at module level
+        layout = getattr(sys.modules[type(chip.air).__module__], "COLS", None)
     for tag, fields in (("picus-input", chip.air.picus_inputs),
                         ("picus-output", chip.air.picus_outputs)):
         for fname in fields:
