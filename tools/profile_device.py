@@ -86,6 +86,14 @@ def main(n=58218, shard_size=(1 << 16) - 64):
     assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
     print("verified")
 
+    # the bench path (machine.prove, pipelined trace gen + async dispatch)
+    ex, records = execute_sharded(program, shard_size)
+    t0 = time.perf_counter()
+    proof2 = machine.prove(pk, records, fix_shapes=True)
+    t_prove = time.perf_counter() - t0
+    print(f"machine.prove={t_prove:.2f}s -> "
+          f"{cycles / (t_prove + t_exec) / 1e3:.2f} kHz")
+
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 58218

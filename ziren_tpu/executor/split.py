@@ -50,8 +50,11 @@ class SplitOpts:
 
     memory: int = 1 << 16
     combine_memory_threshold: int = 1 << 14
-    # precompile-event thresholds (the precompile half of deferred
-    # splitting needs the global-scope syscall multiset; see ROADMAP)
+    # precompile deferral threshold, in TRACE ROWS per family per shard
+    # (reference opts.rs:237-269 SplitOpts::new derives per-family event
+    # thresholds from one knob; here the per-family row weights live in
+    # `group_rows` so a single row budget bounds every precompile chip's
+    # height)
     deferred: int = 1 << 15
 
     @staticmethod
@@ -101,6 +104,88 @@ def set_last_memory_bits(record) -> None:
         pv.last_finalize_addr_bits = list(pv.previous_finalize_addr_bits)
 
 
+def group_rows(g: dict) -> int:
+    """Trace rows a precompile group contributes to its family's chip."""
+    from .opcode import SyscallCode as S
+
+    sid = g["store_sid"]
+    if sid == int(S.SHA_EXTEND):
+        return 48
+    if sid == int(S.SHA_COMPRESS):
+        return 80
+    if sid == int(S.KECCAK_SPONGE):
+        return 24 * max(1, len(g["events"][0].get("xored_states", [1])))
+    if sid == int(S.BOOLEAN_CIRCUIT_GARBLE):
+        return max(1, int(g["events"][0]["reads"][0][1]))  # gate count
+    return 1
+
+
+def finalize_precompiles(records: list, opts: SplitOpts) -> list:
+    """The precompile half of deferred-event splitting (reference
+    record.rs:130 split(), syscall/chip.rs Core/Precompile). For each
+    family whose trace rows in some execution shard exceed
+    `opts.deferred`, move that shard's groups into standalone precompile
+    shards (chunked to the row budget). Cross-shard soundness rides the
+    GLOBAL syscall multiset: the origin shard's SyscallCore rows (which
+    derive from its CPU columns and do NOT move) send each dispatch onto
+    the septic curve; the deferred shard's SyscallPrecompile rows receive
+    them. Returns the standalone records (pv fields are filled by the
+    caller, finalize_memory)."""
+    from .precompile_mem import compute_local_segments, group_events
+    from .record import ExecutionRecord
+
+    moved: list = []  # groups, in (record, group) order
+    for rec in records:
+        groups = group_events(rec)
+        # CPU segments must be tiled against ALL scopes before any move
+        compute_local_segments(rec)
+        if not groups:
+            continue
+        rows_by_family: dict[int, int] = {}
+        for g in groups:
+            rows_by_family[g["store_sid"]] = (
+                rows_by_family.get(g["store_sid"], 0) + group_rows(g)
+            )
+        heavy = {sid for sid, n in rows_by_family.items()
+                 if n > opts.deferred}
+        if not heavy:
+            continue
+        keep = [g for g in groups if g["store_sid"] not in heavy]
+        moved.extend(g for g in groups if g["store_sid"] in heavy)
+        rec.precompile_groups = keep
+        for sid in list(rec.precompile_events):
+            if sid in heavy:
+                del rec.precompile_events[sid]
+        # core dispatch rows stay: they derive from the CPU columns, not
+        # from the events — that end of the global multiset doesn't move
+
+    if not moved:
+        return []
+    out = []
+    program = records[0].program
+    chunk: list = []
+    chunk_rows = 0
+    for g in moved:
+        r = group_rows(g)
+        if chunk and chunk_rows + r > opts.deferred:
+            out.append((chunk, chunk_rows))
+            chunk, chunk_rows = [], 0
+        chunk.append(g)
+        chunk_rows += r
+    if chunk:
+        out.append((chunk, chunk_rows))
+    shards = []
+    for groups, _rows in out:
+        rec = ExecutionRecord(program)
+        rec.precompile_groups = groups
+        rec.local_segments = []
+        for g in groups:
+            rec.precompile_events.setdefault(
+                g["store_sid"], []).extend(g["events"])
+        shards.append(rec)
+    return shards
+
+
 def finalize_memory(records: list, opts: SplitOpts | None = None) -> list:
     """Post-execution split pass. `records` is the executor's shard list
     with the full init/finalize sets in the LAST record (address-sorted).
@@ -108,6 +193,24 @@ def finalize_memory(records: list, opts: SplitOpts | None = None) -> list:
     shards when the sets exceed the combine threshold), with all four
     addr-bits pv fields populated and shard numbering extended."""
     opts = opts or SplitOpts.from_env()
+    pre_shards = finalize_precompiles(records, opts)
+
+    def _deferred_pv(rec, pv_last, shard_no, n_exec, bits_i, bits_f):
+        """Post-halt deferred shard: pc frozen, digests copied, addr-bit
+        chain pass-through."""
+        pv = rec.public_values
+        pv.start_pc = pv_last.next_pc
+        pv.next_pc = pv_last.next_pc
+        pv.exit_code = pv_last.exit_code
+        pv.committed_value_digest = list(pv_last.committed_value_digest)
+        pv.deferred_proofs_digest = list(pv_last.deferred_proofs_digest)
+        pv.shard = shard_no
+        pv.execution_shard = n_exec + 1
+        pv.previous_init_addr_bits = list(bits_i)
+        pv.last_init_addr_bits = list(bits_i)
+        pv.previous_finalize_addr_bits = list(bits_f)
+        pv.last_finalize_addr_bits = list(bits_f)
+
     last = records[-1]
     ensure_zero_address(last)
     init = last.mem_init
@@ -121,7 +224,15 @@ def finalize_memory(records: list, opts: SplitOpts | None = None) -> list:
         final
     ) <= opts.combine_memory_threshold:
         set_last_memory_bits(last)
-        return records
+        n_exec = len(records)
+        out = list(records)
+        pv_last = last.public_values
+        for k, rec in enumerate(pre_shards):
+            _deferred_pv(rec, pv_last, n_exec + 1 + k, n_exec,
+                         pv_last.last_init_addr_bits,
+                         pv_last.last_finalize_addr_bits)
+            out.append(rec)
+        return out
 
     # move init/finalize out of the execution shard entirely; its chain
     # contribution becomes a no-op (last = previous)
@@ -133,8 +244,15 @@ def finalize_memory(records: list, opts: SplitOpts | None = None) -> list:
     n_exec = len(records)
 
     out = list(records)
-    prev_init = [0] * 32
-    prev_fin = [0] * 32
+    # standalone precompile shards first (chain no-ops), then memory shards
+    for k, rec in enumerate(pre_shards):
+        _deferred_pv(rec, pv_last, n_exec + 1 + k, n_exec,
+                     pv_last.last_init_addr_bits,
+                     pv_last.last_finalize_addr_bits)
+        out.append(rec)
+    base = n_exec + len(pre_shards)
+    prev_init = list(pv_last.last_init_addr_bits)
+    prev_fin = list(pv_last.last_finalize_addr_bits)
     k = 0
     m = opts.memory
     while k * m < max(len(init), len(final)):
@@ -149,7 +267,7 @@ def finalize_memory(records: list, opts: SplitOpts | None = None) -> list:
         pv.exit_code = pv_last.exit_code
         pv.committed_value_digest = list(pv_last.committed_value_digest)
         pv.deferred_proofs_digest = list(pv_last.deferred_proofs_digest)
-        pv.shard = n_exec + 1 + k
+        pv.shard = base + 1 + k
         # execution shard stays at the post-execution value (non-cpu
         # shards never advance it; reference verify.rs:120-130)
         pv.execution_shard = n_exec + 1

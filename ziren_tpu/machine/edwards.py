@@ -133,7 +133,6 @@ class EdDecompressChip(_WeierstrassBase):
         n = len(events)
         height = trace_height(n)
         mat = np.zeros((height, DCOLS.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):
             row = self._fill_math(mat[r_i], ev)
             row[DCOLS.idx("shard")] = ev["shard"]
@@ -143,9 +142,9 @@ class EdDecompressChip(_WeierstrassBase):
             row[DCOLS.idx("is_real")] = 1
             for i in range(8):
                 self._fill_access(row, DCOLS, f"xw{i}", ev["writes"][i],
-                                  ev["clk"], shard_now, True)
+                                  ev["clk"], ev["shard"], True)
                 self._fill_access(row, DCOLS, f"yr{i}", ev["reads"][i],
-                                  ev["clk"], shard_now, False)
+                                  ev["clk"], ev["shard"], False)
         for g in (DG_YS, DG_TD, DG_XX, DG_E):
             g.fill_padding(mat, DCOLS, n)
         for g in (DG_DN, DG_NM):
@@ -254,7 +253,6 @@ class EdAddChip(_WeierstrassBase):
         n = len(events)
         height = trace_height(n)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):
             row = self._fill_math(mat[r_i], ev)
             row[COLS.idx("shard")] = ev["shard"]
@@ -264,9 +262,9 @@ class EdAddChip(_WeierstrassBase):
             row[COLS.idx("is_real")] = 1
             for i in range(16):
                 self._fill_access(row, COLS, f"pw{i}", ev["writes"][i],
-                                  ev["clk"] + 1, shard_now, True)
+                                  ev["clk"] + 1, ev["shard"], True)
                 self._fill_access(row, COLS, f"qr{i}", ev["reads"][i],
-                                  ev["clk"], shard_now, False)
+                                  ev["clk"], ev["shard"], False)
         for g in (G_A, G_B, G_C, G_D, G_DA, G_E, G_MX, G_MY):
             g.fill_padding(mat, COLS, n)
         for g in (G_NX, G_DX, G_NY, G_DY):

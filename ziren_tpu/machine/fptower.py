@@ -136,7 +136,6 @@ def _make_fp_chip(prefix, modulus, nwf, fop, is_fp2, code):
             n = len(events)
             height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
-            shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):
                 row = self._fill_math(mat[r_i], ev)
                 row[C.idx("shard")] = ev["shard"]
@@ -146,9 +145,9 @@ def _make_fp_chip(prefix, modulus, nwf, fop, is_fp2, code):
                 row[C.idx("is_real")] = 1
                 for i in range(nw_el):
                     self._fill_access(row, C, f"xw{i}", ev["writes"][i],
-                                      ev["clk"] + 1, shard_now, True)
+                                      ev["clk"] + 1, ev["shard"], True)
                     self._fill_access(row, C, f"yr{i}", ev["reads"][i],
-                                      ev["clk"], shard_now, False)
+                                      ev["clk"], ev["shard"], False)
             for g in gadgets.values():
                 g.fill_padding(mat, C, n)
             return mat

@@ -80,7 +80,6 @@ class BooleanCircuitGarbleChip(_WeierstrassBase):
         n_real = sum(max(1, (len(e["reads"]) - 5) // NW) for e in events)
         height = trace_height(n_real)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
         row = 0
         for ev in events:
             ng = (len(ev["reads"]) - 5) // NW
@@ -149,17 +148,17 @@ class BooleanCircuitGarbleChip(_WeierstrassBase):
                 r[COLS.idx("res_out")] = res
                 if g == 0:
                     self._fill_access(r, COLS, "ng", ev["reads"][0],
-                                      ev["clk"], shard_now, False)
+                                      ev["clk"], ev["shard"], False)
                     for i in range(4):
                         self._fill_access(r, COLS, f"dr{i}", ev["reads"][1 + i],
-                                          ev["clk"], shard_now, False)
+                                          ev["clk"], ev["shard"], False)
                 for i in range(NW):
                     self._fill_access(r, COLS, f"gr{i}",
                                       ev["reads"][5 + NW * g + i],
-                                      ev["clk"], shard_now, False)
+                                      ev["clk"], ev["shard"], False)
                 if g == ng - 1:
                     self._fill_access(r, COLS, "ow", ev["writes"][0],
-                                      ev["clk"], shard_now, True)
+                                      ev["clk"], ev["shard"], True)
                 row += 1
         return mat
 

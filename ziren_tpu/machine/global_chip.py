@@ -48,15 +48,18 @@ class GlobalChip(Air):
 
     def _events(self, record):
         """Collect global lookup events in chip-emission order."""
+        from ziren_tpu.machine.memory_local import all_local_segments
+        from ziren_tpu.machine.syscall_bridge import global_syscall_events
+
         events = []  # (message7, is_send, kind)
-        addrs = sorted(record.shard_initial)
-        for a in addrs:
-            sh, clk, v = record.shard_initial[a]
+        for a, init, fin in all_local_segments(record):
+            sh, clk, v = init
             vb = [int(x) for x in word_decompose_np(np.array([v]))[0]]
             events.append(([sh, clk, a] + vb, 0, int(LookupKind.Memory)))
-            sh, clk, v = record.shard_final[a]
+            sh, clk, v = fin
             vb = [int(x) for x in word_decompose_np(np.array([v]))[0]]
             events.append(([sh, clk, a] + vb, 1, int(LookupKind.Memory)))
+        events.extend(global_syscall_events(record))
         for a, v in record.mem_init:
             vb = [int(x) for x in word_decompose_np(np.array([v]))[0]]
             events.append(([0, 0, a] + vb, 1, int(LookupKind.Memory)))
@@ -81,7 +84,18 @@ class GlobalChip(Air):
         count(record, B.MSB, rb[:, 3], 0)
 
     def num_rows(self, record):
-        return (2 * len(record.shard_initial) + len(record.mem_init) + len(record.mem_final))
+        from ziren_tpu.machine.memory_local import all_local_segments
+        from ziren_tpu.machine.syscall_bridge import (
+            core_dispatches,
+            precompile_entries,
+        )
+
+        return (
+            2 * len(all_local_segments(record))
+            + 2 * len(core_dispatches(record))
+            + 2 * len(precompile_entries(record))
+            + len(record.mem_init) + len(record.mem_final)
+        )
 
     def generate_trace(self, record, output):
         events = self._events(record)

@@ -86,7 +86,6 @@ class KeccakSpongeChip(Air):
         n_real = sum(NR * (len(e["reads"]) // N_IN) for e in events)
         height = trace_height(n_real, 32)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
         row = 0
         for ev in events:
             nb = len(ev["reads"]) // N_IN
@@ -116,7 +115,7 @@ class KeccakSpongeChip(Air):
                         r[COLS.slc("in_bits")] = bits
                         self._fill_row_accesses(
                             r, [("len", ev["len_read"], 0)] if blk == 0 else [],
-                            ev["clk"], shard_now,
+                            ev["clk"], ev["shard"],
                         )
                         self._fill_row_accesses(
                             r,
@@ -124,14 +123,14 @@ class KeccakSpongeChip(Air):
                                 (f"in{i}", ev["reads"][N_IN * blk + i], 0)
                                 for i in range(N_IN)
                             ],
-                            ev["clk"], shard_now,
+                            ev["clk"], ev["shard"],
                         )
                     if rnd == NR - 1 and blk == nb - 1:
                         r[COLS.idx("wr_flag")] = 1
                         self._fill_row_accesses(
                             r,
                             [(f"out{i}", ev["writes"][i], 1) for i in range(N_OUT)],
-                            ev["clk"], shard_now, write=True,
+                            ev["clk"], ev["shard"], write=True,
                         )
                     if rnd == NR - 1 and blk < nb - 1:
                         r[COLS.idx("blk_cont")] = 1
@@ -140,13 +139,13 @@ class KeccakSpongeChip(Air):
         return mat
 
     @staticmethod
-    def _fill_row_accesses(r, named, clk, shard_now, write=False):
+    def _fill_row_accesses(r, named, clk, shard, write=False):
         for prefix, acc, ts_off in named:
             addr, prev_v, prev_clk, prev_shard = acc[0], acc[1], acc[2], acc[3]
             value = acc[4] if write else acc[1]
-            compare = 1 if prev_shard == shard_now else 0
+            compare = 1 if prev_shard == shard else 0
             ts = clk + ts_off
-            diff = (ts - prev_clk - 1) if compare else (shard_now - prev_shard - 1)
+            diff = (ts - prev_clk - 1) if compare else (shard - prev_shard - 1)
             r[COLS.idx(f"{prefix}_prev_shard")] = prev_shard
             r[COLS.idx(f"{prefix}_prev_clk")] = prev_clk
             r[COLS.idx(f"{prefix}_compare_clk")] = compare

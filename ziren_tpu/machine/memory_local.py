@@ -27,26 +27,44 @@ def global_memory_message(shard, clk, addr, value_word):
     return [shard, clk, addr] + list(value_word)
 
 
+def all_local_segments(record) -> list:
+    """Every local-memory segment this record owns: the execution side's
+    CPU segments (the shard's per-address spans, tiled around precompile
+    scopes — executor/precompile_mem.py) plus the scopes of every
+    precompile group attached to this record (in place or deferred).
+    Each item: (addr, (init_shard, init_clk, init_value),
+    (final_shard, final_clk, final_value))."""
+    from ziren_tpu.executor.precompile_mem import (
+        compute_local_segments,
+        group_events,
+    )
+
+    segments = list(compute_local_segments(record))
+    for g in group_events(record):
+        segments.extend(g["local_mem"])
+    return segments
+
+
 class MemoryLocalChip(Air):
     name = "MemoryLocal"
     width = COLS.width
 
     def num_rows(self, record):
-        return len(record.shard_initial)
+        return len(all_local_segments(record))
 
     def generate_trace(self, record, output):
-        addrs = sorted(record.shard_initial)
-        n = len(addrs)
+        segs = all_local_segments(record)
+        n = len(segs)
         w = COLS.writer(n)
-        w.set("addr", addrs)
-        w.set("init_shard", [record.shard_initial[a][0] for a in addrs])
-        w.set("init_clk", [record.shard_initial[a][1] for a in addrs])
+        w.set("addr", [a for a, _, _ in segs])
+        w.set("init_shard", [i[0] for _, i, _ in segs])
+        w.set("init_clk", [i[1] for _, i, _ in segs])
         w.set_word("init_value", np.array(
-            [record.shard_initial[a][2] for a in addrs], dtype=np.int64))
-        w.set("final_shard", [record.shard_final[a][0] for a in addrs])
-        w.set("final_clk", [record.shard_final[a][1] for a in addrs])
+            [i[2] for _, i, _ in segs], dtype=np.int64))
+        w.set("final_shard", [f[0] for _, _, f in segs])
+        w.set("final_clk", [f[1] for _, _, f in segs])
         w.set_word("final_value", np.array(
-            [record.shard_final[a][2] for a in addrs], dtype=np.int64))
+            [f[2] for _, _, f in segs], dtype=np.int64))
         w.set("is_real", np.ones(n))
         return pad_to_pow2(w.mat)
 

@@ -35,6 +35,7 @@ from .shift import ShiftLeftChip, ShiftRightChip
 from .poseidon2_chip import Poseidon2PermuteChip
 from .program import ProgramChip
 from .syscall import SyscallChip
+from .syscall_bridge import SyscallCoreChip, SyscallPrecompileChip
 from .keccak_sponge import KeccakSpongeChip
 from .uint256 import Uint256MulChip
 from .edwards import EdAddChip, EdDecompressChip
@@ -64,6 +65,8 @@ def mips_airs():
         JumpChip(),
         MemoryInstructionsChip(),
         SyscallChip(),
+        SyscallCoreChip(),
+        SyscallPrecompileChip(),
         Poseidon2PermuteChip(),
         ShaExtendChip(),
         ShaCompressChip(),
@@ -122,8 +125,11 @@ def verify_mips_proof(machine, vk, proof, pc_start=None):
         missing = required - names
         if missing:
             raise VerificationError(f"shard {i}: missing chips {sorted(missing)}")
-        if "Cpu" not in names and not ({"MemoryInit", "MemoryFinal"} & names):
-            raise VerificationError(f"shard {i}: no Cpu and no memory endpoints")
+        if "Cpu" not in names and not (
+            {"MemoryInit", "MemoryFinal", "SyscallPrecompile"} & names
+        ):
+            raise VerificationError(
+                f"shard {i}: no Cpu, no memory endpoints, no precompiles")
 
     digest0 = shards[0].public_values[:40]
     exec_shard = 0

@@ -28,7 +28,7 @@ M_EXT = p2._build_external_matrix().T.astype(np.int64)  # [i][j] coefficient
 RC = p2.RC.astype(np.int64)
 DIAG = p2.INTERNAL_DIAG.astype(np.int64)
 
-COLS = Layout().add("shard").add("clk").add("ptr")
+COLS = Layout().add("shard").add("clk").add("ptr").add("arg2")
 for r in range(NUM_ROUNDS + 2):  # s0 = input fields, s1 = after init layer,
     COLS.add(f"s{r}", 16)  # s2..s22 = after each round
 for i in range(16):
@@ -71,6 +71,9 @@ class Poseidon2PermuteChip(Air):
     width = COLS.width
 
     def _events(self, record):
+        from ziren_tpu.executor.precompile_mem import group_events
+
+        group_events(record)  # annotate events with dispatch args
         return record.precompile_events.get(int(SyscallCode.POSEIDON2_PERMUTE), [])
 
     def included(self, record):
@@ -102,6 +105,7 @@ class Poseidon2PermuteChip(Air):
             w.set("shard", [ev["shard"] for ev in events])
             w.set("clk", [ev["clk"] for ev in events])
             w.set("ptr", [ev["ptr"] for ev in events])
+            w.set("arg2", [ev["_arg2"] % F.P_INT for ev in events])
             states = np.zeros((n, NUM_ROUNDS + 2, 16), dtype=np.int64)
             for r_i, ev in enumerate(events):
                 s = np.array([rd[1] for rd in ev["reads"]], dtype=np.int64)
@@ -145,7 +149,8 @@ class Poseidon2PermuteChip(Air):
                         ),
                     }
                     fill_access(w, rec_cols, "m", prefix, 0, write=write,
-                                shard=record.public_values.shard)
+                                shard=np.array([ev["shard"] for ev in events],
+                                               dtype=np.int64))
             w.set("is_real", np.ones(n))
         mat = pad_to_pow2(w.mat)
         # padding rows must satisfy the (ungated) round constraints: fill
@@ -173,10 +178,12 @@ class Poseidon2PermuteChip(Air):
         L = COLS.view(b.main_local)
         is_real = L["is_real"]
         b.assert_bool(is_real)
-        # dispatch from the syscall chip
+        # dispatch from the SyscallPrecompile bridge (canonical 5-element
+        # message; arg2 is the unused c operand, bound only by the lookup)
         b.receive(
             LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.POSEIDON2_PERMUTE), L["ptr"]],
+            [L["shard"], L["clk"], int(SyscallCode.POSEIDON2_PERMUTE),
+             L["ptr"], L["arg2"]],
             is_real,
         )
         # memory reads at clk bind the input state

@@ -87,8 +87,8 @@ class ShaCompressChip(Air):
         events = self._events(record)
         if not events:
             return
-        shard = record.public_values.shard
         for ev in events:
+            shard = ev["shard"]
             states, final = self._round_states(ev)
             ws = [r[1] for r in ev["w_reads"]]
             ror = lambda x, rr: ((x >> rr) | (x << (32 - rr))) & 0xFFFFFFFF
@@ -133,9 +133,9 @@ class ShaCompressChip(Air):
         events = self._events(record)
         n = 64 * len(events)
         w = COLS.writer(n)
-        shard = record.public_values.shard
         row = 0
         for ev in events:
+            shard = ev["shard"]
             states, final = self._round_states(ev)
             hs = [r[1] for r in ev["h_reads"]]
             for i in range(64):

@@ -23,7 +23,7 @@ from .memory_access import add_access_cols, eval_access, fill_access
 
 P = 2130706433
 
-COLS = Layout().add("shard").add("clk").add("ptr").add("i")
+COLS = Layout().add("shard").add("clk").add("ptr").add("arg2").add("i")
 COLS.add("is_first").add("is_last").add("i63_inv")
 COLS.add("b15", 32)  # bits of w[i-15]
 COLS.add("b2", 32)  # bits of w[i-2]
@@ -60,6 +60,9 @@ class ShaExtendChip(Air):
     width = COLS.width
 
     def _events(self, record):
+        from ziren_tpu.executor.precompile_mem import group_events
+
+        group_events(record)  # annotate events with dispatch args
         return record.precompile_events.get(int(SyscallCode.SHA_EXTEND), [])
 
     def included(self, record):
@@ -69,9 +72,8 @@ class ShaExtendChip(Air):
         events = self._events(record)
         if not events:
             return
-        shard = record.public_values.shard
         for ev in events:
-            clk = ev["clk"]
+            clk, shard = ev["clk"], ev["shard"]
             for acc in ev["reads"] + [ev["write"][:4]]:
                 prev_clk, prev_shard = acc[2], acc[3]
                 compare = 1 if prev_shard == shard else 0
@@ -89,6 +91,7 @@ class ShaExtendChip(Air):
             w.set("shard", [ev["shard"] for ev in events])
             w.set("clk", [ev["clk"] for ev in events])
             w.set("ptr", [ev["ptr"] for ev in events])
+            w.set("arg2", [ev["_arg2"] % P for ev in events])
             iv = np.array([ev["i"] for ev in events], dtype=np.int64)
             w.set("i", iv)
             w.set("is_first", (iv == 16).astype(np.uint32))
@@ -128,7 +131,7 @@ class ShaExtendChip(Air):
                 for t in range(3):
                     carries[:, 3 * k + t] = ((cur >> t) & 1).astype(np.uint32)
             w.set("sum_carry", carries)
-            shard = record.public_values.shard
+            shard = np.array([ev["shard"] for ev in events], dtype=np.int64)
             for nm, ridx in (("r16", 0), ("r15", 1), ("r7", 2), ("r2", 3)):
                 rows = [ev["reads"][ridx] for ev in events]
                 rc = {
@@ -167,10 +170,12 @@ class ShaExtendChip(Air):
         b.when_first_row().when(is_real).assert_one(is_first)
         b.when_transition().assert_zero(N["is_real"] * (1 - is_real))
 
-        # dispatch on the first iteration row
+        # dispatch on the first iteration row (canonical 5-element message
+        # from the SyscallPrecompile bridge; arg2 = unused c operand)
         b.receive(
             LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SHA_EXTEND), L["ptr"]],
+            [L["shard"], L["clk"], int(SyscallCode.SHA_EXTEND), L["ptr"],
+             L["arg2"]],
             is_first,
         )
         b.when(is_first).assert_eq(L["i"], 16)

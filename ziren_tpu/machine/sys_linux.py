@@ -122,10 +122,10 @@ class SysLinuxChip(_WeierstrassBase):
                             count(record, B.LTU, np.array([a0b[k]]), brkb[k])
                         break
 
-    def _row_fill(self, row, ev, shard_now, record=None):
+    def _row_fill(self, row, ev, shard, record=None):
         C = COLS
         code = ev["syscall_code"]
-        row[C.idx("shard")] = ev["shard"]
+        row[C.idx("shard")] = shard
         row[C.idx("clk")] = ev["clk"]
         row[C.idx("code")] = code
         row[C.idx("is_real")] = 1
@@ -141,7 +141,7 @@ class SysLinuxChip(_WeierstrassBase):
         assert matched, f"unknown linux syscall {code}"
         # errno is the A3 (addr 7) write
         err = next(w for w in ev["writes"] if w[0] == 7)
-        self._fill_access(row, C, "err", err, ev["clk"], shard_now, True)
+        self._fill_access(row, C, "err", err, ev["clk"], shard, True)
         io = None
         if code == 4045:
             io = ("r", ev["reads"][0])
@@ -155,7 +155,7 @@ class SysLinuxChip(_WeierstrassBase):
                 acc5 = (acc[0], acc[1], acc[2], acc[3], acc[1])
             else:
                 acc5 = acc
-            self._fill_access(row, C, "io", acc5, ev["clk"], shard_now, True)
+            self._fill_access(row, C, "io", acc5, ev["clk"], shard, True)
             row[C.idx("io_mult")] = 1
             row[C.idx("io_addr")] = acc5[0]
         # brk compare witness
@@ -222,9 +222,8 @@ class SysLinuxChip(_WeierstrassBase):
         n = len(events)
         height = trace_height(n)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):
-            self._row_fill(mat[r_i], ev, shard_now, record)
+            self._row_fill(mat[r_i], ev, ev["shard"], record)
         return mat
 
     def eval(self, b_):
@@ -233,10 +232,21 @@ class SysLinuxChip(_WeierstrassBase):
         is_real = L["is_real"]
         b_.assert_bool(is_real)
         a0w, a1w, v0w = L.word("a0"), L.word("a1"), L.word("v0")
+        # canonical dispatch + result linkage from the SyscallPrecompile
+        # bridge (reference: sys_linux/air.rs receive_syscall +
+        # receive_syscall_result)
         b_.receive(
             LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SYS_LINUX), L["code"]]
-            + list(a0w) + list(a1w) + list(v0w),
+            [L["shard"], L["clk"], L["code"], pack_word(a0w), pack_word(a1w)],
+            is_real,
+        )
+        halves = lambda wd: (wd[0] + wd[1] * 256, wd[2] + wd[3] * 256)
+        v0_lo, v0_hi = halves(v0w)
+        a0_lo, a0_hi = halves(a0w)
+        a1_lo, a1_hi = halves(a1w)
+        b_.receive(
+            LookupKind.SyscallResult,
+            [L["shard"], L["clk"], v0_lo, v0_hi, a0_lo, a0_hi, a1_lo, a1_hi],
             is_real,
         )
         flags = {nm: L[f"f_{nm}"] for nm, _ in VARIANTS}

@@ -207,81 +207,45 @@ class SyscallChip(Air):
             ),
             is_real,
         )
-        # precompile dispatch: poseidon2 permute receives (shard, clk, ptr)
+        # canonical precompile dispatch (reference: builder.rs send_syscall):
+        # ONE local Syscall message [shard, clk, id, arg1, arg2] received by
+        # the SyscallCore bridge; the precompile chips receive the matching
+        # message from SyscallPrecompile in whichever shard holds the events
+        # (machine/syscall_bridge.py)
         from .layout import pack_word
 
+        pc_flags = [(nm, code) for nm, code in CODES
+                    if (code >> 16) & 0xFF == 1]
+        pre_mult = 0
+        pre_id = 0
+        for nm, code in pc_flags:
+            pre_mult = L[nm] + pre_mult
+            pre_id = L[nm] * int(code) + pre_id
+        arg1 = pack_word(L.word("b"))
+        arg2 = pack_word(L.word("c"))
         b.send(
             LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.POSEIDON2_PERMUTE),
-             pack_word(L.word("b"))],
-            is_p2,
+            [L["shard"], L["clk"], pre_id, arg1, arg2],
+            pre_mult,
         )
+        # Linux family: same canonical message with the actual Linux id,
+        # plus the result linkage carrying the v0 word in half-words
+        # (reference: builder.rs send_syscall_result)
+        lx_mult = is_linux + L["is_linux_exit"]
         b.send(
             LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SHA_EXTEND),
-             pack_word(L.word("b"))],
-            is_sha,
+            [L["shard"], L["clk"], lvalue, arg1, arg2],
+            lx_mult,
         )
+        halves = lambda wd: (wd[0] + wd[1] * 256, wd[2] + wd[3] * 256)
+        a_lo, a_hi = halves(L.word("a"))
+        b_lo, b_hi = halves(L.word("b"))
+        c_lo, c_hi = halves(L.word("c"))
         b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SHA_COMPRESS),
-             pack_word(L.word("b")), pack_word(L.word("c"))],
-            is_shac,
+            LookupKind.SyscallResult,
+            [L["shard"], L["clk"], a_lo, a_hi, b_lo, b_hi, c_lo, c_hi],
+            lx_mult,
         )
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.UINT256_MUL),
-             pack_word(L.word("b")), pack_word(L.word("c"))],
-            is_u256,
-        )
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.KECCAK_SPONGE),
-             pack_word(L.word("b")), pack_word(L.word("c"))],
-            is_keccak,
-        )
-        for nm, code in EC_ADD_FLAGS:
-            b.send(
-                LookupKind.Syscall,
-                [L["shard"], L["clk"], int(code),
-                 pack_word(L.word("b")), pack_word(L.word("c"))],
-                L[nm],
-            )
-        # Linux family: one grouped dispatch carrying the actual id plus the
-        # a0/a1 argument words and the v0 result word (decoded by SysLinux)
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.SYS_LINUX), lvalue]
-            + list(L.word("b")) + list(L.word("c")) + list(L.word("a")),
-            is_linux + L["is_linux_exit"],
-        )
-        # garble: two-arg (input_ptr, output_ptr), zero extra cycles
-        b.send(
-            LookupKind.Syscall,
-            [L["shard"], L["clk"], int(SyscallCode.BOOLEAN_CIRCUIT_GARBLE),
-             pack_word(L.word("b")), pack_word(L.word("c"))],
-            L["is_garble"],
-        )
-        # decompress family: two-arg (ptr, sign), zero extra cycles
-        for nm, code in (
-            ("is_ed_decompress", SyscallCode.ED_DECOMPRESS),
-            ("is_k1_decompress", SyscallCode.SECP256K1_DECOMPRESS),
-            ("is_r1_decompress", SyscallCode.SECP256R1_DECOMPRESS),
-            ("is_bls_decompress", SyscallCode.BLS12381_DECOMPRESS),
-        ):
-            b.send(
-                LookupKind.Syscall,
-                [L["shard"], L["clk"], int(code),
-                 pack_word(L.word("b")), pack_word(L.word("c"))],
-                L[nm],
-            )
-        # double is single-argument: message length disambiguates
-        for nm, code in EC_DOUBLE_FLAGS:
-            b.send(
-                LookupKind.Syscall,
-                [L["shard"], L["clk"], int(code), pack_word(L.word("b"))],
-                L[nm],
-            )
 
         # HALT / SYS_EXT_GROUP: next_pc = 0, exit code (A0 = b) must be 0
         halt_like = is_halt + L["is_linux_exit"]

@@ -103,7 +103,6 @@ class U256xU2048MulChip(_WeierstrassBase):
         n = len(events)
         height = trace_height(n)
         mat = np.zeros((height, COLS.width), dtype=np.uint32)
-        shard_now = record.public_values.shard
         for r_i, ev in enumerate(events):
             row = mat[r_i]
             row[COLS.idx("shard")] = ev["shard"]
@@ -116,21 +115,21 @@ class U256xU2048MulChip(_WeierstrassBase):
             row[COLS.slc("clo")] = cw & 0xFF
             row[COLS.slc("chi")] = cw >> 8
             self._fill_access(row, COLS, "lp", ev["reads"][0], ev["clk"],
-                              shard_now, False)
+                              ev["shard"], False)
             self._fill_access(row, COLS, "hp", ev["reads"][1], ev["clk"],
-                              shard_now, False)
+                              ev["shard"], False)
             for i in range(8):
                 self._fill_access(row, COLS, f"ar{i}", ev["reads"][2 + i],
-                                  ev["clk"], shard_now, False)
+                                  ev["clk"], ev["shard"], False)
             for i in range(64):
                 self._fill_access(row, COLS, f"br{i}", ev["reads"][10 + i],
-                                  ev["clk"], shard_now, False)
+                                  ev["clk"], ev["shard"], False)
             for i in range(64):
                 self._fill_access(row, COLS, f"lw{i}", ev["writes"][i],
-                                  ev["clk"] + 1, shard_now, True)
+                                  ev["clk"] + 1, ev["shard"], True)
             for i in range(8):
                 self._fill_access(row, COLS, f"hw{i}", ev["writes"][64 + i],
-                                  ev["clk"] + 1, shard_now, True)
+                                  ev["clk"] + 1, ev["shard"], True)
         mat[n:, COLS.slc("clo")] = C_OFF & 0xFF
         mat[n:, COLS.slc("chi")] = C_OFF >> 8
         return mat

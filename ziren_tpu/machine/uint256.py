@@ -228,7 +228,8 @@ class Uint256MulChip(Air):
                         ),
                     }
                     fill_access(w, rec_cols, "m", prefix, 0, write=write,
-                                shard=record.public_values.shard)
+                                shard=np.array([ev["shard"] for ev in events],
+                                               dtype=np.int64))
             w.set("is_real", np.ones(n))
         mat = pad_to_pow2(w.mat)
         # padding: all limbs/q zero, carries at the offset, m_zero = 1 so the

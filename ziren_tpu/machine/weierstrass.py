@@ -38,6 +38,8 @@ from .field_gadget import ModLinGadget, ModMulGadget, limbs_of
 from .layout import Layout, trace_height
 from .memory_access import add_access_cols, eval_access
 
+PF = 2130706433  # KoalaBear modulus (canonical trace values)
+
 NL = 32
 
 P256K1 = (1 << 256) - (1 << 32) - 977
@@ -125,6 +127,9 @@ def _eval_lt(b_, L, prefix, r_limbs, modulus, is_real, nl=NL):
 
 class _WeierstrassBase(Air):
     def _events(self, record):
+        from ziren_tpu.executor.precompile_mem import group_events
+
+        group_events(record)  # annotate events with dispatch args
         return record.precompile_events.get(int(self.SYSCALL), [])
 
     def included(self, record):
@@ -140,11 +145,11 @@ class _WeierstrassBase(Air):
             count(record, B.U8Range, np.array([diff >> 16]), 0)
 
     @staticmethod
-    def _fill_access(r, layout, prefix, acc, ts, shard_now, write):
+    def _fill_access(r, layout, prefix, acc, ts, shard, write):
         addr, prev_v, prev_clk, prev_shard = acc[0], acc[1], acc[2], acc[3]
         value = acc[4] if write else acc[1]
-        compare = 1 if prev_shard == shard_now else 0
-        diff = (ts - prev_clk - 1) if compare else (shard_now - prev_shard - 1)
+        compare = 1 if prev_shard == shard else 0
+        diff = (ts - prev_clk - 1) if compare else (shard - prev_shard - 1)
         r[layout.idx(f"{prefix}_prev_shard")] = prev_shard
         r[layout.idx(f"{prefix}_prev_clk")] = prev_clk
         r[layout.idx(f"{prefix}_compare_clk")] = compare
@@ -230,7 +235,6 @@ def _make_add_chip(curve_name, modulus, add_code, nw=8):
             n = len(events)
             height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
-            shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):
                 row = self._fill_math(mat[r_i], ev)
                 row[C.idx("shard")] = ev["shard"]
@@ -240,9 +244,9 @@ def _make_add_chip(curve_name, modulus, add_code, nw=8):
                 row[C.idx("is_real")] = 1
                 for i in range(npt):
                     self._fill_access(row, C, f"pw{i}", ev["writes"][i],
-                                      ev["clk"] + 1, shard_now, True)
+                                      ev["clk"] + 1, ev["shard"], True)
                     self._fill_access(row, C, f"qr{i}", ev["reads"][i],
-                                      ev["clk"], shard_now, False)
+                                      ev["clk"], ev["shard"], False)
             for g in (g_lam, g_lam2, g_t):
                 g.fill_padding(mat, C, n)
             for g in (g_dx, g_dy, g_x3, g_xd, g_y3):
@@ -291,7 +295,7 @@ def _make_add_chip(curve_name, modulus, add_code, nw=8):
 
 def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
     npt, nl = 2 * nw, 4 * nw
-    C = Layout().add("shard").add("clk").add("p_ptr").add("is_real")
+    C = Layout().add("shard").add("clk").add("p_ptr").add("arg2").add("is_real")
     for i in range(npt):
         add_access_cols(C, f"pw{i}", write=True)
     for nm in ("ty", "x2c", "tx", "lam", "lam2", "xd", "t"):
@@ -357,16 +361,16 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
             n = len(events)
             height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
-            shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):
                 row = self._fill_math(mat[r_i], ev)
                 row[C.idx("shard")] = ev["shard"]
                 row[C.idx("clk")] = ev["clk"]
                 row[C.idx("p_ptr")] = ev["p_ptr"]
+                row[C.idx("arg2")] = ev["_arg2"] % PF
                 row[C.idx("is_real")] = 1
                 for i in range(npt):
                     self._fill_access(row, C, f"pw{i}", ev["writes"][i],
-                                      ev["clk"], shard_now, True)
+                                      ev["clk"], ev["shard"], True)
             for g in (g_x2c, g_lam, g_lam2, g_t):
                 g.fill_padding(mat, C, n)
             for g in (g_ty, g_tx, g_x3, g_xd, g_y3):
@@ -379,7 +383,7 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
             b_.assert_bool(is_real)
             b_.receive(
                 LookupKind.Syscall,
-                [L["shard"], L["clk"], self.SYSCALL, L["p_ptr"]],
+                [L["shard"], L["clk"], self.SYSCALL, L["p_ptr"], L["arg2"]],
                 is_real,
             )
             for i in range(npt):
@@ -519,7 +523,6 @@ def _make_decompress_chip(curve_name, modulus, a_coef, b_coef, code, nw,
             n = len(events)
             height = trace_height(n)
             mat = np.zeros((height, C.width), dtype=np.uint32)
-            shard_now = record.public_values.shard
             for r_i, ev in enumerate(events):
                 row = self._fill_math(mat[r_i], ev)
                 row[C.idx("shard")] = ev["shard"]
@@ -529,9 +532,9 @@ def _make_decompress_chip(curve_name, modulus, a_coef, b_coef, code, nw,
                 row[C.idx("is_real")] = 1
                 for i in range(nw):
                     self._fill_access(row, C, f"xr{i}", ev["reads"][i],
-                                      ev["clk"], shard_now, False)
+                                      ev["clk"], ev["shard"], False)
                     self._fill_access(row, C, f"yw{i}", ev["writes"][i],
-                                      ev["clk"], shard_now, True)
+                                      ev["clk"], ev["shard"], True)
             gads = [g_xx, g_x3, g_yy] + ([g_ax] if a_coef else [])
             for g in gads:
                 g.fill_padding(mat, C, n)

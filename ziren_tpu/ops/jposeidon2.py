@@ -97,12 +97,26 @@ def permute(state):
 
 @jax.jit
 def hash_rows(rows):
-    """PaddingFreeSponge over rows: (n, w) mont -> (n, 8) mont digests."""
+    """PaddingFreeSponge over rows: (n, w) mont -> (n, 8) mont digests.
+
+    The absorb loop is a lax.scan over full-rate chunks (plus one unrolled
+    partial chunk) — wide trace matrices would otherwise unroll w/8
+    permutations into one giant XLA graph, dominating compile time on both
+    the CPU mesh and the tunneled-TPU path."""
     n, w = rows.shape
     state = jnp.zeros((n, WIDTH), dtype=jnp.uint32)
-    for i in range(0, w, RATE):
-        chunk = rows[:, i : i + RATE]
-        state = jax_dynamic_overwrite(state, chunk)
+    full = w // RATE
+    if full:
+        chunks = rows[:, : full * RATE].reshape(n, full, RATE)
+        chunks = jnp.moveaxis(chunks, 1, 0)  # (full, n, RATE)
+
+        def absorb(s, ch):
+            s = jnp.concatenate([ch, s[:, RATE:]], axis=1)
+            return permute(s), None
+
+        state, _ = jax.lax.scan(absorb, state, chunks)
+    if w % RATE:
+        state = jax_dynamic_overwrite(state, rows[:, full * RATE :])
         state = permute(state)
     return state[:, :OUT]
 

@@ -106,6 +106,8 @@ class ZirenCoreOpts:
             ),
         )
         o.split_opts.memory = _env_int("ZIREN_SPLIT_MEMORY", o.split_opts.memory)
+        o.split_opts.deferred = _env_int(
+            "ZIREN_SPLIT_DEFERRED", o.split_opts.deferred)
         o.split_opts.combine_memory_threshold = _env_int(
             "ZIREN_COMBINE_MEMORY_THRESHOLD",
             o.split_opts.combine_memory_threshold,
