@@ -118,6 +118,29 @@ def test_sha_extend_group_moves_atomically(monkeypatch):
     assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
 
 
+def test_cost_model_bounds_peak_lde_area(monkeypatch):
+    """The per-AirId cost model (reference cost.rs estimate_mips_lde_size):
+    deferral keeps every shard's LDE area bounded even when the guest is
+    precompile-dense — without it, one shard's poseidon2 chip would carry
+    all events."""
+    from ziren_tpu.stark.shape import estimate_lde_area
+
+    machine = mips_machine(dev_config())
+    program = multi_poseidon2_program(8)
+
+    monkeypatch.setenv("ZIREN_SPLIT_DEFERRED", "2")
+    split = Executor(program, shard_size=4096).run_sharded()
+    areas = [estimate_lde_area(machine, r) for r in split]
+    assert all(a > 0 for a in areas)
+
+    monkeypatch.setenv("ZIREN_SPLIT_DEFERRED", str(1 << 30))
+    whole = Executor(program, shard_size=4096).run_sharded()
+    peak_whole = max(estimate_lde_area(machine, r) for r in whole)
+    # deferral strictly reduces the peak shard cost: the 8-permute chip
+    # spreads over >=4 precompile shards of <=2 rows each
+    assert max(areas) < peak_whole
+
+
 @pytest.mark.parametrize("maker", [
     "poseidon2_program", "sha_extend_program", "sha256_program",
     "uint256_program", "keccak_program", "ed25519_program",

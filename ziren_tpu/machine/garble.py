@@ -57,6 +57,12 @@ def _bits_of_words(words4):
 
 
 class BooleanCircuitGarbleChip(_WeierstrassBase):
+    def num_rows(self, record):
+        return sum(
+            max(1, (len(e["reads"]) - 5) // NW)
+            for e in self._events(record)
+        )
+
     name = "BooleanCircuitGarble"
     SYSCALL = int(SyscallCode.BOOLEAN_CIRCUIT_GARBLE)
     COLS = COLS

@@ -59,6 +59,11 @@ for i in range(N_OUT):
 
 
 class KeccakSpongeChip(Air):
+    def num_rows(self, record):
+        return sum(
+            NR * (len(e["reads"]) // N_IN) for e in self._events(record)
+        )
+
     name = "KeccakSponge"
     width = COLS.width
 

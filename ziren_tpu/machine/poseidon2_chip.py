@@ -79,6 +79,9 @@ class Poseidon2PermuteChip(Air):
     def included(self, record):
         return bool(self._events(record))
 
+    def num_rows(self, record):
+        return len(self._events(record))
+
     def generate_dependencies(self, record, output):
         events = self._events(record)
         if not events:

@@ -53,6 +53,9 @@ def _xor2(x, y):
 
 
 class ShaCompressChip(Air):
+    def num_rows(self, record):
+        return 64 * len(self._events(record))
+
     name = "ShaCompress"
     width = COLS.width
 

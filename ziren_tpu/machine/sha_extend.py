@@ -68,6 +68,9 @@ class ShaExtendChip(Air):
     def included(self, record):
         return bool(self._events(record))
 
+    def num_rows(self, record):
+        return len(self._events(record))
+
     def generate_dependencies(self, record, output):
         events = self._events(record)
         if not events:

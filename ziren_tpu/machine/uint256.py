@@ -106,6 +106,9 @@ def _witness(x_words, y_words, m_words):
 
 
 class Uint256MulChip(Air):
+    def num_rows(self, record):
+        return len(self._events(record))
+
     name = "Uint256Mul"
     width = COLS.width
 

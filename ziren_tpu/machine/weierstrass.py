@@ -135,6 +135,9 @@ class _WeierstrassBase(Air):
     def included(self, record):
         return bool(self._events(record))
 
+    def num_rows(self, record):
+        return len(self._events(record))
+
     def _deps_accesses(self, record, ev, accesses):
         shard = ev["shard"]
         for ts, acc in accesses:

@@ -86,6 +86,28 @@ def estimate_targets(machine, records, grid: int = 1):
     return targets
 
 
+def estimate_lde_area(machine, record, log_blowup: int = 1) -> int:
+    """Per-AirId prover cost model: total LDE cells (felts) this record's
+    shard proof materializes — main + permutation + quotient columns at
+    padded height << log_blowup (reference: core/executor/src/cost.rs:225
+    estimate_mips_lde_size, executor.rs:161-165). Drives shard-sizing
+    decisions: a precompile-dense shard can be far "taller" than its cycle
+    count suggests, and SplitOpts.deferred is the knob that re-shards it."""
+    emit_synthetic(machine, record)
+    total = 0
+    for c in machine.chips:
+        if not c.air.included(record):
+            continue
+        n = c.air.num_rows(record)
+        if n is None:
+            return -1
+        h = 1 << (max(int(n), 4) - 1).bit_length()
+        cols = c.width + c.preprocessed_width + 4 * c.perm_width \
+            + 4 * c.quotient_degree
+        total += (h << log_blowup) * cols
+    return total
+
+
 def generate_fixed(machine, record, targets):
     """Generate this record's traces at the target heights and attach
     them as record._fixed_traces (thread-safe: fixed_height is
