@@ -88,3 +88,24 @@ def test_picus_export_all_chips():
         assert 0 <= n_asserts <= chip.num_constraints  # lookup-only chips have 0
         assert text.count("(") == text.count(")")
         assert f"(begin-module {chip.name})" in text
+        # every chip must carry determinism i/o annotations (reference
+        # derive PicusAnnotations), and the exporter refuses bare chips
+        assert chip.air.picus_inputs or chip.air.picus_outputs, chip.name
+        assert "(picus-input " in text, chip.name
+
+
+def test_picus_export_refuses_unannotated():
+    import pytest
+
+    from ziren_tpu.stark.chip import Air, Chip
+    from ziren_tpu.stark.picus import export_chip
+
+    class Bare(Air):
+        name = "Bare"
+        width = 1
+
+        def eval(self, b):
+            b.assert_bool(b.main_local[0])
+
+    with pytest.raises(ValueError, match="picus_inputs"):
+        export_chip(Chip(Bare()))

@@ -55,19 +55,34 @@ def test_rpv_compress_complete(two_shard):
     )
     assert S.digest_is_zero((gx, gy))
 
-    # allowed-vk registry root threading: the root RPV carries the
-    # registry root the tree ran under (joins verified the lift children's
-    # vk MEMBERSHIP against it in-circuit); the consumer can pin it
-    reg = mp.build_lift_registry(machine, vk, proof.shard_proofs)
+    # allowed-vk registry root threading: the root RPV carries the FULL
+    # (lift + join closure) registry root the tree ran under — every join
+    # verified BOTH children's vk membership against it in-circuit, and
+    # the final rec_vk itself is a member, so the root alone is the trust
+    # anchor (no consumer-pinned rec_vk)
+    from ziren_tpu.recursion.shape_universe import build_full_registry
+
+    shapes = [
+        tuple(zip(sp.chip_names, (v.log_degree for v in sp.opened_values)))
+        for sp in proof.shard_proofs
+    ]
+    reg, _depth = build_full_registry(machine, vk, shapes)
     assert rpv[mp.RPV_VK_ROOT : mp.RPV_VK_ROOT + 8] == [
         int(v) for v in reg.root
     ]
+    reg.membership(rvk.commit)  # the root join vk is enumerated
     mp.verify_compressed(machine, vk, rm, rvk, final_sp,
-                         pc_start=prog.pc_start, vk_root=reg.root)
+                         pc_start=prog.pc_start, registry=reg)
     bad_root = [int(reg.root[0]) ^ 1] + [int(v) for v in reg.root[1:]]
     with pytest.raises(VerificationError, match="allowed-vk root"):
         mp.verify_compressed(machine, vk, rm, rvk, final_sp,
                              pc_start=prog.pc_start, vk_root=bad_root)
+    # a rec_vk outside the registry is rejected even with the right root
+    lift_only = mp.build_lift_registry(machine, vk, proof.shard_proofs)
+    with pytest.raises(VerificationError, match="not in the allowed-vk"):
+        mp.verify_compressed(machine, vk, rm, rvk, final_sp,
+                             pc_start=prog.pc_start, registry=lift_only,
+                             vk_root=reg.root)
     # a registry that lacks the lift vk cannot build the tree: the join's
     # membership opening does not exist
     from ziren_tpu.recursion.vk_registry import VkRegistry

@@ -61,6 +61,9 @@ _OP_IDS = {
 
 
 class ByteChip(Air):
+    COLS = MAIN  # picus layout resolution
+    picus_inputs = tuple(MAIN._slices)  # multiplicities are free
+    picus_outputs = ()
     name = "Byte"
     width = MAIN.width
     preprocessed_width = PREP.width

@@ -77,6 +77,14 @@ _IMMUTABLE_OPS = BRANCH_OPCODES | (STORE_OPCODES - {Opcode.SC}) | {Opcode.TEQ}
 
 
 class CpuChip(Air):
+    # Picus determinism i/o: instruction context + operand witnesses are
+    # free; the written a value and timestamps-to-send are derived
+    picus_inputs = ("shard", "clk16", "clk8", "pc", "next_pc",
+                    "next_next_pc", "opcode", "op_a", "op_a_0", "op_b",
+                    "op_c", "imm_b", "imm_c", "op_a_immutable", "is_rw_a",
+                    "is_check_memory", "is_halt", "is_sequential",
+                    "num_extra_cycles", "b", "c", "prev_a", "is_real")
+    picus_outputs = ("a", "shard_to_send", "clk_to_send")
     name = "Cpu"
     cycle_chip = True
     width = COLS.width

@@ -76,6 +76,8 @@ DG_E = ModMulGadget(DCOLS, "dge", P25519, NL)
 
 
 class EdDecompressChip(_WeierstrassBase):
+    picus_inputs = ("shard", "clk", "ptr", "sign", "is_real")
+    picus_outputs = ("bit255", "h0", "x_df", "x_sel")
     """Recover x from (y, sign): x^2 (d y^2 + 1) = y^2 - 1, lsb(x) = sign,
     x canonical (reference: edwards/ed_decompress.rs). Bit 255 of the stored
     y bytes is ignored (committed via an MSB byte lookup on the top byte)."""
@@ -198,6 +200,8 @@ class EdDecompressChip(_WeierstrassBase):
 
 
 class EdAddChip(_WeierstrassBase):
+    picus_inputs = ("shard", "clk", "p_ptr", "q_ptr", "is_real")
+    picus_outputs = ()
     name = "EdAdd"
     SYSCALL = int(SyscallCode.ED_ADD)
     COLS = COLS

@@ -79,6 +79,8 @@ def _make_fp_chip(prefix, modulus, nwf, fop, is_fp2, code):
             gadgets["l1"] = ModLinGadget(C, "l1", modulus, nl)
 
     class FpChip(_WeierstrassBase):
+        picus_inputs = ("shard", "clk", "x_ptr", "y_ptr", "is_real")
+        picus_outputs = ()
         name = f"{prefix}{fop.capitalize()}"
         SYSCALL = int(code)
         COLS = C

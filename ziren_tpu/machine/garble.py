@@ -57,6 +57,11 @@ def _bits_of_words(words4):
 
 
 class BooleanCircuitGarbleChip(_WeierstrassBase):
+    picus_inputs = ("shard", "clk", "input_ptr", "output_ptr",
+                    "num_gates", "gate_idx", "is_real", "ev_start")
+    picus_outputs = ("is_last", "cont_next", "res_in", "res_out", "ok",
+                     "is_or", "or_inv", "delta_b", "df", "sel_c", "sel_e",
+                     "dinv")
     def num_rows(self, record):
         return sum(
             max(1, (len(e["reads"]) - 5) // NW)

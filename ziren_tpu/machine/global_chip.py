@@ -42,6 +42,9 @@ assert COLS.slc("acc").stop == COLS.width
 
 
 class GlobalChip(Air):
+    picus_inputs = ("message", "kind", "is_send", "is_receive", "offset",
+                    "is_real")
+    picus_outputs = ("x6", "y", "y6_inv", "range_b", "slope", "acc")
     name = "Global"
     width = COLS.width
     commit_scope = LookupScope.Global

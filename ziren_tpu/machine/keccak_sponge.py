@@ -59,6 +59,10 @@ for i in range(N_OUT):
 
 
 class KeccakSpongeChip(Air):
+    picus_inputs = ("shard", "clk", "input_ptr", "result_ptr", "n_u32",
+                    "block_idx", "is_real", "ev_start", "abs_flag",
+                    "is_last_block", "wr_flag", "blk_cont")
+    picus_outputs = ("in_bits",)
     def num_rows(self, record):
         return sum(
             NR * (len(e["reads"]) // N_IN) for e in self._events(record)

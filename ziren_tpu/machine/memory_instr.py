@@ -46,6 +46,10 @@ _HALF_OPS = (Opcode.LH, Opcode.LHU, Opcode.SH)
 
 
 class MemoryInstructionsChip(Air):
+    picus_inputs = ("shard", "clk", "pc", "next_pc", "next_next_pc",
+                    "b", "c", "prev_a", "is_real")
+    picus_outputs = ("a", "addr_word", "a_carry", "l0", "l1", "ls", "al0",
+                     "hi_sum_inv", "sel0", "sel1", "msb_sel")
     name = "MemoryInstructions"
     cycle_chip = True
     width = COLS.width

@@ -46,6 +46,10 @@ def all_local_segments(record) -> list:
 
 
 class MemoryLocalChip(Air):
+    # pure multiset routing: every column is a free endpoint tuple
+    picus_inputs = ("addr", "init_shard", "init_clk", "init_value",
+                    "final_shard", "final_clk", "final_value", "is_real")
+    picus_outputs = ()
     name = "MemoryLocal"
     width = COLS.width
 

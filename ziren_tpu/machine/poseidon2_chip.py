@@ -67,6 +67,8 @@ def _zero_chain():
 
 
 class Poseidon2PermuteChip(Air):
+    picus_inputs = ("shard", "clk", "ptr", "arg2", "s0", "is_real")
+    picus_outputs = tuple(f"s{r}" for r in range(1, 23))
     name = "Poseidon2Permute"
     width = COLS.width
 

@@ -25,6 +25,9 @@ MAIN = Layout().add("mult")
 
 
 class ProgramChip(Air):
+    COLS = MAIN  # picus layout resolution
+    picus_inputs = ("mult",)  # fetch multiplicity is free
+    picus_outputs = ()
     name = "Program"
     width = MAIN.width
     preprocessed_width = PREP.width

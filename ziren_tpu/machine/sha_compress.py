@@ -53,6 +53,10 @@ def _xor2(x, y):
 
 
 class ShaCompressChip(Air):
+    picus_inputs = ("shard", "clk", "w_ptr", "h_ptr", "r", "is_real")
+    picus_outputs = ("ba", "be", "ch_t1", "ch_t2", "ch", "mj_1", "mj_2",
+                     "mj_3", "mj_x", "mj", "s0B", "s1B", "t1B", "t1c",
+                     "ac", "ec", "wc")
     def num_rows(self, record):
         return 64 * len(self._events(record))
 

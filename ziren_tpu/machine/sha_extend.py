@@ -56,6 +56,9 @@ def _sigma_bits(bits, r1, r2, shift):
 
 
 class ShaExtendChip(Air):
+    picus_inputs = ("shard", "clk", "ptr", "arg2", "i", "is_real")
+    picus_outputs = ("is_first", "is_last", "i63_inv", "b15", "b2",
+                     "sum_carry")
     name = "ShaExtend"
     width = COLS.width
 

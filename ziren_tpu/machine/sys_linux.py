@@ -93,6 +93,8 @@ def _iszero_eval(b_, L, inv_nm, z_nm, value_expr, is_real):
 
 
 class SysLinuxChip(_WeierstrassBase):
+    picus_inputs = ("shard", "clk", "code", "a0", "a1", "is_real")
+    picus_outputs = ("v0",) + tuple(f"f_{nm}" for nm, _ in VARIANTS)
     name = "SysLinux"
     SYSCALL = int(SyscallCode.SYS_LINUX)
     COLS = COLS

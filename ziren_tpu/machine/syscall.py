@@ -92,6 +92,10 @@ COLS.add("is_real")
 
 
 class SyscallChip(Air):
+    picus_inputs = ("shard", "clk", "pc", "next_pc", "next_next_pc",
+                    "a", "b", "c", "prev_a", "is_real")
+    picus_outputs = ("commit_word", "deferred_word", "is_linux", "lx_d0",
+                     "lx_d1", "lx_inv")
     name = "SyscallInstrs"
     cycle_chip = True
     width = COLS.width

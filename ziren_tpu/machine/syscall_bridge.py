@@ -133,6 +133,10 @@ def global_syscall_events(record) -> list:
 
 
 class _BridgeBase(Air):
+    # pure multiset bridging: dispatch tuple is free witness
+    picus_inputs = ("shard", "clk", "syscall_id", "a1_lo", "a1_hi",
+                    "a2_lo", "a2_hi", "is_linux", "is_real")
+    picus_outputs = ("r_lo", "r_hi")
     width = COLS.width
 
     def _eval_common(self, b):

@@ -42,6 +42,8 @@ COLS.add("clo", NC).add("chi", NC)
 
 
 class U256xU2048MulChip(_WeierstrassBase):
+    picus_inputs = ("shard", "clk", "a_ptr", "b_ptr", "is_real")
+    picus_outputs = ("clo", "chi")
     name = "U256xU2048Mul"
     SYSCALL = int(SyscallCode.U256XU2048_MUL)
     COLS = COLS

@@ -106,6 +106,9 @@ def _witness(x_words, y_words, m_words):
 
 
 class Uint256MulChip(Air):
+    picus_inputs = ("shard", "clk", "x_ptr", "y_ptr", "is_real")
+    picus_outputs = ("q", "c_lo", "c_hi", "m_inv", "m_zero", "df",
+                     "sel_r", "sel_m")
     def num_rows(self, record):
         return len(self._events(record))
 

@@ -189,6 +189,9 @@ def _make_add_chip(curve_name, modulus, add_code, nw=8):
         return _eval_witness_vec(b_, L, name, is_real, nl=nl)
 
     class AddChip(_WeierstrassBase):
+        picus_inputs = ("shard", "clk", "p_ptr", "q_ptr", "is_real")
+        picus_outputs = ("dx", "dy", "lam", "lam2", "xd", "t",
+                         "x3_df", "y3_df", "x3_sel", "y3_sel")
         name = f"{curve_name}Add"
         SYSCALL = add_code
         COLS = C
@@ -318,6 +321,9 @@ def _make_double_chip(curve_name, modulus, a_coef, double_code, nw=8):
         return _eval_witness_vec(b_, L, name, is_real, nl=nl)
 
     class DoubleChip(_WeierstrassBase):
+        picus_inputs = ("shard", "clk", "p_ptr", "arg2", "is_real")
+        picus_outputs = ("ty", "x2c", "tx", "lam", "lam2", "xd", "t",
+                         "x3_df", "y3_df", "x3_sel", "y3_sel")
         name = f"{curve_name}Double"
         SYSCALL = double_code
         COLS = C
@@ -460,6 +466,8 @@ def _make_decompress_chip(curve_name, modulus, a_coef, b_coef, code, nw,
     b_limbs = limbs_of(b_coef, nl)
 
     class DecompressChip(_WeierstrassBase):
+        picus_inputs = ("shard", "clk", "ptr", "sign", "is_real")
+        picus_outputs = ("x_df", "x_sel", "y_df", "y_sel")
         name = f"{curve_name}Decompress"
         SYSCALL = code
         COLS = C

@@ -368,38 +368,53 @@ def lift_shard(machine, vk, shard_proof, config=None,
 
 
 def join(side_a, side_b, config=None, registry=None,
-         leaf_flags=(False, False)):
+         leaf_flags=(False, False), phantom=False, registry_depth=None):
     """One recursion proof attesting two adjacent child recursion proofs
     (lifts or joins), chaining their boundaries and accumulating their
     septic sums.
 
     Child vk binding (reference machine/compress.rs vk Merkle proofs +
-    prover/src/shapes.rs vk_map): a LEAF child (leaf_flags[i]=True, a lift)
-    with a `registry` enters as a HINTED vk whose registry MEMBERSHIP is
-    verified in-circuit against the RPV's vk_root field — so one join
-    program covers every allowed lift vk. A non-leaf child (a join) is
-    pinned as constants: its own vk transitively attests the subtree, and
-    the root-field chain (asserted below) carries the registry root up
-    unchanged either way."""
+    prover/src/shapes.rs vk_map): with a `registry`, EVERY child vk enters
+    as a HINTED vk whose registry MEMBERSHIP is verified in-circuit against
+    the RPV's vk_root field — lifts AND joins are registry members (the
+    full enumeration of shape_universe.build_full_registry), so the join
+    program set is finite and value-independent, and the root-field chain
+    (asserted below) carries the registry root up unchanged. Without a
+    registry, child vks are pinned as constants (legacy mode).
+
+    phantom=True: structural tracing over phantom child proofs — the
+    enumeration path; pass `registry_depth` (the fixed membership-path
+    length every real registry uses) instead of a registry. Returns
+    (rec_machine, rec_vk, None)."""
     (ma, vka, spa), (mb, vkb, spb) = side_a, side_b
     rpv_a = [int(v) for v in spa.public_values]
     rpv_b = [int(v) for v in spb.public_values]
     assert len(rpv_a) == RPV_WIDTH and len(rpv_b) == RPV_WIDTH
-    out_vals = combine_rpv(rpv_a, rpv_b)
-
-    t = Tracer(num_inputs=RPV_WIDTH, input_values=out_vals)
+    depth = registry.depth if registry is not None else registry_depth
+    if phantom:
+        out_vals = None
+        t = Tracer(num_inputs=RPV_WIDTH, phantom=True)
+    else:
+        out_vals = combine_rpv(rpv_a, rpv_b)
+        t = Tracer(num_inputs=RPV_WIDTH, input_values=out_vals)
     rpv = [t.input(i) for i in range(RPV_WIDTH)]
     a_h = [t.hint(v) for v in rpv_a]
     b_h = [t.hint(v) for v in rpv_b]
     root_h = rpv[RPV_VK_ROOT : RPV_VK_ROOT + 8]
 
-    def child_vk_handles(vk_c, is_leaf):
-        """Hinted + membership-verified for registry leaves, else consts."""
-        if registry is not None and is_leaf:
+    def child_vk_handles(vk_c, _is_leaf):
+        """Hinted + membership-verified under a registry, else consts."""
+        if depth is not None:
+            import numpy as np
+
             from .vk_registry import traced_membership
 
             vk_h = [t.hint(int(v)) for v in vk_c.commit]
-            idx, path = registry.membership(vk_c.commit)
+            if phantom:
+                idx, path = 0, [np.zeros(8, np.uint32)] * depth
+            else:
+                idx, path = registry.membership(vk_c.commit)
+                assert len(path) == depth
             traced_membership(t, vk_h, root_h, idx, path)
             return vk_h
         return [t.const(int(v)) for v in vk_c.commit]
@@ -468,9 +483,26 @@ def join(side_a, side_b, config=None, registry=None,
     _bind_completeness(t, rpv, dig)
 
     prog = t.program()
-    key = (("mjoin", registry.depth if registry is not None else None,
-            tuple(leaf_flags)) + _shape_key(ma, spa, vka)
-           + _shape_key(mb, spb, vkb))
+    if depth is not None:
+        # hinted children: the program is child-vk-VALUE independent, so
+        # the key carries only structure (what makes joins enumerable)
+        def _struct(m, sp, vk_c):
+            ci = tuple(
+                (name, dom.log_n, tuple(dims), bool(local_only))
+                for name, dom, dims, local_only in vk_c.chip_information
+            )
+            return _shape_key(m, sp) + (ci,)
+
+        key = (("mjoin2", depth) + _struct(ma, spa, vka)
+               + _struct(mb, spb, vkb))
+    else:
+        key = (("mjoin", None, tuple(leaf_flags))
+               + _shape_key(ma, spa, vka) + _shape_key(mb, spb, vkb))
+    if phantom:
+        from .pipeline import _setup_cached
+
+        rm, rvk = _setup_cached(key, prog, config)
+        return rm, rvk, None
     rm, rvk, rproof = _prove_cached(key, prog, out_vals, t.hint_values,
                                     config, tracer=t)
     return rm, rvk, rproof.shard_proofs[0]
@@ -506,19 +538,27 @@ def compress(machine, vk, machine_proof, config=None,
     halting execution). Every layer chains boundaries and accumulates the
     septic global sum in-circuit.
 
-    registry: an allowed-vk VkRegistry (default: built from these shards'
-    shapes via setup-only lifts). Its root rides every RPV's vk_root field;
-    first-layer joins verify their lift children's vks as registry MEMBERS
-    in-circuit, and upper joins pin their (join) children as constants
-    while chaining the root field — so the final proof carries the registry
-    root it ran under, checkable by the consumer (verify_compressed)."""
+    registry: an allowed-vk VkRegistry (default: the FULL lift+join
+    enumeration over these shards' shapes — shape_universe.py
+    build_full_registry). Its root rides every RPV's vk_root field; every
+    join verifies BOTH children's vks as registry MEMBERS in-circuit
+    (lifts and joins alike), so the final proof carries the registry root
+    it ran under and the root alone is the trust anchor
+    (verify_compressed checks the final rec_vk against the registry)."""
     shard_proofs = machine_proof.shard_proofs
     for sp in shard_proofs:
         missing = REQUIRED_CHIPS - set(sp.chip_names)
         assert not missing, f"shard missing required chips: {sorted(missing)}"
     if registry is None:
-        registry = build_lift_registry(machine, vk, shard_proofs,
-                                       config=config)
+        from .shape_universe import build_full_registry
+
+        shapes = {
+            tuple(zip(sp.chip_names,
+                      (v.log_degree for v in sp.opened_values)))
+            for sp in shard_proofs
+        }
+        registry, _depth = build_full_registry(machine, vk, list(shapes),
+                                               config=config)
     else:
         # fail fast: every reachable lift vk must be a registry member
         # (setup-only, cached) before any proving starts
@@ -573,24 +613,22 @@ def compress(machine, vk, machine_proof, config=None,
 
 
 def verify_compressed(machine, vk, rec_machine, rec_vk, final_sp,
-                      pc_start=None, vk_root=None):
+                      pc_start=None, vk_root=None, registry=None):
     """Host-side root checks for a compressed proof (reference
     verify.rs:299 verify_compressed): the single recursion proof verifies,
     its RPV pins the expected MIPS vk and program entry, and is_complete=1
     (which in-circuit implies shard 1..halt coverage, exit 0 and a balanced
     septic digest). vk_root (when given) must match the RPV's registry-root
-    field, which pins the LIFT vks the tree's first-layer joins accepted
-    (reference verify.rs vk Merkle-root check).
+    field (reference verify.rs vk Merkle-root check).
 
-    TRUST MODEL: rec_vk itself (the root join/lift verifier) is NOT checked
-    against the registry here — the registry holds lift vks only, and a
-    prover who substitutes an arbitrary recursion program could emit any
-    RPV including any vk_root. The CONSUMER must therefore pin rec_vk
-    out-of-band (it is a deterministic function of the machine + shape
-    universe, like the reference's vk_map members); vk_root alone is not a
-    sufficient trust anchor until join vks are enumerated into the registry
-    (reference crates/prover/src/shapes.rs build_vk_map covers compress
-    shapes too). Returns the committed_value_digest bytes."""
+    registry: the full lift+join allowed-vk registry
+    (shape_universe.build_full_registry, reference build_vk_map which
+    covers compress shapes too). When given, rec_vk itself must be a
+    MEMBER and the RPV root must equal the registry root — the registry
+    root is then the complete trust anchor (every vk in the tree, root
+    included, was membership-checked either in-circuit by its parent join
+    or right here). Without it, the consumer must pin rec_vk out-of-band.
+    Returns the committed_value_digest bytes."""
     from ziren_tpu.stark.proof import MachineProof
     from ziren_tpu.stark.verifier import VerificationError
 
@@ -600,6 +638,14 @@ def verify_compressed(machine, vk, rec_machine, rec_vk, final_sp,
         raise VerificationError("compressed proof: bad public-value width")
     if rpv[RPV_VK : RPV_VK + 8] != [int(v) for v in vk.commit]:
         raise VerificationError("compressed proof: wrong MIPS vk")
+    if registry is not None:
+        try:
+            registry.membership(rec_vk.commit)
+        except KeyError:
+            raise VerificationError(
+                "compressed proof: rec vk not in the allowed-vk registry")
+        if vk_root is None:
+            vk_root = registry.root
     if vk_root is not None and rpv[RPV_VK_ROOT : RPV_VK_ROOT + 8] != [
         int(v) for v in vk_root
     ]:

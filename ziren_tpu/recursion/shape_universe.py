@@ -199,21 +199,96 @@ def phantom_lift_vk(machine, vk, shape, config=None):
     return rm, rvk
 
 
-def build_canonical_registry(machine, vk, shapes, config=None):
-    """The allowed-vk registry over a shape universe (dict or iterable of
-    shape tuples) via phantom lifts — a machine/guest constant independent
-    of any particular execution (reference build_vk_map)."""
+def recursion_proof_shape(rm, rvk) -> tuple:
+    """The ((chip, log_degree) tallest-first) shape a proof of this
+    recursion machine will have — STATIC: every recursion chip is
+    preprocessed (the program is straight-line SSA), so vk.chip_information
+    already pins all heights; no witness or proving involved. Validated
+    against real proofs in tests/test_vk_registry.py."""
+    order = {c.name: i for i, c in enumerate(rm.chips)}
+    entries = [
+        (name, dims[0].bit_length() - 1)
+        for name, _dom, dims, _lo in rvk.chip_information
+    ]
+    assert len(entries) == len(rm.chips), "non-preprocessed recursion chip"
+    return tuple(sorted(entries, key=lambda kv: (-kv[1], order[kv[0]])))
+
+
+FIXED_REGISTRY_HEIGHT = 64  # membership-path length baked into join programs
+
+
+def build_full_registry(machine, vk, shapes, config=None,
+                        height: int = FIXED_REGISTRY_HEIGHT):
+    """The COMPLETE allowed-vk registry: lift vks for every core shape PLUS
+    the closure of join vks over them (reference build_vk_map enumerates
+    compress shapes too — crates/prover/src/shapes.rs:33-90). Phantom
+    tracing everywhere: no proving.
+
+    Join closure: a join program depends only on its children's recursion
+    STRUCTURE (machine shape + chip_information) — child vks are hinted and
+    membership-checked in-circuit — so iterating joins over all known node
+    structures reaches a fixed point (joins of equal-shaped children
+    coincide). The registry height is FIXED so the membership-path length,
+    which is baked into every join program, is a constant.
+
+    Returns (VkRegistry, depth). The registry root is shard-count-invariant
+    for a fixed shape universe: contents are the deduped, sorted vk set."""
+    from .mips_pipeline import join
     from .vk_registry import VkRegistry
 
     if isinstance(shapes, dict):
         shapes = list(shapes.values())
-    vks = []
-    seen = set()
+    depth = (height - 1).bit_length()
+
+    nodes = {}  # struct signature -> (rm, rvk, phantom proof)
     for shape in shapes:
-        key = tuple(shape)
-        if key in seen:
-            continue
-        seen.add(key)
-        _rm, rvk = phantom_lift_vk(machine, vk, shape, config=config)
-        vks.append(np.asarray(rvk.commit, np.uint32))
-    return VkRegistry(vks)
+        rm, rvk = phantom_lift_vk(machine, vk, shape, config=config)
+        rshape = recursion_proof_shape(rm, rvk)
+        sp = phantom_shard_proof(rm, rvk, rshape)
+        nodes.setdefault(_node_sig(rm, rvk, rshape), (rm, rvk, sp))
+
+    vks = {np.asarray(rvk.commit, np.uint32).tobytes(): rvk.commit
+           for _rm, rvk, _sp in nodes.values()}
+    for _round in range(6):
+        new_nodes = {}
+        items = list(nodes.values())
+        for a in items:
+            for b in items:
+                jm, jvk, _ = join(a[:3], b[:3], config=config, phantom=True,
+                                  registry_depth=depth)
+                jshape = recursion_proof_shape(jm, jvk)
+                sig = _node_sig(jm, jvk, jshape)
+                if sig not in nodes and sig not in new_nodes:
+                    jsp = phantom_shard_proof(jm, jvk, jshape)
+                    new_nodes[sig] = (jm, jvk, jsp)
+                vks.setdefault(
+                    np.asarray(jvk.commit, np.uint32).tobytes(), jvk.commit)
+        if not new_nodes:
+            break
+        nodes.update(new_nodes)
+    else:
+        raise AssertionError("join shape closure did not converge")
+
+    commits = [np.frombuffer(k, np.uint32) for k in sorted(vks)]
+    assert len(commits) <= height, "registry overflow: raise the height"
+    return VkRegistry(commits, height=height), depth
+
+
+def _node_sig(rm, rvk, rshape):
+    ci = tuple(
+        (name, dom.log_n, tuple(dims), bool(local_only))
+        for name, dom, dims, local_only in rvk.chip_information
+    )
+    return (rshape, ci, tuple(int(v) for v in rvk.commit))
+
+
+def build_canonical_registry(machine, vk, shapes, config=None):
+    """The allowed-vk registry over a shape universe (dict or iterable of
+    shape tuples) — a machine/guest constant independent of any particular
+    execution (reference build_vk_map). Since round 4 this is the FULL
+    enumeration: lift vks AND the join closure over them
+    (build_full_registry), so every vk in a compress tree — the final root
+    vk included — is a registry member."""
+    registry, _depth = build_full_registry(machine, vk, shapes,
+                                           config=config)
+    return registry

@@ -28,12 +28,16 @@ from .verifier import traced_merkle_verify
 
 
 class VkRegistry:
-    def __init__(self, commits):
-        """commits: list of 8-felt vk commits (np arrays or int lists)."""
+    def __init__(self, commits, height: int | None = None):
+        """commits: list of 8-felt vk commits (np arrays or int lists).
+        height: fixed leaf count (power of two) — membership-path LENGTH is
+        baked into every join program, so registries that must share one
+        program set (full lift+join enumeration) pin the height."""
         self.commits = [np.asarray(c, np.uint32).reshape(8) for c in commits]
         n = len(self.commits)
         assert n >= 1
-        height = max(2, 1 << (n - 1).bit_length())
+        height = height or max(2, 1 << (n - 1).bit_length())
+        assert height >= n and height & (height - 1) == 0
         mat = np.zeros((height, 8), dtype=np.uint32)
         for i, c in enumerate(self.commits):
             mat[i] = c

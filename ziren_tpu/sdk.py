@@ -337,18 +337,20 @@ class ProverClient:
         return True
 
     def verify_compressed(self, compressed, vk: ZirenVerifyingKey,
-                          vk_root=None) -> bytes:
+                          vk_root=None, registry=None) -> bytes:
         """Verify a compressed proof at the root: one recursion proof whose
-        RPV pins the MIPS vk + program entry with is_complete=1. vk_root
-        (when given) must match the allowed-vk registry root the tree ran
-        under (recursion/vk_registry.py; reference prover vk_map root
-        check). Returns the committed_value_digest bytes."""
+        RPV pins the MIPS vk + program entry with is_complete=1. With the
+        full allowed-vk `registry` (shape_universe.build_full_registry, the
+        canonical-prove default), the rec vk is checked as a MEMBER and the
+        RPV root against the registry root — the root is the whole trust
+        anchor. vk_root alone pins just the root field (reference prover
+        vk_map root check). Returns the committed_value_digest bytes."""
         from ziren_tpu.recursion.mips_pipeline import verify_compressed
 
         rm, rvk, final_sp = compressed
         return verify_compressed(vk.machine, vk.vk, rm, rvk, final_sp,
                                  pc_start=vk.program_pc_start,
-                                 vk_root=vk_root)
+                                 vk_root=vk_root, registry=registry)
 
     def groth16_prove(self, wrapped, seed: bytes = b"ziren-groth16-dev"):
         """Compile the wrap proof's verifier to a BN254 R1CS

@@ -97,8 +97,16 @@ def _sexpr(e) -> str:
     return f"({op} {_sexpr(e[1])} {_sexpr(e[2])})"
 
 
-def export_chip(chip, num_public_values: int = 0) -> str:
-    """One chip -> a Picus-style module (constraints + lookup interface)."""
+def export_chip(chip, num_public_values: int = 0, strict: bool = True) -> str:
+    """One chip -> a Picus-style module (constraints + lookup interface).
+
+    strict: refuse chips without determinism i/o annotations (reference
+    derive PicusAnnotations is mandatory per chip) — an unannotated module
+    cannot be classified by the determinism checker."""
+    if strict and not chip.air.picus_inputs and not chip.air.picus_outputs:
+        raise ValueError(
+            f"chip {chip.name} has no picus_inputs/picus_outputs "
+            "annotations; annotate the Air or pass strict=False")
     fl = ExprFolder(chip.preprocessed_width, chip.width, num_public_values)
     chip.air.eval(fl)
 

@@ -35,10 +35,10 @@ def verify_machine_proof(machine, vk, machine_proof) -> bool:
 
 
 def verify_compressed(mips_machine, mips_vk, rec_machine, rec_vk, final_sp,
-                      pc_start=None) -> bytes:
+                      pc_start=None, vk_root=None, registry=None) -> bytes:
     from ziren_tpu.recursion.mips_pipeline import (
         verify_compressed as _verify,
     )
 
     return _verify(mips_machine, mips_vk, rec_machine, rec_vk, final_sp,
-                   pc_start=pc_start)
+                   pc_start=pc_start, vk_root=vk_root, registry=registry)
