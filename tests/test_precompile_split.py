@@ -166,3 +166,30 @@ def test_scope_tiling_conventions(maker):
     groups = group_events(record)
     assert groups, f"{maker}: no precompile groups recorded"
     compute_local_segments(record)  # raises on any convention mismatch
+
+
+@pytest.mark.parametrize("maker", [
+    "poseidon2_program", "sha_extend_program", "sha256_program",
+    "uint256_program", "keccak_program",
+])
+def test_scope_tiling_native(maker):
+    """Same tiling validation over the C++ executor's event streams (the
+    five native-supported precompile families)."""
+    import ziren_tpu.executor.asm as asm
+    from ziren_tpu.executor.native import NativeExecutor
+
+    fn = getattr(asm, maker)
+    if maker == "uint256_program":
+        program = fn(3, 5, 0)
+    elif maker == "keccak_program":
+        program = fn(b"x" * 200)
+    else:
+        program = fn()
+    try:
+        ex = NativeExecutor(program)
+    except Exception:
+        pytest.skip("native executor unavailable")
+    record = ex.run()
+    groups = group_events(record)
+    assert groups, f"{maker}: no precompile groups recorded"
+    compute_local_segments(record)

@@ -116,8 +116,18 @@ def _ntt_bitrev_in(x, log_n: int, inverse: bool = False):
     return x
 
 
-@partial(jax.jit, static_argnames=("log_n", "added_bits", "shift", "dom_shift"))
 def lde_kernel(mat, log_n: int, added_bits: int, shift: int, dom_shift: int):
+    """AOT-cached wrapper (stark/aot.py): no re-tracing in warm processes."""
+    from ziren_tpu.stark import aot
+
+    def run(m, _l=log_n, _a=added_bits, _s=shift, _d=dom_shift):
+        return _lde_kernel_body(m, _l, _a, _s, _d)
+
+    return aot.call_cached(("lde", log_n, added_bits, shift, dom_shift),
+                           run, mat)
+
+
+def _lde_kernel_body(mat, log_n: int, added_bits: int, shift: int, dom_shift: int):
     """(n, w) mont evals over dom_shift*H -> (coeffs, lde natural, lde bitrev)
     over shift*H', |H'| = n << added_bits. All device, mont form."""
     n = 1 << log_n
@@ -172,15 +182,15 @@ def _merkle_levels(mats_br: list) -> list:
     return levels
 
 
-_merkle_levels_jit = jax.jit(_merkle_levels)
-
-
 def merkle_commit_device(mats_br: list) -> DTree:
     """Batch Merkle commit over device mont matrices (heights powers of 2),
     matching core/merkle.py commit() exactly (after mont decode). The whole
-    tree is ONE jitted computation per height/width signature; the root
-    stays on device (async) — decode with root_host() when needed."""
-    levels = _merkle_levels_jit(mats_br)
+    tree is ONE jitted computation per height/width signature (AOT-cached);
+    the root stays on device (async) — decode with root_host() when
+    needed."""
+    from ziren_tpu.stark import aot
+
+    levels = aot.call_cached(("merkle_levels",), _merkle_levels, mats_br)
     return DTree(mats_br, levels, levels[-1][0])
 
 

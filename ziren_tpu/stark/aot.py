@@ -1,0 +1,143 @@
+"""Disk-backed AOT kernel cache (jax.export) — per-PROCESS warmup killer.
+
+The persistent XLA compilation cache removes *compiles*, but every fresh
+process still pays Python tracing + MLIR lowering + module hashing for each
+jitted kernel. For the fused per-chip quotient/permutation folders this is
+the dominant cold-start cost (~10^6 traced field ops per MIPS machine): a
+warm-cache bench child was spending 10+ minutes rebuilding graphs that
+never change.
+
+jax.export serializes the lowered StableHLO once; `deserialize(...).call`
+skips tracing entirely (measured on the tunneled TPU: deserialize ~2 ms vs
+minutes of tracing). Artifacts are keyed by
+
+    sha256(code_version ++ caller key ++ arg avals ++ backend)
+
+where code_version hashes every kernel-defining source file, so any edit
+to field/hash/folder/chip code invalidates the whole cache. Failures fall
+back to plain jit (ZIREN_AOT=0 disables the layer).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+_MEM: dict = {}
+_LOCK = threading.Lock()
+_CODE_HASH: list = []
+
+# every source whose change alters kernel graphs (chip eval() included)
+_SOURCES = (
+    "ops/jfield.py", "ops/jposeidon2.py", "ops/jpcs.py", "ops/jmerkle.py",
+    "ops/jchallenger.py", "ops/jntt.py",
+    "stark/jfolder.py", "stark/folder.py", "stark/permutation.py",
+    "stark/jprover.py", "stark/chip.py",
+    "recursion/machine.py",
+)
+
+
+def enabled() -> bool:
+    return os.environ.get("ZIREN_AOT", "1") != "0"
+
+
+def code_version() -> str:
+    if not _CODE_HASH:
+        import glob
+
+        import jax
+
+        import ziren_tpu
+
+        base = os.path.dirname(ziren_tpu.__file__)
+        h = hashlib.sha256(jax.__version__.encode())
+        for rel in _SOURCES:
+            p = os.path.join(base, rel)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        for p in sorted(glob.glob(os.path.join(base, "machine", "*.py"))):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        _CODE_HASH.append(h.hexdigest()[:16])
+    return _CODE_HASH[0]
+
+
+def aot_dir() -> str:
+    d = os.environ.get("ZIREN_AOT_DIR", "/root/.cache/ziren_aot")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _flat_avals(args):
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(args)
+    return tuple(
+        (tuple(getattr(l, "shape", ())), str(getattr(l, "dtype", type(l))))
+        for l in leaves
+    )
+
+
+def call_cached(key, fn, *args):
+    """Call `fn(*args)` through the exported-artifact cache.
+
+    fn must be jit-compatible with static Python structure fixed by `key`
+    (the caller's structural cache key — chip identity, shapes, statics).
+    On the first process ever, exports + saves; on later processes,
+    deserializes (no tracing). Any failure falls back to jit."""
+    import jax
+
+    if not enabled():
+        return _plain(key, fn, args)
+    digest = hashlib.sha256(
+        repr((code_version(), key, _flat_avals(args),
+              jax.default_backend())).encode()
+    ).hexdigest()
+    art = _MEM.get(digest)
+    if art is None:
+        with _LOCK:
+            art = _MEM.get(digest)
+            if art is None:
+                art = _load_or_export(digest, fn, args)
+                _MEM[digest] = art
+    if art == "fallback":
+        return _plain(key, fn, args)
+    return art.call(*args)
+
+
+def _load_or_export(digest, fn, args):
+    import jax
+    import jax.export as jex
+
+    path = os.path.join(aot_dir(), digest + ".jexp")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return jex.deserialize(bytearray(f.read()))
+        except Exception:
+            pass
+    try:
+        exp = jex.export(jax.jit(fn))(*args)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+        return exp
+    except Exception:
+        return "fallback"
+
+
+_PLAIN: dict = {}
+
+
+def _plain(key, fn, args):
+    import jax
+
+    jfn = _PLAIN.get(key)
+    if jfn is None:
+        if len(_PLAIN) > 256:
+            _PLAIN.clear()
+        jfn = _PLAIN[key] = jax.jit(fn)
+    return jfn(*args)

@@ -162,34 +162,36 @@ def _perm_body(chip, main, prep, pv, alpha, beta):
     return trace.reshape(n, width * 4), phi[-1]
 
 
-_PERM_CACHE: dict = {}
+def _air_fingerprint(chip) -> tuple:
+    """Deterministic cross-process identity of a chip's constraint graph:
+    class-determined for machine chips; recursion chips additionally shape
+    their eval on the program's i/o counts (machine.py Input/Output)."""
+    fp = (chip.name, chip.width, chip.preprocessed_width, chip.perm_width,
+          chip.num_constraints, chip.max_constraint_degree)
+    if getattr(chip.air, "_no_meta_cache", False):
+        c = chip.air.c
+        fp += (c.program.num_inputs, c.num_outputs)
+    return fp
 
 
 def perm_trace_device(chip, main, prep, pv, alpha, beta):
     """main/prep device mont; pv (npv,) mont; alpha/beta (4,) mont.
-    Returns (perm_flat (n, width*4) mont, cumsum (4,) mont)."""
-    key = (
-        type(chip.air) if not getattr(chip.air, "_no_meta_cache", False) else chip.air,
-        chip.name,
-        int(main.shape[0]),
-        int(main.shape[1]),
-        None if prep is None else tuple(prep.shape),
-        int(pv.shape[0]),
-    )
-    fn = _PERM_CACHE.get(key)
-    if fn is None:
-        if prep is None:
-            fn = jax.jit(
-                lambda m, p, a, b, _c=chip: _perm_body(_c, m, None, p, a, b)
-            )
-            fn = _PERM_CACHE[key] = (fn, False)
-        else:
-            fn = jax.jit(lambda m, pr, p, a, b, _c=chip: _perm_body(_c, m, pr, p, a, b))
-            fn = _PERM_CACHE[key] = (fn, True)
-    fn, has_prep = fn
-    if has_prep:
-        return fn(main, prep, pv, alpha, beta)
-    return fn(main, pv, alpha, beta)
+    Returns (perm_flat (n, width*4) mont, cumsum (4,) mont). Routed through
+    the disk-backed AOT kernel cache (stark/aot.py): a warm process never
+    re-traces the folded lookup graph."""
+    from . import aot
+
+    key = ("perm", _air_fingerprint(chip))
+    if prep is None:
+        def run(m, p, a, b, _c=chip):
+            return _perm_body(_c, m, None, p, a, b)
+
+        return aot.call_cached(key, run, main, pv, alpha, beta)
+
+    def run(m, pr, p, a, b, _c=chip):
+        return _perm_body(_c, m, pr, p, a, b)
+
+    return aot.call_cached(key, run, main, prep, pv, alpha, beta)
 
 
 # ---------------------------------------------------------------------------
@@ -314,34 +316,28 @@ def quotient_device(
     global_cumsum,
 ):
     """All inputs device mont. sels: dict of 4 (qn,) arrays. Returns the
-    quotient evaluations (qn, 4) mont (already divided by Z_H)."""
-    key = (
-        type(chip.air) if not getattr(chip.air, "_no_meta_cache", False) else chip.air,
-        chip.name,
-        next_step,
-        int(main_q.shape[0]),
-        int(main_q.shape[1]),
-        tuple(prep_q.shape),
-        tuple(perm_q.shape),
-        int(pv.shape[0]),
-    )
-    fn = _QUOT_CACHE.get(key)
-    if fn is None:
+    quotient evaluations (qn, 4) mont (already divided by Z_H). Routed
+    through the AOT kernel cache (stark/aot.py): the fused constraint
+    graphs (the biggest traces in the prover) never re-trace warm."""
+    from . import aot
 
-        def run(prep_q, main_q, perm_q, s0, s1, s2, s3, pv, alphas, pc0, pc1, lc, gc,
-                _c=chip, _ns=next_step):
-            sels = {
-                "is_first_row": s0,
-                "is_last_row": s1,
-                "is_transition": s2,
-                "inv_zeroifier": s3,
-            }
-            return _quotient_body(
-                _c, _ns, prep_q, main_q, perm_q, sels, pv, alphas, (pc0, pc1), lc, gc
-            )
+    key = ("quot", _air_fingerprint(chip), next_step)
 
-        fn = _QUOT_CACHE[key] = jax.jit(run)
-    return fn(
+    def run(prep_q, main_q, perm_q, s0, s1, s2, s3, pv, alphas, pc0, pc1,
+            lc, gc, _c=chip, _ns=next_step):
+        sels = {
+            "is_first_row": s0,
+            "is_last_row": s1,
+            "is_transition": s2,
+            "inv_zeroifier": s3,
+        }
+        return _quotient_body(
+            _c, _ns, prep_q, main_q, perm_q, sels, pv, alphas, (pc0, pc1),
+            lc, gc
+        )
+
+    return aot.call_cached(
+        key, run,
         prep_q,
         main_q,
         perm_q,
