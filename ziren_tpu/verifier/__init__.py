@@ -11,6 +11,7 @@ Validated against the reference's own committed artifacts
 bn254-vk/groth16_vk.bin) in tests/test_groth16_verifier.py.
 """
 
+from .artifacts import pack_vk, unpack_vk, verify_core_artifact
 from .groth16 import Groth16Error, Groth16Verifier, hash_public_inputs
 from .stark import (
     verify_compressed,
@@ -21,4 +22,5 @@ from .stark import (
 __all__ = [
     "Groth16Verifier", "Groth16Error", "hash_public_inputs",
     "verify_shard_proof", "verify_machine_proof", "verify_compressed",
+    "pack_vk", "unpack_vk", "verify_core_artifact",
 ]
