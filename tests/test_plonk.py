@@ -113,3 +113,29 @@ def test_plonk_wrap_circuit_converts():
     cs, cs_publics = from_r1cs(bld.to_r1cs(), bld.witness)
     assert cs.check(cs_publics)
     assert cs.num_gates > bld.num_constraints  # LC chains materialized
+
+
+@pytest.mark.slow
+def test_plonk_midscale_prove_verify():
+    """Mid-scale Plonk prove+verify (~100k gates): the FrVec-native prover
+    path at a size where the pointwise passes dominate — the budgeted stand-
+    in for the full 6.8M-gate wrap prove (measured end to end by
+    tools/plonk_wrap.py: prove ~40 min, verify ~2 s; see ROADMAP)."""
+    from ziren_tpu.core.bn254 import FR
+
+    out_val = 3
+    for i in range(25_000):
+        out_val = (out_val * out_val + i) % FR
+
+    bld = CircuitBuilder()
+    pub = bld.public(out_val)
+    acc = bld.wit(3)
+    for i in range(25_000):
+        acc = bld.mul(acc, acc) + bld.const(i)
+    bld.assert_zero_var(acc - pub)
+    assert bld.check()
+    cs, publics = from_r1cs(bld.to_r1cs(), bld.witness)
+    assert cs.num_gates > 50_000
+    pk = setup(cs)
+    proof = prove(pk, publics)
+    assert verify_plonk(proof, pk.vk_bytes, publics)
