@@ -170,15 +170,13 @@ def main():
     machine = mips_machine(core_config())
     pk, vk = machine.setup(program)
 
-    # warmup: fix the batch shape and prove the first shard — with one
-    # batch-wide shape (stark/shape.py) this compiles EVERY kernel the
-    # timed region needs; the persistent compile cache carries the cost
-    # across runs
-    from ziren_tpu.stark.shape import fix_shape
-
+    # warmup: a full dress rehearsal of EXACTLY the timed path (pipelined
+    # multi-shard prove with batch-wide packed uploads) — any other warmup
+    # leaves that path's kernels cold and the timed region pays remote
+    # compiles. The AOT kernel cache (stark/aot.py) + persistent compile
+    # cache carry the cost across runs.
     warm, warm_records = execute_sharded(program, shard_size)
-    fix_shape(machine, warm_records)
-    machine.prove(pk, warm_records[:1])
+    machine.prove(pk, warm_records, fix_shapes=True)
 
     def detail(prove_s, cycles, shards, staged):
         d = {
@@ -193,14 +191,14 @@ def main():
         d.update(fb)
         return d
 
-    # stage 1: ONE warm shard, timed — emitted immediately so a later
-    # timeout still leaves a device-measured core-config rate behind
+    # stage 1: prove-only rate on the warm batch — emitted immediately so
+    # a later timeout still leaves a device-measured core-config rate
     t0 = time.perf_counter()
-    machine.prove(pk, warm_records[:1])
+    machine.prove(pk, warm_records, fix_shapes=True)
     dt1 = time.perf_counter() - t0
-    c1 = int(getattr(warm_records[0], "num_cycles", shard_size))
+    c1 = int(warm.global_clk)
     _emit(c1 / dt1 / 1e3, config="core",
-          detail=detail(dt1, c1, 1, "single-shard"))
+          detail=detail(dt1, c1, len(warm_records), "prove-only"))
 
     # stage 2: the full workload, end to end (execute + trace + prove)
     t0 = time.perf_counter()

@@ -2,6 +2,7 @@
 (reference: executor.rs Checkpoint mode + Executor::recover)."""
 
 import numpy as np
+import pytest
 
 from ziren_tpu.executor import Executor
 from ziren_tpu.executor.asm import fibonacci_program
@@ -41,6 +42,7 @@ def test_checkpoint_is_picklable():
     assert ex2.exited and ex2.exit_code == 0
 
 
+@pytest.mark.slow
 def test_pipelined_prove_matches_regular():
     import numpy as np
 

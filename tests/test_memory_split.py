@@ -115,6 +115,7 @@ def test_forged_last_bits_violate_air():
         debug_constraints(machine, pk, rec)
 
 
+@pytest.mark.slow
 def test_forged_prev_rewind_rejected():
     """A memory shard whose `previous_init_addr_bits` rewinds below the
     previous shard's coverage proves locally but breaks the host chain —

@@ -79,6 +79,7 @@ def test_estimate_targets_matches_fix_shape():
         }
 
 
+@pytest.mark.slow
 def test_pipelined_device_prove_verifies(monkeypatch):
     """The cost-model-pipelined device prove path (trace gen in worker
     threads overlapped with dispatch) produces verifying proofs. Uses a

@@ -39,6 +39,7 @@ def test_groth16_prove_rejects_garbage():
         client.groth16_prove((None, None, None))
 
 
+@pytest.mark.slow
 def test_compressed_prove():
     client = ProverClient(config="dev")
     pk, vk = client.setup(fibonacci_program(20))

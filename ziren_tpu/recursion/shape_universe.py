@@ -23,6 +23,8 @@ pinned-root trust anchor is meaningless. Two pieces deliver that:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ziren_tpu.stark.pcs import FriProof, QueryProof
@@ -217,6 +219,36 @@ def recursion_proof_shape(rm, rvk) -> tuple:
 FIXED_REGISTRY_HEIGHT = 64  # membership-path length baked into join programs
 
 
+def _registry_cache_path(machine, vk, shapes, config, height) -> str:
+    """Disk key for the enumerated registry (reference vk_map.bin,
+    prover/src/lib.rs:228-240): a (machine, guest vk, shape universe,
+    config) constant, plus the recursion-code version so any circuit edit
+    invalidates it."""
+    import hashlib
+    import os
+
+    import ziren_tpu
+
+    base = os.path.dirname(ziren_tpu.__file__)
+    h = hashlib.sha256()
+    for rel in ("recursion/mips_pipeline.py", "recursion/pipeline.py",
+                "recursion/verifier.py", "recursion/dsl.py",
+                "recursion/machine.py", "recursion/vk_registry.py",
+                "recursion/septic.py", "recursion/shape_universe.py"):
+        p = os.path.join(base, rel)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    h.update(repr(sorted(tuple(s) for s in shapes)).encode())
+    h.update(bytes(np.asarray(vk.commit, np.uint32)))
+    fri = (config or machine.config).fri
+    h.update(repr((fri.log_blowup, fri.num_queries, fri.proof_of_work_bits,
+                   height)).encode())
+    d = os.environ.get("ZIREN_VK_MAP_DIR", "/root/.cache/ziren_vk_map")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, h.hexdigest()[:24] + ".vkmap")
+
+
 def build_full_registry(machine, vk, shapes, config=None,
                         height: int = FIXED_REGISTRY_HEIGHT):
     """The COMPLETE allowed-vk registry: lift vks for every core shape PLUS
@@ -239,6 +271,13 @@ def build_full_registry(machine, vk, shapes, config=None,
     if isinstance(shapes, dict):
         shapes = list(shapes.values())
     depth = (height - 1).bit_length()
+
+    # vk_map.bin: the enumeration is a guest/config constant — load the
+    # commit set from disk when the recursion code + universe are unchanged
+    cache_path = _registry_cache_path(machine, vk, shapes, config, height)
+    if os.path.exists(cache_path):
+        blob = np.fromfile(cache_path, dtype=np.uint32).reshape(-1, 8)
+        return VkRegistry(list(blob), height=height), depth
 
     nodes = {}  # struct signature -> (rm, rvk, phantom proof)
     for shape in shapes:
@@ -271,6 +310,9 @@ def build_full_registry(machine, vk, shapes, config=None,
 
     commits = [np.frombuffer(k, np.uint32) for k in sorted(vks)]
     assert len(commits) <= height, "registry overflow: raise the height"
+    tmp = cache_path + f".tmp{os.getpid()}"
+    np.concatenate(commits).astype(np.uint32).tofile(tmp)
+    os.replace(tmp, cache_path)
     return VkRegistry(commits, height=height), depth
 
 

@@ -96,7 +96,8 @@ def call_cached(key, fn, *args):
               jax.default_backend())).encode()
     ).hexdigest()
     art = _MEM.get(digest)
-    if art is None:
+    first = art is None
+    if first:
         with _LOCK:
             art = _MEM.get(digest)
             if art is None:
@@ -104,6 +105,14 @@ def call_cached(key, fn, *args):
                 _MEM[digest] = art
     if art == "fallback":
         return _plain(key, fn, args)
+    if first and os.environ.get("ZIREN_AOT_LOG"):
+        import time
+
+        t0 = time.perf_counter()
+        out = art.call(*args)
+        print(f"[aot] first call {key[0]} {digest[:8]} "
+              f"{time.perf_counter() - t0:.2f}s", flush=True)
+        return out
     return art.call(*args)
 
 
@@ -114,8 +123,15 @@ def _load_or_export(digest, fn, args):
     path = os.path.join(aot_dir(), digest + ".jexp")
     if os.path.exists(path):
         try:
+            import time
+
+            t0 = time.perf_counter()
             with open(path, "rb") as f:
-                return jex.deserialize(bytearray(f.read()))
+                art = jex.deserialize(bytearray(f.read()))
+            if os.environ.get("ZIREN_AOT_LOG"):
+                print(f"[aot] deserialize {digest[:8]} "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
+            return art
         except Exception:
             pass
     try:
