@@ -25,6 +25,7 @@ import numpy as np
 
 from ziren_tpu.core import field as F
 from . import jfield as jf
+from ziren_tpu.stark.aot import aot_jit
 from . import jposeidon2 as jp2
 
 WIDTH = 16
@@ -38,7 +39,7 @@ def _mont_host(v) -> np.uint32:
     return np.uint32((np.uint64(int(v)) << np.uint64(32)) % _P)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@aot_jit(static_argnames=("k",))
 def _duplex(state, inputs, k: int):
     """Overwrite state[:k] with inputs (k,) and permute. All mont."""
     if k:
@@ -46,7 +47,7 @@ def _duplex(state, inputs, k: int):
     return jp2.permute(state)
 
 
-@partial(jax.jit, static_argnames=("nb_bits", "n_in", "batch"))
+@aot_jit(static_argnames=("nb_bits", "n_in", "batch"))
 def _grind(state, inputs, nb_bits: int, n_in: int, batch: int = 4096):
     """Smallest nonneg witness w such that duplexing [inputs, w] yields a
     sample with nb_bits low bits zero (mirrors DuplexChallenger.grind)."""
@@ -108,7 +109,7 @@ class JChallenger:
             jnp.stack(self.input_buffer) if k else jnp.zeros(0, jnp.uint32)
         )
         self.input_buffer.clear()
-        self.state = _duplex(self.state, inputs, k)
+        self.state = _duplex(self.state, inputs, k=k)
         self._out_len = RATE
 
     # -- observe ------------------------------------------------------------
@@ -155,7 +156,7 @@ class JChallenger:
             if n_in
             else jnp.zeros(0, jnp.uint32)
         )
-        w = _grind(self.state, inputs, nb_bits, n_in)
+        w = _grind(self.state, inputs, nb_bits=nb_bits, n_in=n_in)
         self.observe_mont(jf.mont_encode(w))
         self.sample_bits(nb_bits)  # transcript replay of check_witness
         return w

@@ -30,6 +30,7 @@ from ziren_tpu.core import ext as E
 from ziren_tpu.core import field as F
 from . import jfield as jf
 from . import jposeidon2 as jp2
+from ziren_tpu.stark.aot import aot_jit
 
 # ---------------------------------------------------------------------------
 # small cached host->device constants
@@ -264,7 +265,7 @@ def mat_ext_matmul(mat, vec, chunk: int = 16):
     return acc
 
 
-@jax.jit
+@aot_jit
 def colwise_ext_contract(mat, zp):
     """(n, w) mont base, (n, 4) mont ext -> (w, 4): out[c] = sum_r mat[r,c]*zp[r].
 
@@ -319,7 +320,7 @@ def next_point_dev(z_m, domain):
     return jf.mont_mul(z_m, mont_const(domain.generator))
 
 
-@partial(jax.jit, static_argnames=("log_n",))
+@aot_jit(static_argnames=("log_n",))
 def zpow_table(z, log_n: int):
     """Device (2^log_n, 4) mont table of z^i from a (4,) mont point."""
     pows = jnp.zeros((1, 4), dtype=jnp.uint32).at[0, 0].set(jf.R1)
@@ -335,7 +336,7 @@ def zpow_table(z, log_n: int):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("log_h", "shift"))
+@aot_jit(static_argnames=("log_h", "shift"))
 def fri_fold(e_br, beta, log_h: int, shift: int):
     """One fold of bit-reversed ext (2^log_h, 4) mont; beta (4,) mont."""
     lo = e_br[0::2]
@@ -363,7 +364,7 @@ def fri_fold(e_br, beta, log_h: int, shift: int):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("log_max_all",))
+@aot_jit(static_argnames=("log_max_all",))
 def _gather_body(mats_br, levels, idxs, log_max_all: int):
     tree_log = int(levels[0].shape[0]).bit_length() - 1
     ti = idxs >> (log_max_all - tree_log)
@@ -390,4 +391,5 @@ def gather_tree_openings(tree: DTree, idxs: jnp.ndarray, log_max_all: int):
     idxs index the globally tallest height (2^log_max_all); this tree's
     openings use idx >> (log_max_all - tree_log), exactly as the host
     pcs.open does. Returns (rows_dev list per matrix, paths_dev (nq, L, 8))."""
-    return _gather_body(tree.mats_br, tree.levels, idxs, log_max_all)
+    return _gather_body(tree.mats_br, tree.levels, idxs,
+                        log_max_all=log_max_all)

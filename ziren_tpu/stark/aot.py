@@ -157,3 +157,36 @@ def _plain(key, fn, args):
             _PLAIN.clear()
         jfn = _PLAIN[key] = jax.jit(fn)
     return jfn(*args)
+
+
+def aot_jit(fn=None, *, static_argnames=()):
+    """Drop-in replacement for @jax.jit(static_argnames=...) that routes
+    through the exported-artifact cache: warm processes skip tracing.
+    Static arguments MUST be passed as keyword arguments at call sites
+    (they are baked into the artifact and its key)."""
+    static_argnames = tuple(static_argnames)
+
+    def deco(f):
+        import functools
+
+        @functools.wraps(f)
+        def wrapper(*args, **kwargs):
+            statics = tuple(
+                (k, kwargs.pop(k)) for k in static_argnames if k in kwargs
+            )
+            assert not kwargs, (
+                f"{f.__qualname__}: non-static kwargs unsupported under "
+                f"aot_jit: {sorted(kwargs)}")
+            if statics:
+                skw = dict(statics)
+
+                def run(*a, _f=f, _kw=skw):
+                    return _f(*a, **_kw)
+            else:
+                run = f
+            key = (f.__module__, f.__qualname__, statics)
+            return call_cached(key, run, *args)
+
+        return wrapper
+
+    return deco(fn) if fn is not None else deco

@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .aot import aot_jit
 from .backend import ensure_compile_cache
 
 ensure_compile_cache()
@@ -256,7 +257,7 @@ def unflatten_fetch(flat_np, meta):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-@jax.jit
+@aot_jit
 def _unpack_encode(p0, p1, p2, inv1, inv2):
     """Reassemble byte planes into the full u32 matrix and mont-encode."""
     return jf.mont_encode(unpack_u32(p0, p1, p2, inv1, inv2))
@@ -729,7 +730,7 @@ def dev_open(fri, log_blowup, rounds, ch):
         trees.append(tree)
         ch.observe_mont_vec(tree.root)
         beta = ch.sample_ext_mont()
-        cur = jpcs.fri_fold(cur, beta, l, shifts[l])
+        cur = jpcs.fri_fold(cur, beta, log_h=l, shift=shifts[l])
         l -= 1
         if nxt is not None and nxt[0] == l:
             cur = jf.madd(cur, nxt[1][jpcs.bitrev_idx(l)])
@@ -782,7 +783,7 @@ def _open_stage(sig, coeffs_all, ldes_all, upts_dev, alpha_m):
     order. Returns (opened concat (sum w*pts, 4) mont, ro tuple, ro keys)."""
     ro_keys = tuple(sorted({e[1] for e in sig}, reverse=True))
     total_w = sum(e[2] * len(e[3]) for e in sig) + 8
-    apows = jpcs.zpow_table(alpha_m, max(total_w.bit_length(), 1))
+    apows = jpcs.zpow_table(alpha_m, log_n=max(total_w.bit_length(), 1))
     zt: dict = {}  # (point_id, log_n) -> (2^log_n, 4) z-power table
     inv_t: dict = {}  # (lde_log, point_id) -> (z - x)^-1 table
     opened = []
@@ -792,12 +793,12 @@ def _open_stage(sig, coeffs_all, ldes_all, upts_dev, alpha_m):
         for u in pids:
             zk = (u, log_n)
             if zk not in zt:
-                zt[zk] = jpcs.zpow_table(upts_dev[u], log_n)
+                zt[zk] = jpcs.zpow_table(upts_dev[u], log_n=log_n)
             ys = jpcs.colwise_ext_contract(coeff, zt[zk])
             opened.append(ys)
             ik = (lde_log, u)
             if ik not in inv_t:
-                inv_t[ik] = _inv_z_minus_x(upts_dev[u], lde_log)
+                inv_t[ik] = _inv_z_minus_x(upts_dev[u], l=lde_log)
             ap = apows[cnt[lde_log] : cnt[lde_log] + w]
             acc = _ro_step(lde, ap, ys, inv_t[ik])
             ro[lde_log] = (
@@ -813,7 +814,7 @@ def _open_stage(sig, coeffs_all, ldes_all, upts_dev, alpha_m):
     return jnp.concatenate(opened, axis=0), ro_vals, ro_keys
 
 
-@jax.jit
+@aot_jit
 def _ro_step(lde, ap, ys, inv_t):
     """One matrix-point's reduced-opening contribution:
     (alpha-combined ys - alpha-combined lde row) * (z - x)^-1."""
@@ -831,7 +832,7 @@ def _ext_dot(a, b):
     return jpcs._madd_reduce0(t)
 
 
-@partial(jax.jit, static_argnames=("l",))
+@aot_jit(static_argnames=("l",))
 def _inv_z_minus_x(z_m, l: int):
     """(2^l, 4) mont inverse of (z - x) over GENERATOR * H_l, natural order."""
     xs = jf.mont_mul(
