@@ -193,3 +193,50 @@ def test_scope_tiling_native(maker):
     groups = group_events(record)
     assert groups, f"{maker}: no precompile groups recorded"
     compute_local_segments(record)
+
+
+def test_linux_deferral_and_result_linkage(monkeypatch):
+    """Linux syscalls defer through the global multiset with the
+    SyscallResult linkage: the deferred SysLinux shard proves+verifies,
+    and forging a deferred group's v0 result breaks the septic balance
+    (reference chip.rs SyscallResult cross-shard result linkage)."""
+    from ziren_tpu.executor.asm import Instruction, O, halt_sequence, imm, ri
+    from ziren_tpu.executor.program import Program
+
+    def _sys(num, a0, a1):
+        return [imm(O.ADD, 2, 0, num), imm(O.ADD, 4, 0, a0),
+                imm(O.ADD, 5, 0, a1),
+                Instruction(O.SYSCALL, 2, 4, 5, False, False)]
+
+    insns = []
+    insns += _sys(4045, 0x10000, 0)   # brk
+    insns += _sys(4120, 0, 0)         # clone
+    insns += _sys(4055, 1, 3)         # fcntl
+    insns += _sys(4222, 0, 0)         # gettid nop
+    insns += halt_sequence(0)
+    program = Program.new(insns)
+
+    monkeypatch.setenv("ZIREN_SPLIT_DEFERRED", "2")
+    machine, pk, vk, proof, ex = prove_program(
+        program, shard_size=4096, config=dev_config())
+    names = [set(sp.chip_names) for sp in proof.shard_proofs]
+    assert any("SysLinux" in n and "Cpu" not in n for n in names), names
+    assert verify_mips_proof(machine, vk, proof, pc_start=program.pc_start)
+
+    # forgery: tamper a deferred group's recorded result (v0) — the
+    # SyscallPrecompile bridge then receives a global SyscallResult tuple
+    # the core side never sent
+    records = Executor(program, shard_size=4096).run_sharded()
+    victim = next(r for r in records if r.num_cycles == 0
+                  and r.precompile_groups
+                  and 4000 <= r.precompile_groups[0]["sid"] < 4300)
+    g = victim.precompile_groups[0]
+    g["result"] ^= 1
+    from ziren_tpu.core import septic as S
+    from ziren_tpu.machine.global_chip import GlobalChip
+
+    digests = []
+    for rec in records:
+        tr = GlobalChip().generate_trace(rec, rec)
+        digests.append((tr[-1, -14:-7], tr[-1, -7:]))
+    assert not S.digests_balance(digests)
