@@ -84,7 +84,12 @@ class NetworkProver:
 
     def compressed_prove(self, pk: _RemoteProvingKey, stdin=None,
                          shard_size=None, deferred=None,
-                         verify: bool = True):
+                         verify: bool = True, vk_root=None, registry=None):
+        """Remote compressed prove with untrusted-remote re-verification.
+        Pass the client-pinned allowed-vk `registry` (or just its root) so
+        the local check also rejects a remote that substituted its own
+        recursion program — the registry root is the full trust anchor
+        (recursion/shape_universe.py build_full_registry)."""
         r = self._call("CompressedProve", {
             "program_id": pk.program_id,
             "stdin": stdin.buffers if stdin else None,
@@ -93,5 +98,7 @@ class NetworkProver:
         })
         compressed = r["compressed"]
         if verify:
-            self._local.verify_compressed(compressed, pk.vk_handle)
+            self._local.verify_compressed(compressed, pk.vk_handle,
+                                          vk_root=vk_root,
+                                          registry=registry)
         return compressed
