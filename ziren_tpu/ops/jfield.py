@@ -39,12 +39,15 @@ _U64 = _cpu_backend()
 if _U64:
     jax.config.update("jax_enable_x64", True)
 
-P = jnp.uint32(F.P_INT)
-MU = jnp.uint32(F.MONTY_MU)
-R1 = jnp.uint32(F.MONTY_R)  # mont(1)
-R2 = jnp.uint32(F.MONTY_R2)  # mont(2^32) — encoding multiplier
-_P_HI16 = jnp.uint32(F.P_INT >> 16)  # 0x7f00
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (NOT jnp): they embed as jaxpr literals, which keeps every
+# jf.* helper usable inside Pallas kernel bodies (captured device-array
+# constants are rejected by pallas_call)
+P = np.uint32(F.P_INT)
+MU = np.uint32(F.MONTY_MU)
+R1 = np.uint32(F.MONTY_R)  # mont(1)
+R2 = np.uint32(F.MONTY_R2)  # mont(2^32) — encoding multiplier
+_P_HI16 = np.uint32(F.P_INT >> 16)  # 0x7f00
+_MASK16 = np.uint32(0xFFFF)
 _P64 = np.uint64(F.P_INT)
 _S32 = np.uint64(32)
 

@@ -10,6 +10,8 @@ pre-encoded, so perm_mont(mont(x)) == mont(perm(x)).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +23,23 @@ from . import jfield as jf
 WIDTH = 16
 RATE = 8
 OUT = 8
+
+
+def pallas_mode():
+    """None (off) | "tpu" (real Mosaic kernels) | "interpret" (CPU tests).
+
+    Default: Pallas on every non-CPU backend — the stock XLA lowering of
+    the sponge is the fallback and the bit-exactness oracle. The flag is
+    part of the AOT cache key (stark/aot.py mixes it into code_version)."""
+    env = os.environ.get("ZIREN_PALLAS")
+    if env == "0":
+        return None
+    if env == "interpret":
+        return "interpret"
+    try:
+        return "tpu" if jax.default_backend() != "cpu" else None
+    except Exception:  # pragma: no cover
+        return None
 
 
 def _mont_const(v: np.ndarray) -> jnp.ndarray:
@@ -99,10 +118,20 @@ def permute(state):
 def hash_rows(rows):
     """PaddingFreeSponge over rows: (n, w) mont -> (n, 8) mont digests.
 
-    The absorb loop is a lax.scan over full-rate chunks (plus one unrolled
+    Dispatches to the Pallas sponge kernel (below) on accelerator
+    backends; the stock XLA lowering is the fallback + oracle. The absorb
+    loop there is a lax.scan over full-rate chunks (plus one unrolled
     partial chunk) — wide trace matrices would otherwise unroll w/8
     permutations into one giant XLA graph, dominating compile time on both
     the CPU mesh and the tunneled-TPU path."""
+    mode = pallas_mode()
+    n, w = rows.shape
+    if mode is not None and n >= 1024 and w >= 2 and (n & (n - 1)) == 0:
+        return hash_rows_pallas(rows, mode)
+    return _hash_rows_xla(rows)
+
+
+def _hash_rows_xla(rows):
     n, w = rows.shape
     state = jnp.zeros((n, WIDTH), dtype=jnp.uint32)
     full = w // RATE
@@ -132,3 +161,121 @@ def compress_pairs(digests):
     k = digests.shape[0] // 2
     pairs = digests.reshape(k, 16)
     return permute(pairs)[:, :OUT]
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU sponge kernel (transposed-state layout)
+# ---------------------------------------------------------------------------
+#
+# The VPU wants the 16 state elements on the SUBLANE axis and the hashed
+# rows on the LANE axis: state is (16, R) — every per-element operation in
+# the permutation is then a contiguous (R,) vector op, and the M4/circulant
+# linear layers are row-slice adds. The input matrix is transposed once
+# outside the kernel ((n, w) -> (w, n), one XLA pass) so each absorbed
+# rate-chunk is a plain (8, R) sublane slice. Bit-identical to the stock
+# XLA path (tests/test_poseidon2.py exercises interpret mode on CPU).
+
+_P64 = np.uint64(F.P_INT)
+_RC_NP = ((hp2.RC.astype(np.uint64) << np.uint64(32)) % _P64).astype(np.uint32)
+_DIAG_NP = (
+    (hp2.INTERNAL_DIAG.astype(np.uint64) << np.uint64(32)) % _P64
+).astype(np.uint32)
+
+
+def _ext_lin_t(state):
+    """M_E on (16, R) transposed state."""
+    rows = [state[i] for i in range(WIDTH)]
+    out = [None] * WIDTH
+    for j in range(0, WIDTH, 4):
+        x0, x1, x2, x3 = rows[j], rows[j + 1], rows[j + 2], rows[j + 3]
+        t01 = jf.madd(x0, x1)
+        t23 = jf.madd(x2, x3)
+        t0123 = jf.madd(t01, t23)
+        t01123 = jf.madd(t0123, x1)
+        t01233 = jf.madd(t0123, x3)
+        out[j + 3] = jf.madd(t01233, jf.madd(x0, x0))
+        out[j + 1] = jf.madd(t01123, jf.madd(x2, x2))
+        out[j + 0] = jf.madd(t01123, t01)
+        out[j + 2] = jf.madd(t01233, t23)
+    sums = [
+        jf.madd(jf.madd(out[k], out[k + 4]), jf.madd(out[k + 8], out[k + 12]))
+        for k in range(4)
+    ]
+    return jnp.stack(
+        [jf.madd(out[j], sums[j % 4]) for j in range(WIDTH)], axis=0
+    )
+
+
+def permute_t(state, rc, diag):
+    """Poseidon2 permutation on transposed mont state (16, R); rc (30, 16)
+    and diag (16, 1) are kernel inputs (Pallas rejects captured consts).
+
+    Rounds are unrolled (static round structure): ~1k vector ops per
+    permutation is tiny for Mosaic, and the chunk loop around it is the
+    only dynamic control flow in the sponge kernel."""
+    state = _ext_lin_t(state)
+    for r in range(4):
+        state = _sbox(jf.madd(state, rc[r][:, None]))
+        state = _ext_lin_t(state)
+    for r in range(4, 17):
+        s0 = _sbox(jf.madd(state[0], rc[r, 0]))
+        state = jnp.concatenate([s0[None], state[1:]], axis=0)
+        t = jf.madd(state[:8], state[8:])
+        t = jf.madd(t[:4], t[4:])
+        t = jf.madd(t[:2], t[2:])
+        total = jf.madd(t[0], t[1])
+        state = jf.madd(jf.mont_mul(state, diag), total[None, :])
+    for r in range(17, 21):
+        state = _sbox(jf.madd(state, rc[r][:, None]))
+        state = _ext_lin_t(state)
+    return state
+
+
+def hash_rows_pallas(rows, mode):
+    """(n, w) mont -> (n, 8) digests through the Pallas sponge kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, w = rows.shape
+    lanes = 512
+    while w * lanes * 4 > (3 << 20) and lanes > 128:
+        lanes //= 2
+    if n % lanes:
+        return _hash_rows_xla(rows)
+    full = w // RATE
+    rem = w % RATE
+
+    def kernel(rc_ref, diag_ref, in_ref, out_ref):
+        rc = rc_ref[:]
+        diag = diag_ref[:]
+
+        def absorb(c, state):
+            chunk = in_ref[pl.ds(c * RATE, RATE), :]
+            state = jnp.concatenate([chunk, state[RATE:]], axis=0)
+            return permute_t(state, rc, diag)
+
+        state = jnp.zeros((WIDTH, lanes), dtype=jnp.uint32)
+        if full:
+            state = jax.lax.fori_loop(0, full, absorb, state)
+        if rem:
+            chunk = in_ref[full * RATE :, :]
+            state = jnp.concatenate([chunk, state[rem:]], axis=0)
+            state = permute_t(state, rc, diag)
+        out_ref[:] = state[:OUT]
+
+    rep = lambda i: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // lanes,),
+        in_specs=[
+            pl.BlockSpec((30, WIDTH), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((WIDTH, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (OUT, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((OUT, n), jnp.uint32),
+        interpret=(mode == "interpret"),
+    )(jnp.asarray(_RC_NP), jnp.asarray(_DIAG_NP)[:, None], rows.T)
+    return out.T

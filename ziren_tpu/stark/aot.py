@@ -60,6 +60,11 @@ def code_version() -> str:
         for p in sorted(glob.glob(os.path.join(base, "machine", "*.py"))):
             with open(p, "rb") as f:
                 h.update(f.read())
+        # kernel-selection flags change the traced graph with identical
+        # sources — they must key the cache too
+        from ziren_tpu.ops import jposeidon2 as _jp2
+
+        h.update(repr(("pallas", _jp2.pallas_mode())).encode())
         _CODE_HASH.append(h.hexdigest()[:16])
     return _CODE_HASH[0]
 

@@ -16,10 +16,14 @@ with p3 serde conventions):
     the commit-phase SIBLING (not the pair) is stored, so export replays
     the Fiat-Shamir transcript to learn each query's fold parity.
 
-No Rust toolchain exists in this environment to cross-check the bytes, so
-this is validated by our own decoder round-trip (tests/test_interop.py);
-layout deviations against a live bincode oracle are a known risk tracked
-in ROADMAP.md (bit-exact interop).
+No Rust toolchain exists in this environment, but the reference SHIPS
+bincode-produced binaries that anchor the layout in-env: part_stark_vk.bin
+(PartStarkVerifyingKey: Fr bytes + KoalaBear mont u32) and dummy_vk_map.bin
+(BTreeMap<[KoalaBear; 8], usize>) decode AND re-encode byte-exactly through
+the primitives below (tests/test_interop.py), and the reference's example
+gnark Groth16 proof verifies through ziren_tpu.verifier. The ShardProof
+composite layout itself (no reference proof bytes are shipped) remains
+validated by round-trip only.
 """
 
 from __future__ import annotations
@@ -103,6 +107,65 @@ class _R_:
     def string(self):
         n = self.u64()
         return self.buf.read(n).decode()
+
+
+# ---------------------------------------------------------------------------
+# Reference-produced binary artifacts (the in-env bincode oracles)
+# ---------------------------------------------------------------------------
+
+
+def decode_part_stark_vk(data: bytes):
+    """crates/verifier/bn254-vk/part_stark_vk.bin — bincode of
+    PartStarkVerifyingKey<KoalaBearPoseidon2Outer> { commit: Bn254 Fr,
+    pc_start: KoalaBear } (reference stark/src/machine.rs:109-114,
+    prover/src/verify.rs:499-506). The Fr serializes as a 32-byte
+    little-endian Vec<u8>; pc_start as its Montgomery u32."""
+    r = _R_(data)
+    n = r.u64()
+    if n != 32:
+        raise ValueError(f"part_stark_vk: expected 32-byte commit, got {n}")
+    commit = int.from_bytes(r.buf.read(32), "little")
+    bn254_r = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    if commit >= bn254_r:
+        raise ValueError("part_stark_vk: commit not a BN254 Fr element")
+    pc_start = r.felt()
+    if r.buf.read(1):
+        raise ValueError("part_stark_vk: trailing bytes")
+    return commit, int(pc_start)
+
+
+def encode_part_stark_vk(commit: int, pc_start: int) -> bytes:
+    w = _W()
+    w.u64(32)
+    w.buf.write(int(commit).to_bytes(32, "little"))
+    w.felt(pc_start)
+    return w.buf.getvalue()
+
+
+def decode_vk_map(data: bytes):
+    """crates/prover/dummy_vk_map.bin / vk_map.bin — bincode of
+    BTreeMap<[KoalaBear; 8], usize> (reference prover/src/shapes.rs:329-337,
+    lib.rs:226-240): u64 count, then sorted (8 x mont u32 digest, u64 index)
+    entries. Returns [(canonical (8,) uint32 digest, index)] in file order."""
+    r = _R_(data)
+    n = r.u64()
+    entries = []
+    for _ in range(n):
+        digest = r.digest()  # mont -> canonical
+        idx = r.u64()
+        entries.append((digest, idx))
+    if r.buf.read(1):
+        raise ValueError("vk_map: trailing bytes")
+    return entries
+
+
+def encode_vk_map(entries) -> bytes:
+    w = _W()
+    w.u64(len(entries))
+    for digest, idx in entries:
+        w.felts(np.asarray(digest, np.uint32).reshape(8), prefix=False)
+        w.u64(idx)
+    return w.buf.getvalue()
 
 
 def _query_indices(machine, vk, proof: ShardProof):

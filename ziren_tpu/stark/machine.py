@@ -106,6 +106,18 @@ class StarkMachine:
         the whole batch instead of one per distinct trace height."""
         from .backend import backend_name
 
+        if (
+            backend_name() == "device"
+            and getattr(self.config, "device_capable", True)
+            and devices is None
+        ):
+            from . import fused
+
+            if fused.enabled():
+                # whole-shard fused executable: one device dispatch per
+                # shard, zero per-chip kernels (stark/fused.py)
+                return fused.prove_shards_fused(self, pk, records)
+
         pipelined = False
         if fix_shapes and len(records) > 1:
             from .shape import estimate_targets, fix_shape

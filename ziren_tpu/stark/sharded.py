@@ -306,25 +306,9 @@ def prove_shards_sharded(
         jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *got_batches)
     )
 
-    rounds_meta = []
-    if pk.chip_information:
-        rounds_meta.append(
-            [
-                (dims[1], len(_pts_meta(dom, lo)))
-                for _n2, dom, dims, lo in pk.chip_information
-            ]
-        )
-    rounds_meta.append(
-        [
-            (c.width, len(_pts_meta(d, c.local_only)))
-            for c, d in zip(chips, trace_domains)
-        ]
-    )
-    rounds_meta.append([(c.perm_width * 4, 2) for c in chips])
-    quot_meta = []
-    for c in chips:
-        quot_meta += [(4, 1)] * c.quotient_degree
-    rounds_meta.append(quot_meta)
+    from .fused import rounds_meta_for
+
+    rounds_meta = rounds_meta_for(machine, pk, chips, trace_domains)
 
     fri = machine.config.fri
     shard_proofs = []
