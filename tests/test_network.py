@@ -66,3 +66,66 @@ def test_factory_modes():
     assert isinstance(np, NetworkProver)
     with pytest.raises(ValueError, match="unknown prover mode"):
         create_prover("quantum")
+
+
+def test_network_auth_signed_roundtrip():
+    """Signed client <-> keyed server (reference prover.rs:32-49 signed
+    jobs): valid signature accepted, everything else rejected before
+    deserialization."""
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from ziren_tpu.network import ProverServer
+    from ziren_tpu.network import auth, wire
+
+    key = "a3" * 32
+    with ProverServer(config="dev", key=key) as srv:
+        signed = NetworkProver(srv.endpoint, config="dev", key=key)
+        assert signed.ready()
+
+        # unsigned client -> 401 before any unpickling
+        unsigned = NetworkProver(srv.endpoint, config="dev", key=None)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            unsigned.ready()
+        assert e.value.code == 401
+
+        # wrong key -> 401
+        bad = NetworkProver(srv.endpoint, config="dev", key="b4" * 32)
+        with pytest.raises(urllib.error.HTTPError):
+            bad.ready()
+
+        # replayed nonce -> 401 (capture one valid request and resend it)
+        body = wire.dumps({})
+        headers = auth.sign_headers(auth.load_key(key), "Ready", body)
+        url = srv.endpoint + "/twirp/ProverService/Ready"
+
+        def post(h):
+            req = urllib.request.Request(
+                url, data=body,
+                headers={"Content-Type": "application/octet-stream", **h})
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return wire.loads(resp.read())
+
+        assert post(headers)["ok"]
+        with pytest.raises(urllib.error.HTTPError):
+            post(headers)  # same nonce again
+
+        # stale timestamp -> 401
+        stale = dict(headers)
+        stale[auth.HDR_TS] = "1000.0"
+        k = auth.load_key(key)
+        stale[auth.HDR_NONCE] = "ff" * 16
+        stale[auth.HDR_SIG] = auth._digest(k, "Ready", stale[auth.HDR_TS],
+                                           stale[auth.HDR_NONCE], body)
+        with pytest.raises(urllib.error.HTTPError):
+            post(stale)
+
+
+def test_network_auth_open_without_key():
+    """No key configured -> loopback-open service (backwards compatible)."""
+    from ziren_tpu.network import ProverServer
+
+    with ProverServer(config="dev") as srv:
+        assert NetworkProver(srv.endpoint, config="dev").ready()

@@ -32,19 +32,26 @@ class NetworkProver:
     re-verifies every returned proof)."""
 
     def __init__(self, endpoint: str, timeout: float = 600.0,
-                 config: str = "core"):
+                 config: str = "core", key=None):
+        from ziren_tpu.network import auth
+
         self.endpoint = endpoint.rstrip("/")
         self.timeout = timeout
+        # request-signing identity (reference ZKM_PRIVATE_KEY signed jobs)
+        self._key = auth.load_key(key)
         # local vk derivation + re-verification; the FRI config must match
         # the server's proving config
         self._local = ProverClient(config=config)
 
     def _call(self, method: str, req: dict) -> dict:
+        from ziren_tpu.network import auth
+
         url = f"{self.endpoint}/twirp/ProverService/{method}"
         data = wire.dumps(req)
-        http_req = urllib.request.Request(
-            url, data=data,
-            headers={"Content-Type": "application/octet-stream"})
+        headers = {"Content-Type": "application/octet-stream"}
+        if self._key is not None:
+            headers.update(auth.sign_headers(self._key, method, data))
+        http_req = urllib.request.Request(url, data=data, headers=headers)
         with urllib.request.urlopen(http_req, timeout=self.timeout) as resp:
             # allowlisted deserialization: a malicious/MITM'd server must
             # not get code execution on the client either

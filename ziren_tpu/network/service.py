@@ -118,6 +118,7 @@ class ProverService:
 
 class _Handler(BaseHTTPRequestHandler):
     service: ProverService = None  # set by ProverServer
+    verifier = None  # auth.RequestVerifier when a key is configured
 
     def do_POST(self):
         prefix = "/twirp/ProverService/"
@@ -130,8 +131,19 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_error(404, f"unknown method {method}")
             return
         length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length) if length else b""
+        if self.verifier is not None:
+            # signed-request check BEFORE any deserialization (reference
+            # sdk/src/network/prover.rs:32-49 signed jobs)
+            from ziren_tpu.network import auth
+
+            try:
+                self.verifier.verify(method, self.headers, body)
+            except auth.AuthError as e:
+                self.send_error(401, str(e))
+                return
         try:
-            req = wire.loads(self.rfile.read(length)) if length else {}
+            req = wire.loads(body) if body else {}
             resp = handler(req)
             body = wire.dumps({"ok": True, "result": resp})
         except Exception as e:  # error envelope, twirp-style
@@ -154,9 +166,16 @@ class ProverServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 config: str = "core"):
+                 config: str = "core", key=None):
+        from ziren_tpu.network import auth
+
         self.service = ProverService(config=config)
-        handler = type("Handler", (_Handler,), {"service": self.service})
+        k = auth.load_key(key)
+        verifier = auth.RequestVerifier(k) if k is not None else None
+        handler = type(
+            "Handler", (_Handler,),
+            {"service": self.service, "verifier": verifier},
+        )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.endpoint = "http://%s:%d" % self._httpd.server_address[:2]
         self._thread = None
