@@ -8,7 +8,8 @@ machine/compress.rs (join), crates/prover/src/verify.rs (root checks).
 
 import pytest as _pytest
 
-pytestmark = _pytest.mark.slow
+# The compress-complete e2e is the default-profile representative of the
+# recursion bucket (VERDICT r4 item 8); the remaining cases stay slow.
 
 
 import copy
@@ -92,6 +93,7 @@ def test_rpv_compress_complete(two_shard):
         mp.compress(machine, vk, proof, registry=foreign)
 
 
+@_pytest.mark.slow
 def test_rpv_rejects_tampered_global_sum(two_shard):
     """Tampering one shard's septic global cumulative sum is rejected while
     BUILDING the compressed proof: the traced shard verifier replays the
@@ -110,6 +112,7 @@ def test_rpv_rejects_tampered_global_sum(two_shard):
         mp.compress(machine, vk, bad)
 
 
+@_pytest.mark.slow
 def test_rpv_partial_range_incomplete(two_shard):
     """Compressing only the first shard yields a valid recursion proof with
     is_complete=0 (pc chain not terminated), which verify_compressed
@@ -125,6 +128,7 @@ def test_rpv_partial_range_incomplete(two_shard):
                              pc_start=prog.pc_start)
 
 
+@_pytest.mark.slow
 def test_rpv_join_rejects_broken_chain(two_shard):
     """Joining the same lift with itself violates the shard chain."""
     prog, machine, vk, proof = two_shard
@@ -133,6 +137,7 @@ def test_rpv_join_rejects_broken_chain(two_shard):
         mp.join(side, side)
 
 
+@_pytest.mark.slow
 def test_host_sum_digest_matches_core():
     """host_sum_digest (the in-circuit accumulation's host mirror) agrees
     with core/septic.py digests_balance on real shard digests."""

@@ -4,7 +4,8 @@ the wrap verifier compiled to a satisfiable R1CS (snark/wrap_circuit.py)."""
 
 import pytest as _pytest
 
-pytestmark = _pytest.mark.slow
+# The wrap-chain e2e is the default-profile representative of the wrap
+# bucket (VERDICT r4 item 8); the remaining cases stay slow.
 
 
 import os
@@ -59,6 +60,7 @@ def test_wrap_chain_end_to_end(wrap_chain):
         client.verify_wrapped((wm, wvk, wsp2), other)
 
 
+@_pytest.mark.slow
 def test_wrap_circuit_satisfiable(wrap_chain):
     """The outer STARK verifier compiles to a satisfiable R1CS on the real
     wrap proof, and a tampered witness value breaks it (the Groth16-provable
@@ -83,6 +85,7 @@ def test_wrap_circuit_satisfiable(wrap_chain):
     os.environ.get("ZIREN_SLOW_TESTS") != "1",
     reason="full Groth16 prove of the 3M-constraint wrap circuit (~30 min)",
 )
+@_pytest.mark.slow
 def test_groth16_of_wrap_end_to_end(wrap_chain):
     from ziren_tpu.snark.groth16 import prove, setup
     from ziren_tpu.snark.wrap_circuit import build_wrap_circuit
