@@ -143,3 +143,23 @@ def test_hint_io():
     ex = Executor(prog, stdin=[payload])
     ex.run()
     assert ex.peek_register(20) == 1234
+
+
+def test_trace_file_dump(tmp_path, monkeypatch):
+    """ZIREN_TRACE_FILE / TRACE_FILE dumps one big-endian pc per
+    constrained cycle (reference executor.rs:307-315, :2630)."""
+    import struct
+
+    from ziren_tpu.executor import Executor
+    from ziren_tpu.executor.asm import fibonacci_program
+
+    path = tmp_path / "trace.bin"
+    monkeypatch.setenv("ZIREN_TRACE_FILE", str(path))
+    ex = Executor(fibonacci_program(5))
+    ex.run()
+    data = path.read_bytes()
+    pcs = [v[0] for v in struct.iter_unpack(">I", data)]
+    assert len(pcs) == ex.global_clk
+    assert pcs[0] == ex.program.pc_start
+    # the fibonacci loop revisits its body pc
+    assert len(set(pcs)) < len(pcs)

@@ -17,6 +17,9 @@ semantic oracle.
 
 from __future__ import annotations
 
+import os
+import struct
+
 import numpy as np
 
 from ..core import poseidon2 as p2
@@ -173,6 +176,15 @@ class Executor:
         self.unconstrained = False
         self._uc = None
         self._uc_completed = False
+        # per-cycle pc trace dump for the cycle tracer (reference
+        # executor.rs:307-315 TRACE_FILE: one u32 big-endian pc per
+        # constrained cycle, file created at construction)
+        self._trace_buf = None
+        trace_file = os.environ.get("ZIREN_TRACE_FILE") or os.environ.get(
+            "TRACE_FILE"
+        )
+        if trace_file:
+            self._trace_buf = open(trace_file, "wb")
         self._suppress_event = False
         # deferred sub-proof verification (reference: proof_stream on state)
         self.proof_stream: list = []
@@ -259,6 +271,8 @@ class Executor:
     def execute_cycle(self) -> bool:
         instr = self.fetch()
         op = instr.opcode
+        if self._trace_buf is not None and not self.unconstrained:
+            self._trace_buf.write(struct.pack(">I", self.pc))
         self.report["opcode_counts"][op] = self.report["opcode_counts"].get(op, 0) + 1
         self._accesses = {}
         clk, pc, next_pc = self.clk, self.pc, self.next_pc
@@ -582,6 +596,8 @@ class Executor:
         return self.records
 
     def postprocess(self):
+        if self._trace_buf is not None:
+            self._trace_buf.flush()
         self.record.shard_initial = dict(self.shard_initial)
         self.record.shard_final = {
             addr: (self.memory[addr][2], self.memory[addr][1], self.memory[addr][0])
