@@ -174,9 +174,15 @@ def main():
     # multi-shard prove with batch-wide packed uploads) — any other warmup
     # leaves that path's kernels cold and the timed region pays remote
     # compiles. The AOT kernel cache (stark/aot.py) + persistent compile
-    # cache carry the cost across runs.
+    # cache carry the cost across runs; the manifest prewarm loads every
+    # artifact the last bench touched CONCURRENTLY (the lazy sequential
+    # loads were ~300 s of the round-4 warm start).
+    from ziren_tpu.stark import aot
+
+    aot.prewarm("bench")
     warm, warm_records = execute_sharded(program, shard_size)
     machine.prove(pk, warm_records, fix_shapes=True)
+    aot.save_manifest("bench")
 
     def detail(prove_s, cycles, shards, staged):
         d = {

@@ -150,6 +150,61 @@ def _load_or_export(digest, fn, args):
         return "fallback"
 
 
+def _manifest_path(name: str) -> str:
+    return os.path.join(aot_dir(), f"manifest-{name}.txt")
+
+
+def save_manifest(name: str) -> int:
+    """Record every artifact digest this process touched, so the next
+    process can prewarm them in parallel instead of paying ~0.25 s per
+    lazy sequential load (the round-4 warm-start anatomy: ~300 s of
+    executable reads). Returns the number of digests recorded."""
+    digests = sorted(d for d, a in _MEM.items() if a != "fallback")
+    tmp = _manifest_path(name) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(digests))
+    os.replace(tmp, _manifest_path(name))
+    return len(digests)
+
+
+def prewarm(name: str, workers: int = 8, execute: bool = True) -> int:
+    """Deserialize (and optionally compile+run on zeros) every artifact in
+    the named manifest, concurrently. Missing/invalid entries are skipped
+    — the lazy path will handle them. Returns artifacts warmed."""
+    path = _manifest_path(name)
+    if not (enabled() and os.path.exists(path)):
+        return 0
+    with open(path) as f:
+        digests = [d.strip() for d in f if d.strip()]
+    digests = [d for d in digests if d not in _MEM]
+    if not digests:
+        return 0
+    import concurrent.futures
+
+    import jax.export as jex
+
+    def load(digest):
+        p = os.path.join(aot_dir(), digest + ".jexp")
+        try:
+            with open(p, "rb") as f:
+                art = jex.deserialize(bytearray(f.read()))
+            if execute:
+                import numpy as np
+
+                args = [
+                    np.zeros(a.shape, dtype=a.dtype) for a in art.in_avals
+                ]
+                art.call(*args)  # async: compile-cache hit + device load
+            with _LOCK:
+                _MEM.setdefault(digest, art)
+            return 1
+        except Exception:
+            return 0
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        return sum(pool.map(load, digests))
+
+
 _PLAIN: dict = {}
 
 
