@@ -264,13 +264,26 @@ def _unpack_encode(p0, p1, p2, inv1, inv2):
 
 
 def _device_pk(machine, pk):
-    """Device commit of the preprocessed traces (cached on the pk)."""
-    dev = getattr(pk, "_device_data", None)
-    if dev is not None:
-        return dev
+    """Device commit of the preprocessed traces, cached on the pk PER
+    DEVICE: the round-robin multi-device path (machine.prove(devices=...))
+    mixes each shard's arrays with the pk data, and exported kernels
+    require all arguments co-located."""
+    import jax
+
+    try:
+        cur = jax.config.jax_default_device or jax.devices()[0]
+    except Exception:  # pragma: no cover
+        cur = None
+    dev_key = getattr(cur, "id", None)
+    cache = getattr(pk, "_device_data_cache", None)
+    if cache is None:
+        cache = pk._device_data_cache = {}
+    hit = cache.get(dev_key)
+    if hit is not None:
+        return hit
     if pk.data is None:
-        pk._device_data = (None, {})
-        return pk._device_data
+        cache[dev_key] = (None, {})
+        return cache[dev_key]
     fri = machine.config.fri
     doms_mats = []
     prep_dev = {}
@@ -282,8 +295,8 @@ def _device_pk(machine, pk):
     assert np.array_equal(
         jpcs.ext_from_mont_host(commit), np.asarray(pk.commit, np.uint32)
     ), "device preprocessed commit does not match host pk"
-    pk._device_data = (data, prep_dev)
-    return pk._device_data
+    cache[dev_key] = (data, prep_dev)
+    return cache[dev_key]
 
 
 def prove_shard_device(machine, pk, record, challenger):
