@@ -34,15 +34,12 @@ from .proof import MachineProof
 
 
 def enabled() -> bool:
-    env = os.environ.get("ZIREN_FUSED")
-    if env is not None:
-        return env != "0"
-    try:
-        import jax
-
-        return jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        return False
+    """Opt-in (ZIREN_FUSED=1). The whole-MIPS-machine module measured
+    ~44 MB of MLIR and the axon remote compile helper OOM-kills at that
+    size (SIGKILL after ~1 h), so the fused path is for SMALL machines
+    (engine-level, recursion-scale) until stage-level splitting lands;
+    the eager per-chip AOT path stays the default device prover."""
+    return os.environ.get("ZIREN_FUSED") == "1"
 
 
 def _machine_key(machine, pk, chips, trace_domains):
