@@ -116,3 +116,19 @@ def test_grind_matches_check_witness():
     for cand in range(w):
         assert not probe.clone().check_witness(10, cand)
     assert probe.clone().check_witness(10, w)
+
+
+def test_pallas_sponge_interpret_bit_exact():
+    """The Pallas sponge kernel (blocked transposed-state layout) equals
+    the host PaddingFreeSponge bit for bit — interpret mode on CPU."""
+    import numpy as np
+
+    from ziren_tpu.core import poseidon2 as p2
+    from ziren_tpu.ops import jfield as jf
+    from ziren_tpu.ops import jposeidon2 as jp2
+
+    rng = np.random.default_rng(0)
+    for (n, w) in [(1024, 32), (1024, 23), (2048, 83), (1024, 2), (1024, 8)]:
+        rows = rng.integers(0, 2130706433, (n, w), dtype=np.uint32)
+        got = jf.to_host(jp2.hash_rows_pallas(jf.from_host(rows), "interpret"))
+        assert np.array_equal(got, p2.hash_rows(rows)), (n, w)

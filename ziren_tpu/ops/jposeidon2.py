@@ -164,70 +164,71 @@ def compress_pairs(digests):
 
 
 # ---------------------------------------------------------------------------
-# Pallas TPU sponge kernel (transposed-state layout)
+# Pallas TPU sponge kernel (blocked transposed-state layout)
 # ---------------------------------------------------------------------------
 #
 # The VPU wants the 16 state elements on the SUBLANE axis and the hashed
-# rows on the LANE axis: state is (16, R) — every per-element operation in
-# the permutation is then a contiguous (R,) vector op, and the M4/circulant
-# linear layers are row-slice adds. The input matrix is transposed once
-# outside the kernel ((n, w) -> (w, n), one XLA pass) so each absorbed
-# rate-chunk is a plain (8, R) sublane slice. Bit-identical to the stock
-# XLA path (tests/test_poseidon2.py exercises interpret mode on CPU).
+# rows on the LANE axis. The state is stored (16, R) in POSITION-MAJOR
+# order: row k*4+j holds element 4j+k (the 4x4 index transpose — a
+# self-inverse permutation), so the M4 block layer operates on contiguous
+# (4, R) sublane slices x_k = state[4k:4k+4] covering all four blocks at
+# once, and the cross-block sums are sublane reductions. The input matrix
+# is transposed once outside the kernel ((n, w) -> (w, n)) so each
+# absorbed rate-chunk is a plain (8, R) sublane slice. Bit-identical to
+# the stock XLA path (tests exercise interpret mode on CPU and the real
+# kernel differentially on device).
 
 _P64 = np.uint64(F.P_INT)
 _RC_NP = ((hp2.RC.astype(np.uint64) << np.uint64(32)) % _P64).astype(np.uint32)
 _DIAG_NP = (
     (hp2.INTERNAL_DIAG.astype(np.uint64) << np.uint64(32)) % _P64
 ).astype(np.uint32)
+# position-major permutation: element e lives at row PERM[e] (self-inverse)
+_PERM = np.array([(e % 4) * 4 + e // 4 for e in range(16)])
 
 
-def _ext_lin_t(state):
-    """M_E on (16, R) transposed state."""
-    rows = [state[i] for i in range(WIDTH)]
-    out = [None] * WIDTH
-    for j in range(0, WIDTH, 4):
-        x0, x1, x2, x3 = rows[j], rows[j + 1], rows[j + 2], rows[j + 3]
-        t01 = jf.madd(x0, x1)
-        t23 = jf.madd(x2, x3)
-        t0123 = jf.madd(t01, t23)
-        t01123 = jf.madd(t0123, x1)
-        t01233 = jf.madd(t0123, x3)
-        out[j + 3] = jf.madd(t01233, jf.madd(x0, x0))
-        out[j + 1] = jf.madd(t01123, jf.madd(x2, x2))
-        out[j + 0] = jf.madd(t01123, t01)
-        out[j + 2] = jf.madd(t01233, t23)
-    sums = [
-        jf.madd(jf.madd(out[k], out[k + 4]), jf.madd(out[k + 8], out[k + 12]))
-        for k in range(4)
-    ]
-    return jnp.stack(
-        [jf.madd(out[j], sums[j % 4]) for j in range(WIDTH)], axis=0
-    )
+def _ext_lin_blocked(state):
+    """M_E on position-major (16, R): x_k = state[4k:4k+4] is position k
+    of all four M4 blocks."""
+    x0, x1, x2, x3 = state[0:4], state[4:8], state[8:12], state[12:16]
+    t01 = jf.madd(x0, x1)
+    t23 = jf.madd(x2, x3)
+    t0123 = jf.madd(t01, t23)
+    t01123 = jf.madd(t0123, x1)
+    t01233 = jf.madd(t0123, x3)
+    o3 = jf.madd(t01233, jf.madd(x0, x0))
+    o1 = jf.madd(t01123, jf.madd(x2, x2))
+    o0 = jf.madd(t01123, t01)
+    o2 = jf.madd(t01233, t23)
+    outs = []
+    for ok in (o0, o1, o2, o3):
+        t = jf.madd(ok[0:2], ok[2:4])
+        s = jf.madd(t[0:1], t[1:2])
+        outs.append(jf.madd(ok, s))
+    return jnp.concatenate(outs, axis=0)
 
 
-def permute_t(state, rc, diag):
-    """Poseidon2 permutation on transposed mont state (16, R); rc (30, 16)
-    and diag (16, 1) are kernel inputs (Pallas rejects captured consts).
-
-    Rounds are unrolled (static round structure): ~1k vector ops per
-    permutation is tiny for Mosaic, and the chunk loop around it is the
-    only dynamic control flow in the sponge kernel."""
-    state = _ext_lin_t(state)
+def permute_blocked(state, rc_p, diag_p):
+    """Poseidon2 permutation on position-major mont state (16, R); rc_p
+    (30, 16) and diag_p (16, 1) are PERM-reordered kernel inputs (Pallas
+    rejects captured consts). Rounds are unrolled (static structure); the
+    chunk loop around it is the only dynamic control flow."""
+    state = _ext_lin_blocked(state)
     for r in range(4):
-        state = _sbox(jf.madd(state, rc[r][:, None]))
-        state = _ext_lin_t(state)
+        state = _sbox(jf.madd(state, rc_p[r][:, None]))
+        state = _ext_lin_blocked(state)
     for r in range(4, 17):
-        s0 = _sbox(jf.madd(state[0], rc[r, 0]))
-        state = jnp.concatenate([s0[None], state[1:]], axis=0)
+        # element 0 is position 0, block 0 = row 0 in this layout
+        s0 = _sbox(jf.madd(state[0:1], rc_p[r, 0]))
+        state = jnp.concatenate([s0, state[1:]], axis=0)
         t = jf.madd(state[:8], state[8:])
         t = jf.madd(t[:4], t[4:])
         t = jf.madd(t[:2], t[2:])
-        total = jf.madd(t[0], t[1])
-        state = jf.madd(jf.mont_mul(state, diag), total[None, :])
+        total = jf.madd(t[0:1], t[1:2])
+        state = jf.madd(jf.mont_mul(state, diag_p), total)
     for r in range(17, 21):
-        state = _sbox(jf.madd(state, rc[r][:, None]))
-        state = _ext_lin_t(state)
+        state = _sbox(jf.madd(state, rc_p[r][:, None]))
+        state = _ext_lin_blocked(state)
     return state
 
 
@@ -246,22 +247,33 @@ def hash_rows_pallas(rows, mode):
     rem = w % RATE
 
     def kernel(rc_ref, diag_ref, in_ref, out_ref):
-        rc = rc_ref[:]
-        diag = diag_ref[:]
+        rc_p = rc_ref[:]
+        diag_p = diag_ref[:]
 
-        def absorb(c, state):
-            chunk = in_ref[pl.ds(c * RATE, RATE), :]
-            state = jnp.concatenate([chunk, state[RATE:]], axis=0)
-            return permute_t(state, rc, diag)
+        def absorb_at(chunk, state):
+            # chunk (8, R): element e -> row _PERM[e] via the 4x4 index
+            # transpose (one sublane shuffle per chunk)
+            c = chunk.reshape(2, 4, lanes).transpose(1, 0, 2)  # (4, 2, R)
+            s = state.reshape(4, 4, lanes)
+            s = jnp.concatenate([c, s[:, 2:4]], axis=1)
+            return permute_blocked(s.reshape(16, lanes), rc_p, diag_p)
 
         state = jnp.zeros((WIDTH, lanes), dtype=jnp.uint32)
         if full:
-            state = jax.lax.fori_loop(0, full, absorb, state)
+            def body(c, st):
+                return absorb_at(in_ref[pl.ds(c * RATE, RATE), :], st)
+
+            state = jax.lax.fori_loop(0, full, body, state)
         if rem:
-            chunk = in_ref[full * RATE :, :]
-            state = jnp.concatenate([chunk, state[rem:]], axis=0)
-            state = permute_t(state, rc, diag)
-        out_ref[:] = state[:OUT]
+            # elements 0..rem-1 from the tail columns; rem..7 keep their
+            # current values (read back via the inverse transpose)
+            elems = state.reshape(4, 4, lanes).transpose(1, 0, 2)
+            padded = jnp.concatenate(
+                [in_ref[full * RATE :, :],
+                 elems.reshape(16, lanes)[rem:RATE]], axis=0)
+            state = absorb_at(padded, state)
+        s = state.reshape(4, 4, lanes)[:, :2]
+        out_ref[:] = s.transpose(1, 0, 2).reshape(OUT, lanes)
 
     rep = lambda i: (0, 0)
     out = pl.pallas_call(
@@ -277,5 +289,6 @@ def hash_rows_pallas(rows, mode):
         ),
         out_shape=jax.ShapeDtypeStruct((OUT, n), jnp.uint32),
         interpret=(mode == "interpret"),
-    )(jnp.asarray(_RC_NP), jnp.asarray(_DIAG_NP)[:, None], rows.T)
+    )(jnp.asarray(_RC_NP[:, _PERM]), jnp.asarray(_DIAG_NP[_PERM])[:, None],
+      rows.T)
     return out.T

@@ -123,7 +123,7 @@ def get_fused_fn(machine, pk, chips, trace_domains, example_args):
                 art = jex.deserialize(bytearray(f.read()))
             with open(meta_path, "rb") as f:
                 meta = pickle.load(f)
-            fs = _FusedShard(art.call, meta)
+            fs = _FusedShard(jax.jit(art.call), meta)
             _MEM[digest] = fs
             return fs
         except Exception:
@@ -144,7 +144,7 @@ def get_fused_fn(machine, pk, chips, trace_domains, example_args):
             with open(tmpm, "wb") as f:
                 pickle.dump(meta, f)
             os.replace(tmpm, meta_path)
-            fs = _FusedShard(exp.call, meta)
+            fs = _FusedShard(jax.jit(exp.call), meta)
             _MEM[digest] = fs
             return fs
         except Exception:

@@ -244,6 +244,33 @@ def flatten_fetch(tree):
     return flat, (treedef, shapes)
 
 
+def flatten_fetch_decode(tree_mont):
+    """flatten_fetch + per-leaf Montgomery decode as ONE kernel call.
+
+    The eager form (decode per leaf, reshape per leaf, concat) costs
+    3 dispatches per leaf x ~500 leaves per shard — on a dispatch-bound
+    transport that is seconds of pure Python. Every leaf must be mont
+    form (encode canonical scalars before adding them to the tree)."""
+    import hashlib as _h
+
+    from . import aot
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree_mont)
+    shapes = [tuple(jnp.shape(l)) for l in leaves]
+    if not leaves:
+        return jnp.zeros((0,), jnp.uint32), (treedef, shapes)
+    key = ("flat_decode",
+           _h.sha256(repr((str(treedef), shapes)).encode()).hexdigest()[:16])
+
+    def run(*ls):
+        return jnp.concatenate(
+            [jf.mont_decode(jnp.asarray(l)).reshape(-1) for l in ls]
+        )
+
+    flat = aot.call_cached(key, run, *leaves)
+    return flat, (treedef, shapes)
+
+
 def unflatten_fetch(flat_np, meta):
     """Host-side inverse of flatten_fetch over the fetched numpy vector."""
     treedef, shapes = meta
@@ -476,12 +503,16 @@ def dispatch_shard_device(machine, pk, record, challenger):
 
     zeta = ch.sample_ext_mont()
 
-    # opening points (device mont, structurally tagged for kernel sharing)
+    # opening points (device mont, structurally tagged for kernel sharing;
+    # zeta*g computed once per unique domain size, not per matrix)
+    _next_pts: dict = {}
+
     def pts_for(dom, local_only):
         if local_only:
             return [("z", zeta)]
-        return [("z", zeta),
-                (("zn", dom.log_n), jpcs.next_point_dev(zeta, dom))]
+        if dom.log_n not in _next_pts:
+            _next_pts[dom.log_n] = jpcs.next_point_dev(zeta, dom)
+        return [("z", zeta), (("zn", dom.log_n), _next_pts[dom.log_n])]
 
     prep_points = [
         pts_for(dom, local_only)
@@ -504,28 +535,29 @@ def dispatch_shard_device(machine, pk, record, challenger):
     dev_out = dev_open(fri, log_blowup, open_rounds, ch)
 
     # ---- the ONE synchronization: fetch the finished proof ----------------
+    # every leaf stays MONT; flatten_fetch_decode decodes + concatenates in
+    # one kernel call (pow is canonical — encode it so the decode-all is
+    # uniform)
     to_fetch = {
-        "main": jf.mont_decode(main_commit),
-        "perm": jf.mont_decode(perm_commit),
-        "quot": jf.mont_decode(quotient_commit),
-        "cumsums": [jf.mont_decode(c) for c in cumsums_m],
-        "opened": jf.mont_decode(dev_out["opened_cat"]),
-        "fri_commits": [jf.mont_decode(r) for r in dev_out["layer_roots"]],
-        "final": jf.mont_decode(dev_out["final"]),
-        "pow": dev_out["pow_witness"],
-        "round_rows": [
-            [jf.mont_decode(r) for r in rows] for rows in dev_out["round_rows"]
-        ],
-        "round_paths": [jf.mont_decode(p) for p in dev_out["round_paths"]],
-        "layer_pairs": [jf.mont_decode(p) for p in dev_out["layer_pairs"]],
-        "layer_paths": [jf.mont_decode(p) for p in dev_out["layer_paths"]],
+        "main": main_commit,
+        "perm": perm_commit,
+        "quot": quotient_commit,
+        "cumsums": list(cumsums_m),
+        "opened": dev_out["opened_cat"],
+        "fri_commits": list(dev_out["layer_roots"]),
+        "final": dev_out["final"],
+        "pow": jf.mont_encode(dev_out["pow_witness"]),
+        "round_rows": [list(rows) for rows in dev_out["round_rows"]],
+        "round_paths": list(dev_out["round_paths"]),
+        "layer_pairs": list(dev_out["layer_pairs"]),
+        "layer_paths": list(dev_out["layer_paths"]),
     }
     rounds_meta = [
         [(data.widths[i], len(pts)) for i, pts in enumerate(points)]
         for data, points in open_rounds
     ]
     # ONE device array per shard -> ONE transfer at fetch time
-    fetch_flat, fetch_meta = flatten_fetch(to_fetch)
+    fetch_flat, fetch_meta = flatten_fetch_decode(to_fetch)
     return {
         "fetch": fetch_flat,
         "fetch_meta": fetch_meta,
