@@ -152,12 +152,22 @@ def _lde_kernel_body(mat, log_n: int, added_bits: int, shift: int, dom_shift: in
 
 @dataclass
 class DTree:
-    mats_br: list  # device bit-reversed mont mats (original batch order)
+    mats_br: list  # device bit-reversed mont mats (possibly height-grouped)
     levels: list  # device (h, 8) mont digest levels, leaf -> root
     root: jnp.ndarray  # DEVICE (8,) mont — fetch stays off the hot path
+    # per mats_br entry: [(member_index, width)] — how the (grouped) matrix
+    # splits back into the batch's per-matrix openings (None = 1:1)
+    members: list = None
 
     def root_host(self) -> np.ndarray:
         return ext_from_mont_host(self.root)
+
+    def layout(self):
+        if self.members is not None:
+            return tuple(tuple(g) for g in self.members)
+        return tuple(
+            ((i, int(m.shape[1])),) for i, m in enumerate(self.mats_br)
+        )
 
 
 def _merkle_levels(mats_br: list) -> list:
@@ -183,16 +193,17 @@ def _merkle_levels(mats_br: list) -> list:
     return levels
 
 
-def merkle_commit_device(mats_br: list) -> DTree:
+def merkle_commit_device(mats_br: list, members=None) -> DTree:
     """Batch Merkle commit over device mont matrices (heights powers of 2),
     matching core/merkle.py commit() exactly (after mont decode). The whole
     tree is ONE jitted computation per height/width signature (AOT-cached);
     the root stays on device (async) — decode with root_host() when
-    needed."""
+    needed. `members` carries the per-matrix split of height-grouped
+    inputs (see commit())."""
     from ziren_tpu.stark import aot
 
     levels = aot.call_cached(("merkle_levels",), _merkle_levels, mats_br)
-    return DTree(mats_br, levels, levels[-1][0])
+    return DTree(mats_br, levels, levels[-1][0], members)
 
 
 @jax.jit
@@ -205,40 +216,136 @@ def _compress2(a, b):
 # ---------------------------------------------------------------------------
 
 
-@dataclass
 class DevProverData:
-    domains: list
-    widths: list
-    coeffs: list  # device (n, w) mont, natural order
-    ldes: list  # device (N, w) mont, natural order (N = n << blowup)
-    tree: DTree
+    """Committed batch, stored HEIGHT-GROUPED: all matrices of one height
+    are concatenated column-wise and interpolated/low-degree-extended by a
+    SINGLE lde kernel call (the per-matrix form cost one dispatch per
+    matrix — ~100 per shard on a dispatch-bound transport). Per-matrix
+    views are lazy column slices, materialized (and cached) only where a
+    consumer genuinely needs the lone matrix."""
+
+    def __init__(self, domains, widths, group_of, group_members,
+                 group_coeffs, group_ldes, tree):
+        self.domains = domains
+        self.widths = widths
+        # group_of[i] = (group_key_index, col_offset)
+        self.group_of = group_of
+        self.group_members = group_members  # per group: [(mat index, w)]
+        self.group_coeffs = group_coeffs  # per group: (n, W) mont
+        self.group_ldes = group_ldes  # per group: (N, W) mont
+        self.tree = tree
+        self._coeff_cache: dict = {}
+        self._lde_cache: dict = {}
 
     @property
     def commit(self) -> jnp.ndarray:
         """DEVICE (8,) mont root."""
         return self.tree.root
 
+    def coeff(self, i: int) -> jnp.ndarray:
+        v = self._coeff_cache.get(i)
+        if v is None:
+            g, off = self.group_of[i]
+            v = self.group_coeffs[g][:, off : off + self.widths[i]]
+            self._coeff_cache[i] = v
+        return v
+
+    def lde(self, i: int) -> jnp.ndarray:
+        v = self._lde_cache.get(i)
+        if v is None:
+            g, off = self.group_of[i]
+            v = self.group_ldes[g][:, off : off + self.widths[i]]
+            self._lde_cache[i] = v
+        return v
+
+    # back-compat sequence views
+    @property
+    def coeffs(self):
+        return [self.coeff(i) for i in range(len(self.widths))]
+
+    @property
+    def ldes(self):
+        return [self.lde(i) for i in range(len(self.widths))]
+
+
+def batch_layout(domains, widths):
+    """Height/shift grouping of a commit batch, tallest first (stable):
+    [(key, [member indices])] — the single source of truth shared by
+    commit(), the tree gather and the open stage."""
+    groups: dict = {}
+    for i, dom in enumerate(domains):
+        groups.setdefault((dom.log_n, dom.shift), []).append(i)
+    keys = sorted(groups, key=lambda k: -k[0])
+    return [(k, groups[k]) for k in keys]
+
 
 def commit(domains_and_mats, log_blowup: int) -> tuple:
-    """domains_and_mats: [(Domain, device mont (n,w))]. Returns (root, data)."""
-    domains, coeffs, ldes, brs, widths = [], [], [], [], []
-    for dom, m in domains_and_mats:
+    """domains_and_mats: [(Domain, device mont (n,w))]. Returns (root, data).
+
+    Matrices sharing a (height, shift) run through ONE concatenated lde
+    kernel. The Merkle tree hashes ONE concatenated matrix per HEIGHT with
+    columns in batch order — exactly the multi-matrix MMCS leaf layout —
+    so same-height groups with different coset shifts (quotient chunks)
+    are re-interleaved by a single column gather; DTree.members lets the
+    query gather hand back per-matrix opening rows."""
+    domains = [d for d, _m in domains_and_mats]
+    widths = [int(m.shape[1]) for _d, m in domains_and_mats]
+    layout = batch_layout(domains, widths)
+    group_of = [None] * len(domains)
+    group_members, group_coeffs, group_ldes, brs = [], [], [], []
+    for g, (_key, idxs) in enumerate(layout):
+        off = 0
+        mem = []
+        for i in idxs:
+            group_of[i] = (g, off)
+            mem.append((i, widths[i]))
+            off += widths[i]
+        mats = [domains_and_mats[i][1] for i in idxs]
+        big = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=1)
+        dom = domains[idxs[0]]
         c, lde, br = lde_kernel(
-            m, dom.log_n, log_blowup, F.GENERATOR % F.P_INT, dom.shift
+            big, dom.log_n, log_blowup, F.GENERATOR % F.P_INT, dom.shift
         )
-        domains.append(dom)
-        widths.append(int(m.shape[1]))
-        coeffs.append(c)
-        ldes.append(lde)
+        group_coeffs.append(c)
+        group_ldes.append(lde)
         brs.append(br)
-    tree = merkle_commit_device(brs)
-    data = DevProverData(domains, widths, coeffs, ldes, tree)
+        group_members.append(mem)
+
+    # tree input: per HEIGHT, columns in ascending batch order
+    tree_mats, tree_members = [], []
+    seen = set()
+    for g, (key, _idxs) in enumerate(layout):
+        h = key[0]
+        if h in seen:
+            continue
+        seen.add(h)
+        gs = [g2 for g2, (k2, _x) in enumerate(layout) if k2[0] == h]
+        if len(gs) == 1:
+            tree_mats.append(brs[gs[0]])
+            tree_members.append(list(group_members[gs[0]]))
+            continue
+        flat = []  # (mat index, width, col offset in the concat)
+        off = 0
+        for g2 in gs:
+            for i, w in group_members[g2]:
+                flat.append((i, w, off))
+                off += w
+        cat = jnp.concatenate([brs[g2] for g2 in gs], axis=1)
+        flat.sort(key=lambda t: t[0])
+        colperm = np.concatenate(
+            [np.arange(o, o + w) for _i, w, o in flat]
+        )
+        tree_mats.append(cat[:, jnp.asarray(colperm)])
+        tree_members.append([(i, w) for i, w, _o in flat])
+    tree = merkle_commit_device(tree_mats, tree_members)
+    data = DevProverData(domains, widths, group_of, group_members,
+                         group_coeffs, group_ldes, tree)
     return data.commit, data
 
 
 def evals_on_domain(data: DevProverData, i: int, domain) -> jnp.ndarray:
     """Committed LDE restricted to a subset coset (natural order, device)."""
-    lde = data.ldes[i]
+    lde = data.lde(i)
     assert domain.shift == F.GENERATOR % F.P_INT
     stride = lde.shape[0] // domain.size
     assert stride >= 1 and lde.shape[0] % domain.size == 0
@@ -364,14 +471,19 @@ def fri_fold(e_br, beta, log_h: int, shift: int):
 # ---------------------------------------------------------------------------
 
 
-@aot_jit(static_argnames=("log_max_all",))
-def _gather_body(mats_br, levels, idxs, log_max_all: int):
+@aot_jit(static_argnames=("log_max_all", "layout"))
+def _gather_body(mats_br, levels, idxs, log_max_all: int, layout=()):
     tree_log = int(levels[0].shape[0]).bit_length() - 1
     ti = idxs >> (log_max_all - tree_log)
-    rows = []
-    for m in mats_br:
+    n_out = sum(len(g) for g in layout)
+    rows = [None] * n_out
+    for m, group in zip(mats_br, layout):
         log_h = int(m.shape[0]).bit_length() - 1
-        rows.append(m[ti >> (tree_log - log_h)])
+        grows = m[ti >> (tree_log - log_h)]  # (nq, W) grouped row
+        off = 0
+        for member, w in group:
+            rows[member] = grows[:, off : off + w]
+            off += w
     path = []
     ii = ti
     for lvl in levels[:-1]:
@@ -390,6 +502,8 @@ def gather_tree_openings(tree: DTree, idxs: jnp.ndarray, log_max_all: int):
 
     idxs index the globally tallest height (2^log_max_all); this tree's
     openings use idx >> (log_max_all - tree_log), exactly as the host
-    pcs.open does. Returns (rows_dev list per matrix, paths_dev (nq, L, 8))."""
+    pcs.open does. Height-grouped trees split their rows back into the
+    batch's per-matrix slices inside the kernel. Returns (rows_dev list
+    per matrix, paths_dev (nq, L, 8))."""
     return _gather_body(tree.mats_br, tree.levels, idxs,
-                        log_max_all=log_max_all)
+                        log_max_all=log_max_all, layout=tree.layout())

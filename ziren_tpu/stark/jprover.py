@@ -739,23 +739,19 @@ def dev_open(fri, log_blowup, rounds, ch):
         return upoints[tag]
 
     sig = []
-    coeffs_all, ldes_all = [], []
-    for data, points_per_mat in rounds:
+    for r, (data, points_per_mat) in enumerate(rounds):
         for i, pts in enumerate(points_per_mat):
             dom = data.domains[i]
-            lde_log = int(data.ldes[i].shape[0]).bit_length() - 1
+            lde_log = dom.log_n + log_blowup
             sig.append(
-                (dom.log_n, lde_log, data.widths[i],
+                (r, i, dom.log_n, lde_log, data.widths[i],
                  tuple(pid(t, v) for t, v in pts))
             )
-            coeffs_all.append(data.coeffs[i])
-            ldes_all.append(data.ldes[i])
-    sig = tuple(sig)
     upts_dev = jnp.stack(upoint_vals)  # (U, 4) mont
     alpha_m = alpha
 
-    opened_cat, ro_vals, ro_keys = _open_stage(
-        sig, coeffs_all, ldes_all, upts_dev, alpha_m
+    opened_cat, ro_vals, ro_keys = _open_stage_grouped(
+        rounds, sig, upts_dev, alpha_m, log_blowup
     )
     ro = dict(zip(ro_keys, ro_vals))
 
@@ -816,47 +812,112 @@ def dev_open(fri, log_blowup, rounds, ch):
     }
 
 
-def _open_stage(sig, coeffs_all, ldes_all, upts_dev, alpha_m):
-    """Opened values + reduced openings, one SMALL jitted kernel per matrix
-    shape (colwise contract for the opened values, `_ro_step` for the
-    reduced-opening contribution). Per-matrix kernels cache by (rows, width)
-    across chips AND shards — a single fused mega-kernel recompiled whenever
-    any chip height changed and its one giant straight-line block choked
-    XLA:CPU's codegen for upwards of half an hour.
+def _open_stage_grouped(rounds, sig, upts_dev, alpha_m, log_blowup):
+    """Opened values + reduced openings, GROUP-MAJOR: one colwise contract
+    and one `_ro_step` per (round, commit height group, point) over the
+    height-concatenated matrices the commit already produced — tens of
+    kernel calls per shard instead of one pair per (matrix, point)
+    (~300+; every call costs milliseconds of dispatch on the tunneled
+    accelerator).
 
-    sig: tuple of (log_n, lde_log, width, point_ids) per matrix, in round
-    order. Returns (opened concat (sum w*pts, 4) mont, ro tuple, ro keys)."""
-    ro_keys = tuple(sorted({e[1] for e in sig}, reverse=True))
-    total_w = sum(e[2] * len(e[3]) for e in sig) + 8
+    The transcript semantics are unchanged: alpha-power offsets are
+    assigned in the original (round, matrix, point) order via a gathered
+    (and zero-masked, for matrices not opening at a point) power matrix,
+    and the final opened block is restored to per-(matrix, point) order by
+    ONE row gather. sig: (round, mat, log_n, lde_log, width, point_ids)
+    per matrix, in round order."""
+    ro_keys = tuple(sorted({e[3] for e in sig}, reverse=True))
+    total_w = sum(e[4] * len(e[5]) for e in sig) + 8
     apows = jpcs.zpow_table(alpha_m, log_n=max(total_w.bit_length(), 1))
-    zt: dict = {}  # (point_id, log_n) -> (2^log_n, 4) z-power table
-    inv_t: dict = {}  # (lde_log, point_id) -> (z - x)^-1 table
-    opened = []
-    ro = {l: None for l in ro_keys}
+    # one zero row appended: gather index -w..-1 -> masked-out column
+    apows_z = jnp.concatenate(
+        [apows, jnp.zeros((1, 4), jnp.uint32)], axis=0
+    )
+    zero_row = apows_z.shape[0] - 1
+
+    # alpha offsets in the ORIGINAL (round, matrix, point) order
     cnt = {l: 0 for l in ro_keys}
-    for (log_n, lde_log, w, pids), coeff, lde in zip(sig, coeffs_all, ldes_all):
+    ap_off = {}  # (round, mat, point_id) -> alpha offset
+    for r, i, _log_n, lde_log, w, pids in sig:
         for u in pids:
-            zk = (u, log_n)
-            if zk not in zt:
-                zt[zk] = jpcs.zpow_table(upts_dev[u], log_n=log_n)
-            ys = jpcs.colwise_ext_contract(coeff, zt[zk])
-            opened.append(ys)
-            ik = (lde_log, u)
-            if ik not in inv_t:
-                inv_t[ik] = _inv_z_minus_x(upts_dev[u], l=lde_log)
-            ap = apows[cnt[lde_log] : cnt[lde_log] + w]
-            acc = _ro_step(lde, ap, ys, inv_t[ik])
-            ro[lde_log] = (
-                acc if ro[lde_log] is None else jf.madd(ro[lde_log], acc)
-            )
+            ap_off[(r, i, u)] = cnt[lde_log]
             cnt[lde_log] += w
+
+    sig_by_mat = {(e[0], e[1]): e for e in sig}
+    zt: dict = {}
+    inv_t: dict = {}
+    ro = {l: None for l in ro_keys}
+    grouped_blocks = []  # device (W, 4) blocks in group-major order
+    block_offsets = {}  # (round, group) -> (block_index, member col offs)
+    for r, (data, _pts) in enumerate(rounds):
+        for g in range(len(data.group_coeffs)):
+            members = data.group_members[g]
+            log_n = data.domains[members[0][0]].log_n
+            lde_log = log_n + log_blowup
+            # union of the group's point ids, in first-appearance order
+            pids_u = []
+            for i, _w in members:
+                for u in sig_by_mat[(r, i)][5]:
+                    if u not in pids_u:
+                        pids_u.append(u)
+            gcoeff = data.group_coeffs[g]
+            glde = data.group_ldes[g]
+            W = gcoeff.shape[1]
+            for u in pids_u:
+                zk = (u, log_n)
+                if zk not in zt:
+                    zt[zk] = jpcs.zpow_table(upts_dev[u], log_n=log_n)
+                ys = jpcs.colwise_ext_contract(gcoeff, zt[zk])
+                block_offsets[(r, g, u)] = len(grouped_blocks)
+                grouped_blocks.append(ys)
+                ik = (lde_log, u)
+                if ik not in inv_t:
+                    inv_t[ik] = _inv_z_minus_x(upts_dev[u], l=lde_log)
+                # gathered alpha powers; members not opening at u -> zeros
+                idx = np.full(W, zero_row, np.int32)
+                off = 0
+                for i, w in members:
+                    if u in sig_by_mat[(r, i)][5]:
+                        base = ap_off[(r, i, u)]
+                        idx[off : off + w] = np.arange(
+                            base, base + w, dtype=np.int32
+                        )
+                    off += w
+                ap = apows_z[jnp.asarray(idx)]
+                acc = _ro_step(glde, ap, ys, inv_t[ik])
+                ro[lde_log] = (
+                    acc if ro[lde_log] is None else jf.madd(ro[lde_log], acc)
+                )
+
+    # restore per-(matrix, point) order with ONE row gather
+    block_starts = []
+    pos = 0
+    for b in grouped_blocks:
+        block_starts.append(pos)
+        pos += int(b.shape[0])
+    perm = np.empty(sum(e[4] * len(e[5]) for e in sig), np.int64)
+    out = 0
+    for r, i, _log_n, _lde_log, w, pids in sig:
+        data = rounds[r][0]
+        g, col = data.group_of[i]
+        for u in pids:
+            start = block_starts[block_offsets[(r, g, u)]] + col
+            perm[out : out + w] = np.arange(start, start + w)
+            out += w
+    grouped_cat = (
+        jnp.concatenate(grouped_blocks, axis=0)
+        if grouped_blocks
+        else jnp.zeros((0, 4), jnp.uint32)
+    )
+    opened_cat = grouped_cat[jnp.asarray(perm)]
+
     ro_vals = tuple(
         ro[l]
         if ro[l] is not None
         else jnp.zeros((1 << l, 4), jnp.uint32)
         for l in ro_keys
     )
-    return jnp.concatenate(opened, axis=0), ro_vals, ro_keys
+    return opened_cat, ro_vals, ro_keys
 
 
 @aot_jit
