@@ -28,3 +28,22 @@ def test_prove_verify_roundtrip(tmp_path, capsys):
 def test_vkey(capsys):
     assert main(["vkey", ELF]) == 0
     assert capsys.readouterr().out.startswith("vk: ")
+
+
+def test_cli_new_and_build(tmp_path, monkeypatch):
+    """cargo-ziren {new, build} parity: scaffold a guest pair; build
+    degrades explicitly without the MIPS toolchain."""
+    import os
+
+    from ziren_tpu.__main__ import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["new", "demo"]) == 0
+    assert os.path.isfile("demo/program/Cargo.toml")
+    assert os.path.isfile("demo/program/src/main.rs")
+    assert os.path.isfile("demo/host.py")
+    assert main(["new", "demo"]) == 1  # refuses to clobber
+    from ziren_tpu.guest.build import find_toolchain
+
+    if find_toolchain() is None:
+        assert main(["build", "demo/program"]) == 1

@@ -36,6 +36,52 @@ def _stdin(args):
     return stdin
 
 
+def _scaffold_guest(name: str) -> int:
+    """`new` — a minimal guest crate in the reference template's shape
+    (cargo-ziren.rs `new`: program + host pair; the program builds with
+    the zkm toolchain when one is installed)."""
+    import os
+
+    if os.path.exists(name):
+        print(f"error: {name} already exists", file=sys.stderr)
+        return 1
+    prog = os.path.join(name, "program")
+    os.makedirs(os.path.join(prog, "src"))
+    with open(os.path.join(prog, "Cargo.toml"), "w") as f:
+        f.write(
+            '[package]\nname = "%s-program"\nversion = "0.1.0"\n'
+            'edition = "2021"\n\n[dependencies]\n'
+            'zkm-zkvm = "1.2"\n' % name
+        )
+    with open(os.path.join(prog, "src", "main.rs"), "w") as f:
+        f.write(
+            "#![no_main]\n"
+            "zkm_zkvm::entrypoint!(main);\n\n"
+            "pub fn main() {\n"
+            "    let n = zkm_zkvm::io::read::<u32>();\n"
+            "    let (mut a, mut b) = (0u64, 1u64);\n"
+            "    for _ in 0..n { let c = a.wrapping_add(b); a = b; b = c; }\n"
+            "    zkm_zkvm::io::commit(&(b as u32));\n"
+            "}\n"
+        )
+    with open(os.path.join(name, "host.py"), "w") as f:
+        f.write(
+            "from ziren_tpu.guest import BincodeWriter, build_program\n"
+            "from ziren_tpu.sdk import ProverClient, ZirenStdin\n\n"
+            'elf_path = build_program("program")\n'
+            "client = ProverClient()\n"
+            'pk, vk = client.setup(open(elf_path, "rb").read())\n'
+            "stdin = ZirenStdin()\n"
+            "stdin.write_slice(BincodeWriter().u32(10).getvalue())\n"
+            "proof = client.prove(pk, stdin)\n"
+            "client.verify(proof, vk)\n"
+            'print("committed:", proof.public_values.as_bytes().hex())\n'
+        )
+    print(f"scaffolded guest project at ./{name} "
+          "(program/ builds via `python -m ziren_tpu build program`)")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="python -m ziren_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -54,7 +100,31 @@ def main(argv=None):
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=3000)
     srv.add_argument("--config", default="core", choices=["core", "dev"])
+    bld = sub.add_parser("build")  # cargo-ziren build analogue
+    bld.add_argument("crate_dir")
+    bld.add_argument("--features", default="")
+    bld.add_argument("--elf-name", default=None)
+    new = sub.add_parser("new")  # cargo-ziren new analogue
+    new.add_argument("name")
     args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        from ziren_tpu.guest.build import GuestBuildError, build_program
+
+        try:
+            path = build_program(
+                args.crate_dir,
+                features=[f for f in args.features.split(",") if f],
+                elf_name=args.elf_name,
+            )
+        except GuestBuildError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(path)
+        return 0
+
+    if args.cmd == "new":
+        return _scaffold_guest(args.name)
 
     if args.cmd == "serve":
         from ziren_tpu.network import ProverServer
