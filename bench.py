@@ -179,7 +179,7 @@ def main():
     # loads were ~300 s of the round-4 warm start).
     from ziren_tpu.stark import aot
 
-    aot.prewarm("bench")
+    aot.prewarm("bench", execute=False)
     warm, warm_records = execute_sharded(program, shard_size)
     machine.prove(pk, warm_records, fix_shapes=True)
     aot.save_manifest("bench")

@@ -94,6 +94,15 @@ def call_cached(key, fn, *args):
     deserializes (no tracing). Any failure falls back to jit."""
     import jax
 
+    # Inside an enclosing trace (fused/stage kernels, shard_map bodies),
+    # inline the function into that trace: exporting with tracer inputs
+    # is not possible, and the outer artifact captures the graph anyway.
+    if any(
+        isinstance(l, jax.core.Tracer)
+        for l in jax.tree_util.tree_leaves(args)
+    ):
+        return fn(*args)
+
     if not enabled():
         return _plain(key, fn, args)
     digest = hashlib.sha256(
@@ -199,12 +208,17 @@ def prewarm(name: str, workers: int = 8, execute: bool = True) -> int:
                 art = jex.deserialize(bytearray(f.read()))
             jfn = jax.jit(art.call)
             if execute:
-                import numpy as np
-
-                args = [
-                    np.zeros(a.shape, dtype=a.dtype) for a in art.in_avals
+                # compile WITHOUT running: a compile-cache hit still pays
+                # the executable load (~0.25 s serial on the tunneled
+                # backend); running the kernel on zeros would serialize
+                # real device compute behind it. The COMPILED object is
+                # what gets cached — a later jit call would not reuse the
+                # explicit AOT compilation.
+                avals = [
+                    jax.ShapeDtypeStruct(a.shape, a.dtype)
+                    for a in art.in_avals
                 ]
-                jfn(*args)  # async: compile-cache hit + device load
+                jfn = jfn.lower(*avals).compile()
             with _LOCK:
                 _MEM.setdefault(digest, jfn)
             return 1

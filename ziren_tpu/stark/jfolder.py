@@ -315,10 +315,13 @@ def quotient_device(
     local_cumsum,
     global_cumsum,
 ):
-    """All inputs device mont. sels: dict of 4 (qn,) arrays. Returns the
-    quotient evaluations (qn, 4) mont (already divided by Z_H). Routed
-    through the AOT kernel cache (stark/aot.py): the fused constraint
-    graphs (the biggest traces in the prover) never re-trace warm."""
+    """All inputs device mont. sels: dict of 4 (qn,) arrays. alphas_rev
+    may be LONGER than the chip's constraint count (the per-shard shared
+    power table): the tail slice happens inside the kernel, so one
+    epowers kernel call serves every chip. Returns the quotient
+    evaluations (qn, 4) mont (already divided by Z_H). Routed through the
+    AOT kernel cache (stark/aot.py): the fused constraint graphs (the
+    biggest traces in the prover) never re-trace warm."""
     from . import aot
 
     key = ("quot", _air_fingerprint(chip), next_step)
@@ -331,6 +334,7 @@ def quotient_device(
             "is_transition": s2,
             "inv_zeroifier": s3,
         }
+        alphas = alphas[alphas.shape[0] - _c.num_constraints :]
         return _quotient_body(
             _c, _ns, prep_q, main_q, perm_q, sels, pv, alphas, (pc0, pc1),
             lc, gc

@@ -446,6 +446,9 @@ def dispatch_shard_device(machine, pk, record, challenger):
         d.create_disjoint_domain(1 << (d.log_n + c.log_quotient_degree))
         for d, c in zip(trace_domains, chips)
     ]
+    # ONE shared alpha-power table; each quotient kernel slices its tail
+    max_nc = max((c.num_constraints for c in chips), default=1)
+    apows_all = jpcs.epowers_rev_dev(alpha_q, max_nc)
     q_domains = []
     q_chunks_dev = []
     for i, (chip, tdom, qdom) in enumerate(
@@ -465,7 +468,6 @@ def dispatch_shard_device(machine, pk, record, challenger):
             sels = jfolder.selectors_on_coset_device(
                 tdom.log_n, tdom.shift, qdom.log_n, qdom.shift
             )
-            alphas_rev = jpcs.epowers_rev_dev(alpha_q, chip.num_constraints)
             quotient = jfolder.quotient_device(
                 chip,
                 next_step,
@@ -474,7 +476,7 @@ def dispatch_shard_device(machine, pk, record, challenger):
                 perm_q,
                 sels,
                 pv_dev,
-                alphas_rev,
+                apows_all,
                 (alpha_m, beta_m),
                 cumsums_m[i],
                 _to_dev(global_sums[i]),
@@ -755,34 +757,26 @@ def dev_open(fri, log_blowup, rounds, ch):
     )
     ro = dict(zip(ro_keys, ro_vals))
 
-    # FRI commit phase on bit-reversed reduced openings
+    # FRI commit phase on bit-reversed reduced openings — folds, per-layer
+    # Merkle commits, the transcript observations, the PoW grind AND the
+    # query-index sampling run as ONE fused kernel (the per-layer loop was
+    # ~50 dispatches per shard)
     inputs = sorted(ro.items(), reverse=True)
     log_max = inputs[0][0]
-    shifts = _make_shifts(log_max)
-    it = iter(inputs)
-    l, cur = next(it)
-    cur = cur[jpcs.bitrev_idx(l)]
-    nxt = next(it, None)
-    layer_roots, trees = [], []
-    while cur.shape[0] > (1 << log_blowup):
-        leaves = cur.reshape(-1, 8)
-        tree = jpcs.merkle_commit_device([leaves])
-        layer_roots.append(tree.root)
-        trees.append(tree)
-        ch.observe_mont_vec(tree.root)
-        beta = ch.sample_ext_mont()
-        cur = jpcs.fri_fold(cur, beta, log_h=l, shift=shifts[l])
-        l -= 1
-        if nxt is not None and nxt[0] == l:
-            cur = jf.madd(cur, nxt[1][jpcs.bitrev_idx(l)])
-            nxt = next(it, None)
-    # final poly: constant — observe its coefficient (row 0); the fetched
-    # proof assembly asserts all rows agree
-    ch.observe_mont_vec(cur[0])
-
-    pow_witness = ch.grind(fri.proof_of_work_bits)
-    query_idx = [ch.sample_bits(log_max) for _ in range(fri.num_queries)]
-    idxs_dev = jnp.stack(query_idx).astype(jnp.int32)
+    seg = ch._concat_buffer()
+    keys = tuple(l for l, _ in inputs)
+    layer_roots, leaves_list, levels_list, cur, pow_witness, idxs_dev = (
+        _fri_phase(
+            ch.state, seg, *[v for _l, v in inputs],
+            buf_n=ch._buf_n, out_len=ch._out_len, keys=keys,
+            log_blowup=log_blowup, pow_bits=fri.proof_of_work_bits,
+            num_queries=fri.num_queries,
+        )
+    )
+    trees = [
+        jpcs.DTree([lv], levels, levels[-1][0])
+        for lv, levels in zip(leaves_list, levels_list)
+    ]
 
     # device gathers for every query
     round_rows_dev, round_paths_dev = [], []
@@ -961,3 +955,55 @@ def _make_shifts(log_max: int) -> dict:
         shifts[l] = s
         s = (s * s) % F.P_INT
     return shifts
+
+
+@aot_jit(static_argnames=("buf_n", "out_len", "keys", "log_blowup",
+                          "pow_bits", "num_queries"))
+def _fri_phase(state, seg, *ro_vals, buf_n: int, out_len: int, keys,
+               log_blowup: int, pow_bits: int, num_queries: int):
+    """The whole FRI commit phase, traced as one kernel: bit-reverse the
+    reduced openings (tallest first), per-layer Poseidon2 Merkle commit,
+    duplex transcript observation, beta sampling, fold, inject the next
+    reduced opening at its height, then the final-poly observation, the
+    PoW grind and the query-index sampling. The challenger is rebuilt from
+    (state, buffered segment, static counts) — its control flow is fully
+    shape-determined."""
+    from ziren_tpu.ops.jchallenger import JChallenger as _JC
+
+    ch = _JC()
+    ch.state = state
+    if buf_n:
+        ch.input_buffer = [seg]
+        ch._buf_n = buf_n
+    ch._out_len = out_len
+
+    inputs = list(zip(keys, ro_vals))
+    log_max = keys[0]
+    shifts = _make_shifts(log_max)
+    it = iter(inputs)
+    l, cur = next(it)
+    cur = cur[jpcs.bitrev_idx(l)]
+    nxt = next(it, None)
+    layer_roots, leaves_list, levels_list = [], [], []
+    while cur.shape[0] > (1 << log_blowup):
+        leaves = cur.reshape(-1, 8)
+        levels = jpcs._merkle_levels([leaves])
+        root = levels[-1][0]
+        layer_roots.append(root)
+        leaves_list.append(leaves)
+        levels_list.append(levels)
+        ch.observe_mont_vec(root)
+        beta = ch.sample_ext_mont()
+        cur = jpcs.fri_fold(cur, beta, log_h=l, shift=shifts[l])
+        l -= 1
+        if nxt is not None and nxt[0] == l:
+            cur = jf.madd(cur, nxt[1][jpcs.bitrev_idx(l)])
+            nxt = next(it, None)
+    # final poly: constant — observe its coefficient (row 0); the fetched
+    # proof assembly asserts all rows agree
+    ch.observe_mont_vec(cur[0])
+    pow_witness = ch.grind(pow_bits)
+    idxs = jnp.stack(
+        [ch.sample_bits(log_max) for _ in range(num_queries)]
+    ).astype(jnp.int32)
+    return layer_roots, leaves_list, levels_list, cur, pow_witness, idxs

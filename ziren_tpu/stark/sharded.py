@@ -99,6 +99,8 @@ def _build_prove_fn(machine, pk, chips, trace_domains, ch_template):
             d.create_disjoint_domain(1 << (d.log_n + c.log_quotient_degree))
             for d, c in zip(trace_domains, chips)
         ]
+        max_nc = max((c.num_constraints for c in chips), default=1)
+        apows_all = jpcs.epowers_rev_dev(alpha_q, max_nc)
         q_domains, q_chunks = [], []
         for i, (chip, tdom, qdom) in enumerate(
             zip(chips, trace_domains, quotient_domains)
@@ -116,10 +118,9 @@ def _build_prove_fn(machine, pk, chips, trace_domains, ch_template):
             sels = jfolder.selectors_on_coset_device(
                 tdom.log_n, tdom.shift, qdom.log_n, qdom.shift
             )
-            alphas_rev = jpcs.epowers_rev_dev(alpha_q, chip.num_constraints)
             quotient = jfolder.quotient_device(
                 chip, next_step, prep_q, main_q, perm_q, sels, pv_m,
-                alphas_rev, (alpha_m, beta_m), cumsums_m[i], gsums_m[i],
+                apows_all, (alpha_m, beta_m), cumsums_m[i], gsums_m[i],
             )
             flat = quotient.reshape(qn, 4)
             for j, sub_dom in enumerate(qdom.split_domains(chip.quotient_degree)):
