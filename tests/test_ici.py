@@ -45,3 +45,16 @@ def test_row_sharded_leaf_hashes(mesh):
     mat = rng.integers(0, F.P_INT, size=(64, 40), dtype=np.uint32)
     leaves = leaf_hash_row_sharded(jf.from_host(mat), mesh)
     assert np.array_equal(jf.to_host(leaves), p2.hash_rows(mat))
+
+
+def test_ntt_mesh_matches_host(mesh):
+    """Four-step NTT with the transpose exchanged all-to-all over the mesh
+    == the single-core host NTT, bit for bit."""
+    from ziren_tpu.core import ntt
+    from ziren_tpu.stark.ici import ntt_mesh
+
+    rng = np.random.default_rng(6)
+    for (n, w) in [(256, 5), (1024, 3)]:
+        coeffs = rng.integers(0, F.P_INT, size=(n, w), dtype=np.uint32)
+        got = jf.to_host(ntt_mesh(jf.from_host(coeffs), mesh))
+        assert np.array_equal(got, ntt.ntt(coeffs)), (n, w)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ziren_tpu.ops import jfield as jf
 from ziren_tpu.ops import jposeidon2 as jp2
 
 
@@ -64,6 +65,68 @@ def commit_row_sharded(mat, mesh: Mesh, axis: str = "row"):
         )
     )
     return fn(mat)
+
+
+def ntt_mesh(mat, mesh: Mesh, axis: str = "row"):
+    """Four-step NTT of (n, w) over a mesh: local small NTTs + the
+    butterfly TRANSPOSE exchanged by `all_to_all` over ICI (SURVEY §2.14:
+    "NTT butterfly all-to-all"; the single-chip cascade is ops/jntt.py).
+
+    n = n1 * n2 with rows split j = j2 + n2*j1:
+      1. all_to_all transpose -> each device holds full-j1 rows;
+         local length-n1 NTTs:  U[j2, k1] = sum_j1 w^(n2 j1 k1) x[j2+n2 j1]
+      2. twiddle  V = U * w^(j2 k1)   (the sharded twiddle matrix)
+      3. all_to_all transpose back; local length-n2 NTTs over j2:
+         W[k1, k2] = X[k1 + n1 k2]
+    Returns the natural-order NTT (n, w), bit-identical to core/ntt.ntt.
+    """
+    from ziren_tpu.core import field as F
+    from ziren_tpu.ops import jpcs
+
+    n, w = int(mat.shape[0]), int(mat.shape[1])
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis]))
+    log_n = n.bit_length() - 1
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = n // n1
+    assert n1 % n_dev == 0 and n2 % n_dev == 0, "mesh must divide both axes"
+    root = F.two_adic_generator(log_n)
+    # full twiddle matrix w^(j2*k1), mont, sharded along j2 like the data
+    p64 = np.uint64(F.P_INT)
+    w_j2 = F.powers(root, n2).astype(np.uint64)
+    tw = np.ones((n2, n1), dtype=np.uint64)
+    for col in range(1, n1):
+        tw[:, col] = (tw[:, col - 1] * w_j2) % p64
+    tw_mont = jnp.asarray(((tw << np.uint64(32)) % p64).astype(np.uint32))
+
+    br1 = np.asarray(jpcs.bitrev_idx(log_n1))
+    br2 = np.asarray(jpcs.bitrev_idx(log_n - log_n1))
+
+    def body(x_blk, tw_blk):
+        # x_blk: (n1/D, n2, w) — j1 block-sharded; exchange so each device
+        # holds the FULL j1 axis for its j2 chunk
+        a = jax.lax.all_to_all(x_blk, axis, 1, 0, tiled=True)
+        a = a.transpose(1, 0, 2)  # (n2/D, n1, w): rows j2_local
+        u = jax.vmap(
+            lambda m: jpcs._ntt_bitrev_in(m[br1], log_n1)
+        )(a)  # (j2_loc, k1, w)
+        v = jf.mont_mul(u, tw_blk[:, :, None])
+        # exchange back: k1 block-sharded, full j2 axis
+        b = jax.lax.all_to_all(v.transpose(1, 0, 2), axis, 0, 1, tiled=True)
+        # (n1/D, n2, w): local length-n2 NTT over j2 for each k1 row
+        return jax.vmap(
+            lambda m: jpcs._ntt_bitrev_in(m[br2], log_n - log_n1)
+        )(b)  # (k1_loc, k2, w)
+
+    fn = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False,
+        )
+    )
+    x = mat.reshape(n1, n2, w)
+    out = fn(x, tw_mont)  # (n1, n2, w): [k1, k2] = X[k1 + n1 k2]
+    return out.transpose(1, 0, 2).reshape(n, w)
 
 
 def leaf_hash_row_sharded(mat, mesh: Mesh, axis: str = "row"):
