@@ -181,7 +181,9 @@ def main():
 
     aot.prewarm("bench", execute=False)
     warm, warm_records = execute_sharded(program, shard_size)
+    t0 = time.perf_counter()
     machine.prove(pk, warm_records, fix_shapes=True)
+    warm_dt = time.perf_counter() - t0
     aot.save_manifest("bench")
 
     def detail(prove_s, cycles, shards, staged):
@@ -196,6 +198,13 @@ def main():
         }
         d.update(fb)
         return d
+
+    # stage 0: the warmup prove itself, pessimistic (includes executable
+    # loads / any residual remote compiles) — emitted so that even a child
+    # killed right after warmup leaves a real device-measured rate behind
+    c0 = int(warm.global_clk)
+    _emit(c0 / warm_dt / 1e3, config="core",
+          detail=detail(warm_dt, c0, len(warm_records), "warmup-incl-loads"))
 
     # stage 1: prove-only rate on the warm batch — emitted immediately so
     # a later timeout still leaves a device-measured core-config rate
