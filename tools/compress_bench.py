@@ -61,16 +61,22 @@ def main():
     lifts, joins = [], []
     orig_lift, orig_join = mp.lift_shard, mp.join
 
+    setup_lifts, setup_joins = [], []
+
     def lift_timed(*a, **k):
         t = time.perf_counter()
         r = orig_lift(*a, **k)
-        lifts.append(round(time.perf_counter() - t, 3))
+        dt = round(time.perf_counter() - t, 3)
+        # setup_only / phantom lifts are registry enumeration, not proving
+        (setup_lifts if (k.get("setup_only") or k.get("phantom"))
+         else lifts).append(dt)
         return r
 
     def join_timed(*a, **k):
         t = time.perf_counter()
         r = orig_join(*a, **k)
-        joins.append(round(time.perf_counter() - t, 3))
+        dt = round(time.perf_counter() - t, 3)
+        (setup_joins if k.get("phantom") else joins).append(dt)
         return r
 
     mp.lift_shard, mp.join = lift_timed, join_timed
@@ -82,6 +88,8 @@ def main():
         mp.lift_shard, mp.join = orig_lift, orig_join
     out["stages"]["lift_s"] = lifts
     out["stages"]["join_s"] = joins
+    out["stages"]["registry_enum_lift_s"] = round(sum(setup_lifts), 3)
+    out["stages"]["registry_enum_join_s"] = round(sum(setup_joins), 3)
 
     if args.stop_at != "compress":
         from ziren_tpu.recursion.pipeline import shrink
